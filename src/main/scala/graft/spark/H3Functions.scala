@@ -1,0 +1,115 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types._
+
+/** Registration of the H3 function family into Spark's FunctionRegistry so
+  * every function is usable from SQL, the Column DSL (via call_function),
+  * and benefits from whole-stage codegen. */
+object H3Functions {
+
+  type Builder = Seq[Expression] => Expression
+
+  // Explicit input coercion (redundant casts are elided by Catalyst).
+  private def lng(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+  private def int(e: Expression): Expression =
+    if (e.dataType == IntegerType) e else Cast(e, IntegerType)
+  private def dbl(e: Expression): Expression =
+    if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+  private def str(e: Expression): Expression =
+    if (e.dataType == StringType) e else Cast(e, StringType)
+  private def lngArr(e: Expression): Expression = e.dataType match {
+    case ArrayType(LongType, _) => e
+    case _ => Cast(e, ArrayType(LongType))
+  }
+
+  val all: Seq[(String, Builder)] = Seq(
+    "h3_latlng_to_cell" -> (es => LatLngToCell(dbl(es(0)), dbl(es(1)), int(es(2)))),
+    "h3_cell_to_parent" -> (es => CellToParent(lng(es(0)), int(es(1)))),
+    "h3_cell_to_center_child" -> (es => CellToCenterChild(lng(es(0)), int(es(1)))),
+    "h3_cell_to_children_size" -> (es => CellToChildrenSize(lng(es(0)), int(es(1)))),
+    "h3_cell_to_child_pos" -> (es => CellToChildPos(lng(es(0)), int(es(1)))),
+    "h3_child_pos_to_cell" -> (es => ChildPosToCell(lng(es(0)), lng(es(1)), int(es(2)))),
+    "h3_get_resolution" -> (es => CellResolution(lng(es(0)))),
+    "h3_get_base_cell" -> (es => CellBaseCell(lng(es(0)))),
+    "h3_is_valid_cell" -> (es => IsValidCell(lng(es(0)))),
+    "h3_is_pentagon" -> (es => IsPentagon(lng(es(0)))),
+    "h3_cell_to_latlng" -> (es => CellToLatLngExpr(lng(es(0)))),
+    "h3_cell_to_lat" -> (es => CellToLat(lng(es(0)))),
+    "h3_cell_to_lng" -> (es => CellToLng(lng(es(0)))),
+    "h3_cell_to_boundary" -> (es => CellToBoundaryExpr(lng(es(0)))),
+    "h3_cell_area_rads2" -> (es => CellAreaRads2(lng(es(0)))),
+    "h3_cell_area_km2" -> (es => CellAreaKm2(lng(es(0)))),
+    "h3_grid_distance" -> (es => GridDistanceExpr(lng(es(0)), lng(es(1)))),
+    "h3_are_neighbor_cells" -> (es => AreNeighborCells(lng(es(0)), lng(es(1)))),
+    "h3_great_circle_distance_m" -> (es => GreatCircleDistanceM(es.map(dbl))),
+    "h3_to_string" -> (es => CellToStringExpr(lng(es(0)))),
+    "h3_from_string" -> (es => StringToCellExpr(str(es(0)))),
+    "h3_compact_cells" -> (es => CompactCellsExpr(lngArr(es(0)))),
+    "h3_uncompact_cells" -> (es => UncompactCellsExpr(lngArr(es(0)), int(es(1)))),
+    "h3_grid_disk" -> (es => GridDiskGen(lng(es(0)), int(es(1)))),
+    "h3_grid_disk_distances" -> (es => GridDiskDistancesGen(lng(es(0)), int(es(1)))),
+    "h3_grid_ring" -> (es => GridRingGen(lng(es(0)), int(es(1)))),
+    "h3_cell_to_children" -> (es => CellToChildrenGen(lng(es(0)), int(es(1)))),
+    "h3_grid_path_cells" -> (es => GridPathCellsGen(lng(es(0)), lng(es(1)))),
+    "h3_polygon_to_cells" -> (es => PolygonToCellsGen(str(es(0)), int(es(1)), int(es(2)))))
+
+  /** Session-scoped registration (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+
+  /** Column DSL (requires register(spark) once per session). */
+  object dsl {
+    def h3_latlng_to_cell(lat: Column, lng: Column, res: Column): Column =
+      call_function("h3_latlng_to_cell", lat, lng, res)
+    def h3_cell_to_parent(cell: Column, res: Column): Column =
+      call_function("h3_cell_to_parent", cell, res)
+    def h3_get_resolution(cell: Column): Column =
+      call_function("h3_get_resolution", cell)
+    def h3_is_valid_cell(cell: Column): Column =
+      call_function("h3_is_valid_cell", cell)
+    def h3_is_pentagon(cell: Column): Column =
+      call_function("h3_is_pentagon", cell)
+    def h3_cell_to_lat(cell: Column): Column = call_function("h3_cell_to_lat", cell)
+    def h3_cell_to_lng(cell: Column): Column = call_function("h3_cell_to_lng", cell)
+    def h3_cell_to_boundary(cell: Column): Column =
+      call_function("h3_cell_to_boundary", cell)
+    def h3_grid_disk(cell: Column, k: Column): Column =
+      call_function("h3_grid_disk", cell, k)
+    def h3_grid_disk_distances(cell: Column, k: Column): Column =
+      call_function("h3_grid_disk_distances", cell, k)
+    def h3_grid_distance(a: Column, b: Column): Column =
+      call_function("h3_grid_distance", a, b)
+    def h3_great_circle_distance_m(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column =
+      call_function("h3_great_circle_distance_m", lat1, lng1, lat2, lng2)
+    def h3_cell_to_children(cell: Column, res: Column): Column =
+      call_function("h3_cell_to_children", cell, res)
+    def h3_compact_cells(cells: Column): Column =
+      call_function("h3_compact_cells", cells)
+    def h3_uncompact_cells(cells: Column, res: Column): Column =
+      call_function("h3_uncompact_cells", cells, res)
+    def h3_polygon_to_cells(geojson: Column, res: Column, mode: Column): Column =
+      call_function("h3_polygon_to_cells", geojson, res, mode)
+  }
+}
+
+/** spark.sql.extensions entry point: injects every H3 function. */
+class H3Extensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    H3Functions.all.foreach { case (name, builder) =>
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft.spark.H3Expressions", name),
+        builder))
+    }
+  }
+}
