@@ -17,7 +17,7 @@ object Geo {
   /** A closed ring; `lats`/`lngs` exclude the duplicated closing vertex.
     * `shifted` marks the +2pi transmeridian normalization. */
   final class Ring(val lats: Array[Double], val lngs: Array[Double],
-                   val shifted: Boolean) {
+                   val shifted: Boolean) extends Serializable {
     val n: Int = lats.length
     var minLat: Double = Double.PositiveInfinity
     var maxLat: Double = Double.NegativeInfinity
@@ -71,7 +71,8 @@ object Geo {
       }
   }
 
-  final class GeoPolygon(val exterior: Ring, val holes: Array[Ring]) {
+  final class GeoPolygon(val exterior: Ring, val holes: Array[Ring])
+      extends Serializable {
     def containsCentroid(lat: Double, lng: Double): Boolean = {
       if (!exterior.containsCentroid(lat, lng)) return false
       var h = 0
@@ -239,6 +240,25 @@ object Geo {
     val arr = out.result()
     java.util.Arrays.sort(arr)
     arr
+  }
+
+  /** Complete cover (IntersectsBoundary) split into fully-contained cells
+    * (compacted to mixed resolutions) and boundary cells (kept at `res`,
+    * requiring an exact PIP test at join time). */
+  def annotatedCover(polys: Array[GeoPolygon], res: Int): (Array[Long], Array[Long]) = {
+    val all = polygonToCells(polys, res, IntersectsBoundary)
+    val full = new mutable.ArrayBuilder.ofLong
+    val partial = new mutable.ArrayBuilder.ofLong
+    var i = 0
+    while (i < all.length) {
+      val c = all(i)
+      val (_, fully) = cellRelate(polys, c)
+      if (fully) full += c else partial += c
+      i += 1
+    }
+    val fullArr = full.result()
+    val sorted = fullArr.sortBy(H3.orderKey)
+    (H3.compactSorted(sorted), partial.result())
   }
 
   /** Relation of a cell's boundary polygon to the polygon set:

@@ -1,0 +1,196 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** High-level training-data pipeline operators over the `documents` table:
+  * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
+  * embedding similarity search, and text analysis (language ID, quality
+  * scoring, token counting, fingerprinting).
+  *
+  * Scale design: every operator is a pure DataFrame pipeline — hash-based
+  * blocking before any pairwise work, so candidate generation is a
+  * shuffle-on-key (never a cross join), and all pairwise verification runs
+  * only within tiny buckets.
+  */
+object Ops {
+
+  /** Exact duplicate groups by full-text hash: one surviving doc per group. */
+  def dedupExact(docs: DataFrame): DataFrame =
+    docs.groupBy(sha2(col("text"), 256).as("text_hash"))
+      .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
+
+  /** MinHash-LSH near-duplicate candidate pairs with verified Jaccard.
+    * shingle=3 words, 64 hashes, 16 bands of 4 rows. */
+  def dedupMinHash(spark: SparkSession, docs: DataFrame,
+                   threshold: Double = 0.7, shingle: Int = 3,
+                   numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    OpsFunctions.register(spark)
+    val withBands = docs
+      .select(col("doc_id"), col("text"),
+        posexplode(expr(s"minhash_band_hashes(text, $shingle, $numHashes, $bands)"))
+          .as(Seq("band", "band_hash")))
+
+    // Same band index + same band hash -> candidate pair (a < b).
+    val a = withBands.select(col("band"), col("band_hash"),
+      col("doc_id").as("a_id"), col("text").as("a_text"))
+    val b = withBands.select(col("band"), col("band_hash"),
+      col("doc_id").as("b_id"), col("text").as("b_text"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
+      .distinct()
+      .withColumn("jaccard", expr(s"ngram_jaccard(a_text, b_text, $shingle)"))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** SimHash near-duplicates: 64-bit signature, blocking on 4 x 16-bit
+    * chunks (any pair with hamming <= 3 shares at least one chunk). */
+  def dedupSimHash(spark: SparkSession, docs: DataFrame,
+                   maxHamming: Int = 3): DataFrame = {
+    OpsFunctions.register(spark)
+    val sigs = docs.select(col("doc_id"), expr("simhash(text)").as("sig"))
+    val chunked = sigs.select(col("doc_id"), col("sig"),
+      posexplode(array((0 until 4).map(i =>
+        expr(s"cast((sig >> ${i * 16}) & 65535 as int)")): _*))
+        .as(Seq("chunk", "chunk_val")))
+    val a = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("a_id"), col("sig").as("a_sig"))
+    val b = chunked.select(col("chunk"), col("chunk_val"),
+      col("doc_id").as("b_id"), col("sig").as("b_sig"))
+    a.join(b, Seq("chunk", "chunk_val"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id", "a_sig", "b_sig").distinct()
+      .withColumn("hamming", expr("hamming64(a_sig, b_sig)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /** Embedding near-duplicates via hyperplane LSH blocking + exact cosine. */
+  def dedupEmbedding(spark: SparkSession, embeddings: DataFrame,
+                     threshold: Double = 0.95, bits: Int = 16,
+                     seed: Long = 42L): DataFrame = {
+    OpsFunctions.register(spark)
+    val sigs = embeddings.select(col("vec_id"), col("embedding"),
+      expr(s"hyperplane_lsh(embedding, $bits, ${seed}L)").as("bucket"))
+    val a = sigs.select(col("bucket"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val b = sigs.select(col("bucket"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    a.join(b, "bucket")
+      .filter(col("a_id") < col("b_id"))
+      .withColumn("cosine", expr("cosine_similarity(a_vec, b_vec)"))
+      .filter(col("cosine") >= threshold)
+      .select("a_id", "b_id", "cosine")
+  }
+
+  /** Brute-force cosine top-k: exact baseline. Queries are broadcast; the
+    * corpus is scanned once; per-query top-k via window. */
+  def annBruteForce(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+                    k: Int): DataFrame = {
+    OpsFunctions.register(spark)
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("q_vec")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .withColumn("sim", expr("cosine_similarity(embedding, q_vec)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "sim", "rank")
+  }
+
+  /** LSH-bucketed ANN: probe the query's bucket plus all buckets at hamming
+    * distance 1 (bits+1 probes), re-rank by exact cosine. Scale path: the
+    * corpus is hashed once and shuffled by bucket; no cross join. */
+  def annLsh(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             k: Int, bits: Int = 12, seed: Long = 42L): DataFrame = {
+    OpsFunctions.register(spark)
+    val hashed = corpus.select(col("vec_id"), col("embedding"),
+      expr(s"hyperplane_lsh(embedding, $bits, ${seed}L)").as("bucket"))
+    // Multi-probe: bucket and its 1-bit flips.
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("q_vec"),
+      expr(s"hyperplane_lsh(embedding, $bits, ${seed}L)").as("b0"))
+      .withColumn("bucket", explode(array(
+        col("b0") +: (0 until bits).map(i => expr(s"b0 ^ ${1L << i}")): _*)))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    probes.join(hashed, "bucket")
+      .withColumn("sim", expr("cosine_similarity(embedding, q_vec)"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("qid", "vec_id", "sim", "rank")
+  }
+
+  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
+    "is", "it", "for", "on", "with", "as", "at", "by", "from", "this", "that")
+
+  /** Quality scoring: word stats, punctuation/digit/space ratios, stopword
+    * ratio, and a blended [0,1] quality score. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ",", ")")
+    docs.selectExpr(
+      "doc_id",
+      "length(text) AS n_chars",
+      "size(split(trim(text), '\\\\s+')) AS n_words",
+      "(length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / greatest(length(text), 1) AS punct_ratio",
+      "(length(text) - length(regexp_replace(text, '[0-9]', ''))) / greatest(length(text), 1) AS digit_ratio",
+      s"""size(filter(split(lower(trim(text)), '\\\\s+'), w -> array_contains($stopArr, w)))
+         / greatest(size(split(trim(text), '\\\\s+')), 1) AS stopword_ratio""")
+      .withColumn("quality",
+        greatest(lit(0.0), least(lit(1.0),
+          lit(0.5)
+            + col("stopword_ratio") * 1.5
+            - col("digit_ratio") * 2.0
+            - greatest(col("punct_ratio") - lit(0.1), lit(0.0)) * 3.0
+            + when(col("n_words") >= 20 && col("n_words") <= 5000, 0.2).otherwise(-0.2))))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish subword estimate
+    * (words + punctuation marks + ceil(chars/4) blend). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      "size(split(trim(text), '\\\\s+')) AS ws_tokens",
+      "size(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)) AS regex_tokens",
+      "cast(ceil(length(text) / 4.0) AS bigint) AS byte_tokens")
+
+  /** Document fingerprints (rolling hash over normalized text). */
+  def fingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
+    OpsFunctions.register(spark)
+    docs.selectExpr("doc_id", "doc_fingerprint(text) AS fingerprint")
+  }
+
+  /** Language ID: character-trigram profiles built from a labeled sample of
+    * the corpus itself, then classification by profile overlap. Returns
+    * (doc_id, lang, predicted, score). */
+  def langId(spark: SparkSession, docs: DataFrame,
+             profileSize: Int = 200): DataFrame = {
+    OpsFunctions.register(spark)
+    import spark.implicits._
+
+    val grams = docs.select(col("doc_id"), col("lang"),
+      expr("char_ngrams(text, 3, 500)").as("ngram"))
+
+    // Per-language top-N trigram profile, weighted by inverse rank.
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("ngram"))
+    val profiles = grams.groupBy("lang", "ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= profileSize)
+      .select(col("lang").as("p_lang"), col("ngram"),
+        (lit(profileSize + 1) - col("rk")).as("weight"))
+
+    // Score each document against every profile; argmax wins.
+    val docGrams = grams.groupBy("doc_id", "lang", "ngram")
+      .agg(count(lit(1)).as("tf"))
+    val scored = docGrams.join(broadcast(profiles), "ngram")
+      .groupBy("doc_id", "lang", "p_lang")
+      .agg(sum(col("weight") * col("tf")).as("score"))
+    val best = Window.partitionBy("doc_id").orderBy(col("score").desc, col("p_lang"))
+    scored.withColumn("rk", row_number().over(best))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"), col("score"))
+  }
+}

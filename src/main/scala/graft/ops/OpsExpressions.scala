@@ -1,0 +1,199 @@
+package graft.ops
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Catalyst kernels for the pipeline operators (dedup / similarity / text). */
+object OpsKernel {
+  def minHash(text: UTF8String, k: Int, numHashes: Int): ArrayData =
+    new GenericArrayData(TextKernel.minHash(text.toString, k, numHashes))
+
+  def bandHashes(text: UTF8String, k: Int, numHashes: Int, bands: Int): ArrayData = {
+    val sig = TextKernel.minHash(text.toString, k, numHashes)
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) { out(b) = TextKernel.bandHash(sig, b, rows); b += 1 }
+    new GenericArrayData(out)
+  }
+
+  def simHash(text: UTF8String): Long = TextKernel.simHash(text.toString)
+
+  def fingerprint(text: UTF8String): Long = TextKernel.fingerprint(text.toString)
+
+  def jaccard(a: UTF8String, b: UTF8String, k: Int): Double =
+    TextKernel.jaccard(a.toString, b.toString, k)
+
+  def charNgrams(text: UTF8String, n: Int, max: Int): Array[String] =
+    TextKernel.charNgrams(text.toString, n, max)
+
+  /** Cosine similarity of two float vectors. */
+  def cosineF(a: ArrayData, b: ArrayData): Double = {
+    val n = Math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getFloat(i).toDouble
+      val y = b.getFloat(i).toDouble
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / Math.sqrt(na * nb)
+  }
+
+  /** Deterministic hyperplane LSH signature (`bits` sign bits) of a float
+    * vector; plane components are pseudo-random from (seed, bit, dim). */
+  def hyperplaneSig(v: ArrayData, bits: Int, seed: Long): Long = {
+    val n = v.numElements()
+    var sig = 0L
+    var b = 0
+    while (b < bits) {
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        val h = TextKernel.mix64(seed ^ (b.toLong << 32) ^ i.toLong)
+        // Map to [-1, 1).
+        val plane = (h >> 11).toDouble / (1L << 52).toDouble
+        dot += v.getFloat(i) * plane
+        i += 1
+      }
+      if (dot >= 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+case class MinHashExpr(text: Expression, shingle: Expression, numHashes: Expression)
+    extends TernaryExpression {
+  override def first: Expression = text
+  override def second: Expression = shingle
+  override def third: Expression = numHashes
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash"
+  override protected def nullSafeEval(t: Any, k: Any, n: Any): Any =
+    OpsKernel.minHash(t.asInstanceOf[UTF8String], k.asInstanceOf[Int], n.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, n) => s"graft.ops.OpsKernel.minHash($t, $k, $n)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(text = f, shingle = s, numHashes = t)
+}
+
+case class BandHashesExpr(text: Expression, shingle: Expression,
+                          numHashes: Expression, bands: Expression)
+    extends QuaternaryExpression {
+  override def first: Expression = text
+  override def second: Expression = shingle
+  override def third: Expression = numHashes
+  override def fourth: Expression = bands
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_hashes"
+  override protected def nullSafeEval(t: Any, k: Any, n: Any, b: Any): Any =
+    OpsKernel.bandHashes(t.asInstanceOf[UTF8String], k.asInstanceOf[Int],
+      n.asInstanceOf[Int], b.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k, n, b) => s"graft.ops.OpsKernel.bandHashes($t, $k, $n, $b)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(text = f, shingle = s, numHashes = t, bands = q)
+}
+
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+  override def nullSafeEval(t: Any): Any = OpsKernel.simHash(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ops.OpsKernel.simHash($t)")
+  override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+}
+
+case class FingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "doc_fingerprint"
+  override def nullSafeEval(t: Any): Any = OpsKernel.fingerprint(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ops.OpsKernel.fingerprint($t)")
+  override protected def withNewChildInternal(nc: Expression): Expression = copy(child = nc)
+}
+
+case class JaccardExpr(a: Expression, b: Expression, shingle: Expression)
+    extends TernaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = shingle
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "ngram_jaccard"
+  override protected def nullSafeEval(x: Any, y: Any, k: Any): Any =
+    OpsKernel.jaccard(x.asInstanceOf[UTF8String], y.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, k) => s"graft.ops.OpsKernel.jaccard($x, $y, $k)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(a = f, b = s, shingle = t)
+}
+
+case class HammingDistExpr(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "hamming64"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    TextKernel.hamming(x.asInstanceOf[Long], y.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"java.lang.Long.bitCount($x ^ $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+case class CosineSimExpr(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_similarity"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    OpsKernel.cosineF(x.asInstanceOf[ArrayData], y.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.ops.OpsKernel.cosineF($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+case class HyperplaneSigExpr(v: Expression, bits: Expression, seed: Expression)
+    extends TernaryExpression {
+  override def first: Expression = v
+  override def second: Expression = bits
+  override def third: Expression = seed
+  override def dataType: DataType = LongType
+  override def prettyName: String = "hyperplane_lsh"
+  override protected def nullSafeEval(x: Any, b: Any, s: Any): Any =
+    OpsKernel.hyperplaneSig(x.asInstanceOf[ArrayData], b.asInstanceOf[Int], s.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, b, s) => s"graft.ops.OpsKernel.hyperplaneSig($x, $b, $s)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(v = f, bits = s, seed = t)
+}
+
+/** Character n-gram generator (language-ID profiles). */
+case class CharNgramsGen(text: Expression, n: Expression, max: Expression)
+    extends Generator with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(text, n, max)
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("ngram", StringType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    val nn = n.eval(input)
+    val mm = max.eval(input)
+    if (t == null || nn == null || mm == null) Iterator.empty
+    else OpsKernel.charNgrams(t.asInstanceOf[UTF8String], nn.asInstanceOf[Int],
+      mm.asInstanceOf[Int]).iterator.map(s => InternalRow(UTF8String.fromString(s)))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(text = cs(0), n = cs(1), max = cs(2))
+  override def prettyName: String = "char_ngrams"
+}

@@ -1,0 +1,35 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression}
+import org.apache.spark.sql.types._
+
+/** SQL registration for the pipeline-operator function family. */
+object OpsFunctions {
+  type Builder = Seq[Expression] => Expression
+
+  private def int(e: Expression): Expression =
+    if (e.dataType == IntegerType) e else Cast(e, IntegerType)
+  private def lng(e: Expression): Expression =
+    if (e.dataType == LongType) e else Cast(e, LongType)
+  private def str(e: Expression): Expression =
+    if (e.dataType == StringType) e else Cast(e, StringType)
+
+  val all: Seq[(String, Builder)] = Seq(
+    "minhash" -> (es => MinHashExpr(str(es(0)), int(es(1)), int(es(2)))),
+    "minhash_band_hashes" -> (es => BandHashesExpr(str(es(0)), int(es(1)), int(es(2)), int(es(3)))),
+    "simhash" -> (es => SimHashExpr(str(es(0)))),
+    "doc_fingerprint" -> (es => FingerprintExpr(str(es(0)))),
+    "ngram_jaccard" -> (es => JaccardExpr(str(es(0)), str(es(1)), int(es(2)))),
+    "hamming64" -> (es => HammingDistExpr(lng(es(0)), lng(es(1)))),
+    "cosine_similarity" -> (es => CosineSimExpr(es(0), es(1))),
+    "hyperplane_lsh" -> (es => HyperplaneSigExpr(es(0), int(es(1)), lng(es(2)))),
+    "char_ngrams" -> (es => CharNgramsGen(str(es(0)), int(es(1)), int(es(2)))))
+
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
+    all.foreach { case (name, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+  }
+}
