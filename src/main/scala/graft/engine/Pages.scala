@@ -41,10 +41,12 @@ object Pages {
   // u2 = ((doc_id * 69069 + 1) % 2147483648) / 2147483648.0
 
   /** Spark SQL / DuckDB shared expression strings for the geotag. */
+  // Two LCG rounds so small ids are well mixed (one round leaves
+  // id*mult < 2^31 unmixed); all intermediates fit in int64.
   def u1Sql(id: String): String =
-    s"((($id * 1103515245 + 12345) % 2147483648) / CAST(2147483648 AS DOUBLE))"
+    s"((((($id * 1103515245 + 12345) % 2147483648) * 1103515245 + 12345) % 2147483648) / CAST(2147483648 AS DOUBLE))"
   def u2Sql(id: String): String =
-    s"((($id * 69069 + 1) % 2147483648) / CAST(2147483648 AS DOUBLE))"
+    s"((((($id * 69069 + 12345) % 2147483648) * 69069 + 1) % 2147483648) / CAST(2147483648 AS DOUBLE))"
 
   /** City index: 2/5 of clustered docs land in cities 0-3 (hot cells). */
   def citySql(id: String): String =
@@ -91,6 +93,10 @@ object Pages {
   def pages(spark: SparkSession, sfDir: String): DataFrame = {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Inlined as a literal: a scalar subquery in a broadcast join key trips
+    // plan-reuse ("Subquery has not finished"); parquet-metadata count is
+    // free. The DuckDB oracle computes the same value with a subquery.
+    val nDocs = docs.count()
     events.createOrReplaceTempView("__events")
     docs.createOrReplaceTempView("__documents")
     spark.sql(s"""
@@ -104,7 +110,7 @@ object Pages {
              ${lngSql("e.event_id", duck = false)} AS lng
       FROM __events e
       JOIN __documents d
-        ON d.doc_id = e.event_id % (SELECT count(*) FROM __documents)
+        ON d.doc_id = e.event_id % $nDocs
     """)
   }
 

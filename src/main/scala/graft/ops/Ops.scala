@@ -102,21 +102,25 @@ object Ops {
       .select("qid", "vec_id", "sim", "rank")
   }
 
-  /** LSH-bucketed ANN: probe the query's bucket plus all buckets at hamming
-    * distance 1 (bits+1 probes), re-rank by exact cosine. Scale path: the
-    * corpus is hashed once and shuffled by bucket; no cross join. */
+  /** LSH-bucketed ANN: L independent hash tables of `bits` hyperplanes
+    * each, plus 1-bit multi-probe per table; candidates unioned across
+    * tables, then re-ranked by exact cosine. Scale path: the corpus is
+    * hashed once per table and shuffled by (table, bucket); no cross join. */
   def annLsh(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-             k: Int, bits: Int = 12, seed: Long = 42L): DataFrame = {
+             k: Int, bits: Int = 10, tables: Int = 4,
+             seed: Long = 42L): DataFrame = {
     OpsFunctions.register(spark)
+    val tableSigs = (0 until tables).map(t =>
+      expr(s"hyperplane_lsh(embedding, $bits, ${seed + 7919L * t}L)"))
     val hashed = corpus.select(col("vec_id"), col("embedding"),
-      expr(s"hyperplane_lsh(embedding, $bits, ${seed}L)").as("bucket"))
-    // Multi-probe: bucket and its 1-bit flips.
+      posexplode(array(tableSigs: _*)).as(Seq("tbl", "bucket")))
     val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("q_vec"),
-      expr(s"hyperplane_lsh(embedding, $bits, ${seed}L)").as("b0"))
+      posexplode(array(tableSigs: _*)).as(Seq("tbl", "b0")))
       .withColumn("bucket", explode(array(
         col("b0") +: (0 until bits).map(i => expr(s"b0 ^ ${1L << i}")): _*)))
     val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    probes.join(hashed, "bucket")
+    probes.join(hashed, Seq("tbl", "bucket"))
+      .select("qid", "q_vec", "vec_id", "embedding").distinct()
       .withColumn("sim", expr("cosine_similarity(embedding, q_vec)"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

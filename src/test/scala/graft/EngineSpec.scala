@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.engine.{Icelite, Knn, Pages, SpatialJoin, TileRollup}
+import graft.h3.Geo
+
+/** Engine pipelines vs brute-force reference computations (sf0.001). */
+class EngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def shape(name: String): Array[Geo.GeoPolygon] = {
+    val url = getClass.getResource(s"/h3/shapes/$name.geojson")
+    Geo.parseGeoJson(scala.io.Source.fromURL(url).mkString)
+  }
+
+  test("PIP join matches brute-force ray cast over every polygon") {
+    val pts = Pages.indexedPages(spark, sfDir).cache()
+    val polys = Seq(
+      SpatialJoin.Poly(1, shape("Paris")(0)),
+      SpatialJoin.Poly(2, shape("SanFranciscoHole")(0)),
+      SpatialJoin.Poly(3, shape("Rabi")(0)))
+
+    val joined = SpatialJoin.pipJoin(spark, pts, polys, res = 9)
+      .select("poly_id", "page_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // Brute force: every point against every polygon.
+    val raw = pts.select("page_id", "lat", "lng").collect()
+    val brute = (for {
+      row <- raw
+      p <- polys
+      if p.geo.containsCentroid(Math.toRadians(row.getDouble(1)),
+        Math.toRadians(row.getDouble(2)))
+    } yield (p.id, row.getLong(0))).toSet
+
+    assert(joined == brute)
+  }
+
+  test("kNN join matches brute-force haversine top-k") {
+    val pages = Pages.pages(spark, sfDir).cache()
+    val points = pages.select(col("page_id").as("id"), col("lat"), col("lng"))
+    val queries = pages.filter(col("page_id") % 101 === 0)
+      .select(col("page_id").as("qid"), col("lat"), col("lng"))
+    val k = 4
+
+    val engine = Knn.knnJoin(spark, points, queries, k = k, res = 7)
+      .select("qid", "id", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+
+    val raw = pages.select("page_id", "lat", "lng").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val qs = raw.filter(_._1 % 101 == 0)
+    val brute = qs.flatMap { case (qid, qlat, qlng) =>
+      raw.map { case (id, lat, lng) =>
+        (id, graft.h3.H3.greatCircleDistanceM(qlat, qlng, lat, lng))
+      }.sortBy { case (id, d) => (d, id) }.take(k).zipWithIndex.map {
+        case ((id, _), i) => (qid, id, i + 1)
+      }
+    }.toSet
+
+    assert(engine == brute)
+  }
+
+  test("tile rollup pyramid conserves counts and sums across levels") {
+    val pts = Pages.indexedPages(spark, sfDir)
+      .withColumn("n_chars", length(col("text")))
+    val levels = TileRollup.pyramid(spark, pts, "cell9", 9,
+      Seq(7, 5, 3), Seq("n_chars"))
+    val total = pts.count()
+    val totalChars = pts.agg(sum("n_chars")).collect()(0).getLong(0)
+    for ((res, df) <- levels) {
+      val agg = df.agg(sum("cnt"), sum("n_chars")).collect()(0)
+      assert(agg.getLong(0) == total, s"res $res count")
+      assert(agg.getLong(1) == totalChars, s"res $res sum")
+      // Cells are valid and at the right resolution.
+      val badRes = df.filter(expr(s"h3_get_resolution(cell) != $res")).count()
+      assert(badRes == 0)
+    }
+  }
+
+  test("byte-identical text per url through the spatial pipeline") {
+    val pts = Pages.indexedPages(spark, sfDir)
+    val before = pts.select("url", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val polys = Seq(SpatialJoin.Poly(1, shape("Paris")(0)))
+    val after = SpatialJoin.pipJoin(spark, pts, polys, res = 9)
+      .select("url", "text").collect()
+    assert(after.nonEmpty)
+    after.foreach { r =>
+      assert(before(r.getString(0)) == r.getString(1), r.getString(0))
+    }
+  }
+
+  test("icelite: resumable write recomputes only missing partitions") {
+    val root = java.nio.file.Files.createTempDirectory("icelite").toString
+    val df = Pages.indexedPages(spark, sfDir)
+      .withColumn("bucket", pmod(col("page_id"), lit(7)))
+
+    // First run dies after 3 buckets.
+    intercept[RuntimeException] {
+      Icelite.writeResumable(spark, df, root, "bucket", failAfter = 3)
+    }
+    assert(Icelite.completedPartitions(root).size == 3)
+
+    // Resume: only the remaining 4 buckets are computed.
+    val computed = Icelite.writeResumable(spark, df, root, "bucket")
+    assert(computed == 4)
+    assert(Icelite.completedPartitions(root).size == 7)
+
+    // Output identical to a clean one-shot write.
+    val resumed = Icelite.read(spark, root).select("page_id").collect()
+      .map(_.getLong(0)).sorted
+    val direct = df.select("page_id").collect().map(_.getLong(0)).sorted
+    assert(resumed.toSeq == direct.toSeq)
+
+    // Second resume is a no-op (no recomputation).
+    assert(Icelite.writeResumable(spark, df, root, "bucket") == 0)
+  }
+
+  test("pages table is deterministic across partitionings") {
+    val a = Pages.pages(spark, sfDir).select("page_id", "lat", "lng")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    val b = Pages.pages(spark, sfDir).repartition(13)
+      .select("page_id", "lat", "lng")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
+    assert(a.toSeq == b.toSeq)
+  }
+}

@@ -1,0 +1,136 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Multimodal, Ops, TextKernel}
+
+/** Pipeline operators: dedup, similarity, text analysis, multimodal stub. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup groups match GROUP BY text") {
+    val groups = Ops.dedupExact(docs).collect()
+    val expected = docs.groupBy("text")
+      .agg(min("doc_id"), count(lit(1))).count()
+    assert(groups.length == expected)
+    assert(groups.map(_.getLong(2)).sum == docs.count())
+  }
+
+  test("minhash LSH finds all high-jaccard pairs (vs brute force)") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val threshold = 0.5
+    val brute = (for {
+      (ida, ta) <- texts
+      (idb, tb) <- texts
+      if ida < idb
+      j = TextKernel.jaccard(ta, tb, 3)
+      if j >= threshold
+    } yield (ida, idb)).toSet
+
+    val lsh = Ops.dedupMinHash(spark, docs, threshold = threshold)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // LSH is a candidate filter + exact verify: no false positives, and at
+    // this banding (16 bands x 4 rows) recall at j>=0.5 should be complete
+    // on this corpus.
+    assert(lsh.subsetOf(brute ++ brute)) // no false positives
+    val recall = if (brute.isEmpty) 1.0 else lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.9, s"recall $recall, brute=${brute.size}, lsh=${lsh.size}")
+  }
+
+  test("simhash: identical texts collide, perturbed texts stay close") {
+    val a = "the quick brown fox jumps over the lazy dog again and again"
+    val b = "the quick brown fox jumps over the lazy cat again and again"
+    val c = "completely different content about spark query engines here"
+    assert(TextKernel.simHash(a) == TextKernel.simHash(a))
+    assert(TextKernel.hamming(TextKernel.simHash(a), TextKernel.simHash(b)) <=
+      TextKernel.hamming(TextKernel.simHash(a), TextKernel.simHash(c)))
+  }
+
+  test("ann brute force matches local computation") {
+    val vecs = embeddings.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val queries = vecs.filter(_._1 % 25 == 0)
+    def cosine(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val expected = queries.flatMap { case (qid, qv) =>
+      vecs.map { case (id, v) => (id, cosine(v, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(5).zipWithIndex
+        .map { case ((id, _), i) => (qid, id, i + 1) }
+    }.toSet
+    val got = Ops.annBruteForce(spark,
+      embeddings, embeddings.filter(col("vec_id") % 25 === 0), k = 5)
+      .select("qid", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == expected)
+  }
+
+  test("ann LSH achieves reasonable recall vs brute force") {
+    val queries = embeddings.filter(col("vec_id") % 25 === 0)
+    val brute = Ops.annBruteForce(spark, embeddings, queries, k = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ops.annLsh(spark, embeddings, queries, k = 5, bits = 8, tables = 6)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = lsh.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall $recall")
+  }
+
+  test("language ID recovers the majority of labels") {
+    val out = Ops.langId(spark, docs).collect()
+    assert(out.length == docs.count())
+    val acc = out.count(r => r.getString(1) == r.getString(2)).toDouble / out.length
+    // The synthetic corpus shares vocabulary across langs; just require
+    // clearly-better-than-random (12 languages).
+    assert(acc > 0.2, s"accuracy $acc")
+  }
+
+  test("quality scores and token counts are sane") {
+    val q = Ops.qualityScore(docs).collect()
+    q.foreach { r =>
+      val quality = r.getDouble(r.fieldIndex("quality"))
+      assert(quality >= 0.0 && quality <= 1.0)
+    }
+    val t = Ops.tokenCounts(docs).collect()
+    t.foreach { r =>
+      assert(r.getInt(r.fieldIndex("ws_tokens")) > 0)
+      assert(r.getInt(r.fieldIndex("regex_tokens")) >= r.getInt(r.fieldIndex("ws_tokens")) - 1)
+    }
+  }
+
+  test("fingerprints are whitespace-normalization invariant") {
+    assert(TextKernel.fingerprint("Hello  World") ==
+      TextKernel.fingerprint("hello world"))
+    assert(TextKernel.fingerprint("hello world") !=
+      TextKernel.fingerprint("hello earth"))
+    val fps = Ops.fingerprints(spark, docs).collect()
+    assert(fps.length == docs.count())
+  }
+
+  test("multimodal plumbing: schema, determinism, fixed feature shape") {
+    val media = Multimodal.mediaTable(spark, sfDir)
+    val feats = Multimodal.extractFeatures(spark, media, featureDim = 32).collect()
+    assert(feats.length == docs.count())
+    feats.foreach { f =>
+      assert(f.feature.length == 32)
+      assert(f.frames >= 1)
+    }
+    // Deterministic across runs and partitionings.
+    val again = Multimodal.extractFeatures(spark,
+      Multimodal.mediaTable(spark, sfDir).repartition(7), 32)
+      .collect().map(f => f.doc_id -> f.feature.toSeq).toMap
+    feats.foreach(f => assert(again(f.doc_id) == f.feature.toSeq))
+  }
+}

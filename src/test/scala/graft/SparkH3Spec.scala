@@ -1,0 +1,95 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.h3.H3
+
+/** The H3 expression layer evaluated through Spark (codegen paths). */
+class SparkH3Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  test("fixture subset matches through Spark SQL with codegen") {
+    val url = getClass.getResource("/h3/latLngToCell.txt")
+    val rows = scala.io.Source.fromURL(url).getLines().take(20000).map { l =>
+      val p = l.trim.split("\\s+")
+      val raw = p(2).toDouble
+      (java.lang.Long.parseUnsignedLong(p(0), 16), p(1).toDouble,
+        if (raw > 180) raw - 360 else raw)
+    }.toSeq
+    val df = rows.toDF("cell", "lat", "lng")
+    df.createOrReplaceTempView("fx")
+    val bad = spark.sql(
+      """SELECT count(*) FROM fx
+         WHERE h3_latlng_to_cell(lat, lng, h3_get_resolution(cell)) != cell
+      """).collect()(0).getLong(0)
+    assert(bad == 0)
+  }
+
+  test("null semantics: invalid inputs produce nulls") {
+    val row = spark.sql("""
+      SELECT h3_latlng_to_cell(cast('NaN' as double), 0.0, 9) AS c1,
+             h3_cell_to_parent(h3_latlng_to_cell(10.0, 20.0, 5), 9) AS c2,
+             h3_grid_distance(h3_latlng_to_cell(0.0, 0.0, 9),
+                              h3_latlng_to_cell(80.0, 100.0, 9)) AS c3,
+             h3_from_string('not hex') AS c4
+    """).collect()(0)
+    assert(row.isNullAt(0), "NaN lat -> null")
+    assert(row.isNullAt(1), "finer parent -> null")
+    assert(row.isNullAt(2), "cross-world distance -> null")
+    assert(row.isNullAt(3), "bad string -> null")
+  }
+
+  test("generators: disk, children, ring via SQL") {
+    val n = spark.sql("""
+      SELECT d.dcell FROM (SELECT h3_latlng_to_cell(48.8566, 2.3522, 9) AS c)
+      LATERAL VIEW h3_grid_disk(c, 3) d AS dcell
+    """).count()
+    assert(n == 37)
+    val kids = spark.sql("""
+      SELECT k.child FROM (SELECT h3_latlng_to_cell(48.8566, 2.3522, 6) AS c)
+      LATERAL VIEW h3_cell_to_children(c, 8) k AS child
+    """).collect().map(_.getLong(0))
+    assert(kids.length == 49 && kids.distinct.length == 49)
+    kids.foreach(k => assert(H3.isValidCell(k)))
+  }
+
+  test("boundary and latlng struct columns") {
+    val row = spark.sql("""
+      SELECT h3_cell_to_boundary(h3_latlng_to_cell(48.8566, 2.3522, 9)) AS b,
+             h3_cell_to_latlng(h3_latlng_to_cell(48.8566, 2.3522, 9)) AS c
+    """).collect()(0)
+    val boundary = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(boundary.size >= 6 && boundary.size <= 10)
+    val center = row.getStruct(1)
+    assert(math.abs(center.getDouble(0) - 48.8566) < 0.01)
+    assert(math.abs(center.getDouble(1) - 2.3522) < 0.01)
+  }
+
+  test("polygon_to_cells generator matches kernel tiler") {
+    val url = getClass.getResource("/h3/shapes/Paris.geojson")
+    val geojson = scala.io.Source.fromURL(url).mkString
+    val viaSql = spark.sql(
+      s"SELECT p.cell FROM (SELECT 1) LATERAL VIEW h3_polygon_to_cells('${geojson.replace("'", "''")}', 8, 0) p AS cell")
+      .collect().map(_.getLong(0)).toSet
+    assert(viaSql.size == 164)
+  }
+
+  test("compact/uncompact array expressions") {
+    val row = spark.sql("""
+      WITH base AS (SELECT h3_latlng_to_cell(48.8566, 2.3522, 5) AS c)
+      SELECT size(h3_compact_cells(h3_uncompact_cells(array(c), 8))) AS n,
+             h3_compact_cells(h3_uncompact_cells(array(c), 8))[0] = c AS same
+      FROM base
+    """).collect()(0)
+    assert(row.getInt(0) == 1 && row.getBoolean(1))
+  }
+
+  test("explain shows whole-stage codegen around H3 expressions") {
+    val df = spark.range(1000).selectExpr(
+      "h3_cell_to_parent(h3_latlng_to_cell(id * 0.001, id * 0.002, 9), 5) AS p")
+    // WSCG stages print with a "*(n)" prefix.
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1)"), plan.take(500))
+  }
+}
