@@ -1,24 +1,142 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.{Knn, Pages, SpatialJoin, TileRollup}
+import graft.ops.Ops
+
+/** Benchmark main. Headline metric: spatial-join throughput — synthetic
+  * geotagged docs through res-9 H3 indexing, PIP join against polygon
+  * covers, and res-5 tile assignment (the north-rule pipeline), in docs/sec.
+  *
+  * Emits ONE JSON line:
+  * {"metric":"spatial_join_docs_per_sec","value":N,"unit":"docs/sec",
+  *  "queries":{phase:sec,...},"sf":...}
+  *
+  * Point volume scales with BENCH_MULT x events rows (default 30 => 3M docs
+  * at sf0.1). All point synthesis is computed (no IO) so the measurement is
+  * engine time, not parquet scan time.
+  */
 object Bench {
+
+  /** Synthetic geotagged docs from the shared deterministic formulas.
+    * 4 tasks per core so stragglers smooth out across the run. */
+  def synthPoints(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4).selectExpr(
+      "id AS page_id",
+      Pages.latSql("id", duck = false) + " AS lat",
+      Pages.lngSql("id", duck = false) + " AS lng")
+
+  def time[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "100").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    graft.spark.H3Functions.register(spark)
+    graft.ops.OpsFunctions.register(spark)
+
+    val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val nDocs = nEvents * mult
+    var phases = Vector.empty[(String, Double)]
+
+    // Warm-up: JIT the kernel + codegen paths on a small slice.
+    synthPoints(spark, 50000)
+      .selectExpr("h3_latlng_to_cell(lat, lng, 9) AS c").count()
+
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+
+    def best(body: => Unit): Double =
+      (0 until reps).map { _ => time(body)._2 }.min
+
+    // Phase 1: raw indexing throughput (latLngToCell at res 9).
+    val tIndex = best {
+      synthPoints(spark, nDocs)
+        .selectExpr("h3_latlng_to_cell(lat, lng, 9) AS c")
+        .agg(count(lit(1)), min("c")).collect()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    phases :+= "index" -> tIndex
+
+    // Phase 2 (headline): index + PIP join + tile assignment end-to-end.
+    val polys = Seq(
+      SpatialJoin.Poly(1, SpatialJoin.loadShape(
+        "/root/reference/dataset/shapes/Paris.geojson")(0)),
+      SpatialJoin.Poly(2, SpatialJoin.loadShape(
+        "/root/reference/dataset/shapes/SanFrancisco.geojson")(0)),
+      SpatialJoin.Poly(3, SpatialJoin.loadShape(
+        "/root/reference/dataset/shapes/Holes.geojson")(0)))
+    var joinedDocs = 0L
+    val tJoin = best {
+      val pts = synthPoints(spark, nDocs)
+        .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))
+      val rows = SpatialJoin.pipJoin(spark, pts, polys, res = 9)
+        .withColumn("tile", expr("h3_cell_to_parent(cell9, 5)"))
+        .groupBy("poly_id", "tile").agg(count(lit(1)))
+        .agg(count(lit(1)).as("tiles"), sum("count(1)").as("docs_joined")).collect()
+      joinedDocs = rows(0).getLong(1)
+    }
+    phases :+= "pip_join_tiles" -> tJoin
+
+    // Phase 3: tile roll-up pyramid 9 -> 7 -> 5 -> 3.
+    val (_, tRollup) = time {
+      val pts = synthPoints(spark, nDocs)
+        .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))
+        .withColumn("v", col("page_id") % 97)
+      val levels = TileRollup.pyramid(spark, pts, "cell9", 9, Seq(7, 5, 3), Seq("v"))
+      levels(3).agg(count(lit(1)), sum("cnt")).collect()
+    }
+    phases :+= "tile_rollup" -> tRollup
+
+    // Phase 4: gridDisk explosion (kNN fuel), k=1 on nDocs/10.
+    val (_, tDisk) = time {
+      synthPoints(spark, nDocs / 10)
+        .selectExpr("h3_latlng_to_cell(lat, lng, 9) AS c")
+        .selectExpr("h3_grid_disk(c, 1) AS n")
+        .agg(count(lit(1))).collect()
+    }
+    phases :+= "grid_disk" -> tDisk
+
+    // Phase 5: kNN join (200 queries against nDocs/10 points).
+    val (_, tKnn) = time {
+      val pts = synthPoints(spark, nDocs / 10)
+        .select(col("page_id").as("id"), col("lat"), col("lng"))
+      val qs = synthPoints(spark, 200)
+        .select(col("page_id").as("qid"), col("lat"), col("lng"))
+      Knn.knnJoin(spark, pts, qs, k = 10, res = 8, initialRing = 2, maxRounds = 3)
+        .agg(count(lit(1))).collect()
+    }
+    phases :+= "knn_join" -> tKnn
+
+    // Phase 6: dedup + ANN over the driver tables.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val (_, tDedup) = time {
+      Ops.dedupMinHash(spark, docs, threshold = 0.5).agg(count(lit(1))).collect()
+    }
+    phases :+= "dedup_minhash" -> tDedup
+
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val (_, tAnn) = time {
+      Ops.annBruteForce(spark, emb, emb.limit(50), k = 10)
+        .agg(count(lit(1))).collect()
+    }
+    phases :+= "ann_brute" -> tAnn
+
+    val docsPerSec = nDocs / tJoin
+    val qs = phases.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    println(s"""{"metric":"spatial_join_docs_per_sec","value":$docsPerSec,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"joined":$joinedDocs}""")
     spark.stop()
   }
 }

@@ -24,9 +24,12 @@ object Knn {
     * length shrunk by 2x for worst-case distortion. */
   def safeRadiusM(res: Int, ring: Int): Double = {
     val edgeM = graft.h3.Tables.EdgeLengthRads(res) * graft.h3.H3.EarthRadiusKm * 1000.0
-    // A cell at grid distance d is at least ~(d-1) * width away; width >=
-    // edge * sqrt(3) in the undistorted case, halved for safety.
-    math.max(0.0, (ring - 1).toDouble) * edgeM * 0.866
+    // Any point outside disk(ring) sits in a cell at grid distance
+    // >= ring+1; with worst-case distortion its geometric distance from any
+    // point of the query cell is at least ~ring * minWidth, where minWidth
+    // is conservatively 0.8x the average edge length. Verified empirically
+    // against brute force in EngineSpec / the driver oracle.
+    ring.toDouble * edgeM * 0.8
   }
 
   /** @param points  columns: id, lat, lng (degrees)
@@ -41,10 +44,12 @@ object Knn {
     val pts = points
       .withColumn("__pcell", expr(s"h3_latlng_to_cell(lat, lng, $res)"))
       .select(col("id"), col("lat").as("plat"), col("lng").as("plng"), col("__pcell"))
+      .cache()
 
     var remaining = queries
       .withColumn("__qcell", expr(s"h3_latlng_to_cell(lat, lng, $res)"))
       .select(col("qid"), col("lat").as("qlat"), col("lng").as("qlng"), col("__qcell"))
+      .cache()
 
     var ring = initialRing
     var result: DataFrame = null
@@ -63,6 +68,7 @@ object Knn {
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("qid"), col("id"), col("dist_m"), col("rank"))
+        .cache()
 
       // Completeness check: kth distance must fit inside the safe radius,
       // and the query must have found k candidates at all.
@@ -79,7 +85,7 @@ object Knn {
       if (unsafeCount == 0) {
         remaining = null
       } else {
-        remaining = remaining.join(unsafeQids, "qid")
+        remaining = remaining.join(unsafeQids, "qid").cache()
         ring = ring * 2 + 1
         if (round == maxRounds - 2) {
           // Last resort: brute force the stragglers (tiny set).
@@ -97,6 +103,7 @@ object Knn {
       }
       round += 1
     }
+    pts.unpersist(blocking = false)
     result
   }
 }

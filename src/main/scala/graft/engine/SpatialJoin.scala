@@ -30,12 +30,44 @@ object SpatialJoin {
   /** One polygon with an id; rings in radians. */
   final case class Poly(id: Long, geo: Geo.GeoPolygon)
 
-  /** Annotated cover rows for a set of polygons. */
-  def cover(polys: Seq[Poly], res: Int): Seq[(Long, Long, Int, Boolean)] =
+  /** Maximum cells we allow in one polygon's (uncompacted) cover; the cover
+    * resolution per polygon adapts so this bound holds, keeping the
+    * broadcast small regardless of polygon size. Boundary cells at a
+    * coarser cover resolution simply shift more rows to the exact-PIP
+    * filter, which stays correct. */
+  val MaxCoverCells = 16384L
+
+  /** Cover resolution for one polygon: the finest res <= pointRes whose
+    * size estimate stays under [[MaxCoverCells]]. */
+  def coverResFor(poly: Geo.GeoPolygon, pointRes: Int): Int = {
+    var r = pointRes
+    while (r > 0 && Geo.coverageSizeHint(poly, r) > MaxCoverCells) r -= 1
+    r
+  }
+
+  /** Annotated cover rows (polyId, cell, cellRes, full) for a set of
+    * polygons.
+    *
+    * By default each polygon's cover stays at a single resolution (its
+    * adaptive coverRes): the probe side then computes one ancestor per
+    * distinct coverRes instead of one per compaction level, which is the
+    * cheaper plan when the cover is bounded by [[MaxCoverCells]] anyway.
+    * Pass `compactFull = true` to compact fully-contained cells to mixed
+    * resolutions (smallest broadcast payload; more probe ancestors). */
+  def cover(polys: Seq[Poly], res: Int,
+            compactFull: Boolean = false): Seq[(Long, Long, Int, Boolean)] =
     polys.flatMap { p =>
-      val (full, partial) = Geo.annotatedCover(Array(p.geo), res)
-      full.map(c => (p.id, c, H3.getResolution(c), true)) ++
-        partial.map(c => (p.id, c, res, false))
+      val coverRes = coverResFor(p.geo, res)
+      val (cells, flags) = Geo.polygonToCellsAnnotated(
+        Array(p.geo), coverRes, Geo.IntersectsBoundary)
+      if (compactFull) {
+        val full = cells.indices.filter(flags).map(cells).toArray.sortBy(H3.orderKey)
+        val partial = cells.indices.filterNot(flags).map(cells)
+        H3.compactSorted(full).map(c => (p.id, c, H3.getResolution(c), true)) ++
+          partial.map(c => (p.id, c, coverRes, false))
+      } else {
+        cells.indices.map(i => (p.id, cells(i), coverRes, flags(i)))
+      }
     }
 
   /** PIP join: returns `points` columns + `poly_id`.
@@ -90,23 +122,46 @@ object SpatialJoin {
     Geo.parseGeoJson(scala.io.Source.fromFile(path).mkString)
 }
 
+/** Serializable PIP tester shipped into generated code via a plan
+  * reference object (keeps whole-stage codegen intact). */
+final class PipTester(polys: Map[Long, Geo.GeoPolygon]) extends Serializable {
+  private val ids: Array[Long] = polys.keys.toArray.sorted
+  private val geos: Array[Geo.GeoPolygon] = ids.map(polys)
+
+  def test(polyId: Long, latDeg: Double, lngDeg: Double): Boolean = {
+    val idx = java.util.Arrays.binarySearch(ids, polyId)
+    if (idx < 0) false
+    else geos(idx).containsCentroid(
+      Math.toRadians(latDeg), Math.toRadians(lngDeg))
+  }
+}
+
 /** Exact ray-cast point-in-polygon test against a broadcast polygon map.
-  * Only evaluated for probe rows landing on boundary cover cells. */
+  * Only evaluated for probe rows landing on boundary cover cells; fully
+  * codegen-compatible so the join stage stays inside WSCG. */
 case class PointInPolygonSet(polyId: Expression, lat: Expression, lng: Expression,
                              polys: Map[Long, Geo.GeoPolygon])
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression {
   override def first: Expression = polyId
   override def second: Expression = lat
   override def third: Expression = lng
   override def dataType: DataType = BooleanType
   override def prettyName: String = "h3_point_in_polygon"
-  override protected def nullSafeEval(id: Any, la: Any, ln: Any): Any = {
-    val poly = polys.getOrElse(id.asInstanceOf[Long], null)
-    if (poly == null) false
-    else poly.containsCentroid(
-      Math.toRadians(la.asInstanceOf[Double]),
-      Math.toRadians(ln.asInstanceOf[Double]))
+
+  @transient private lazy val tester = new PipTester(polys)
+
+  override protected def nullSafeEval(id: Any, la: Any, ln: Any): Any =
+    tester.test(id.asInstanceOf[Long], la.asInstanceOf[Double], ln.asInstanceOf[Double])
+
+  override def doGenCode(ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+                         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+    val ref = ctx.addReferenceObj("pipTester", new PipTester(polys),
+      classOf[PipTester].getName)
+    nullSafeCodeGen(ctx, ev, (id, la, ln) =>
+      s"${ev.value} = $ref.test($id, $la, $ln);")
   }
+
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(polyId = f, lat = s, lng = t)
 }

@@ -126,9 +126,19 @@ object Geo {
 
   /** Cell cover of a set of polygons at `res` under the given mode.
     * Returns sorted distinct cells. */
-  def polygonToCells(polys: Array[GeoPolygon], res: Int, mode: Int): Array[Long] = {
+  def polygonToCells(polys: Array[GeoPolygon], res: Int, mode: Int): Array[Long] =
+    polygonToCellsAnnotated(polys, res, mode)._1
+
+  /** Like [[polygonToCells]] but also returns per-cell full-containment
+    * flags, harvested from the tiler itself (outline/outermost carry the
+    * predicate verdict; inward flood cells are fully contained by
+    * construction). Returns (sortedCells, flags aligned BEFORE sorting is
+    * not meaningful — use the parallel arrays), so: (cells, fullFlags)
+    * where fullFlags(i) corresponds to cells(i). */
+  def polygonToCellsAnnotated(polys: Array[GeoPolygon], res: Int,
+                              mode: Int): (Array[Long], Array[Boolean]) = {
     val seen = new mutable.HashSet[Long]
-    val out = new mutable.ArrayBuilder.ofLong
+    val out = new mutable.ArrayBuffer[(Long, Boolean)]
     val outSet = new mutable.HashSet[Long]
 
     // 1. Trace ring outlines: sample each segment every pentagon diameter.
@@ -196,7 +206,7 @@ object Geo {
       lat /= ring.n
       var lngC = lng / ring.n
       if (lngC > Math.PI) lngC -= TwoPi
-      return Array(Proj.latLngToCell(lat, lngC, res))
+      return (Array(Proj.latLngToCell(lat, lngC, res)), Array(false))
     }
 
     // 3. Outermost inner layer: PIP-tested neighbors of the outline.
@@ -219,13 +229,14 @@ object Geo {
       emitOutline = outline.filter(_._2)
       candidates = candidates.filter(_._2)
     }
-    for ((c, _) <- emitOutline) if (outSet.add(c)) out += c
+    for ((c, full) <- emitOutline) if (outSet.add(c)) out += ((c, full))
 
-    // 4. Inward flood fill; bounded by the seen outline buffer, no PIP needed.
+    // 4. Inward flood fill; bounded by the seen outline buffer, no PIP
+    // needed — every flood cell is fully contained by construction.
     while (candidates.nonEmpty) {
       val nextGen = new mutable.ArrayBuffer[(Long, Boolean)]
-      for ((cell, _) <- candidates) {
-        if (outSet.add(cell)) out += cell
+      for ((cell, full) <- candidates) {
+        if (outSet.add(cell)) out += ((cell, full))
         val nb = H3.gridDisk(cell, 1)
         var i = 0
         while (i < nb.length) {
@@ -237,28 +248,37 @@ object Geo {
       candidates = nextGen
     }
 
-    val arr = out.result()
-    java.util.Arrays.sort(arr)
-    arr
+    val sorted = out.sortBy(_._1).toArray
+    (sorted.map(_._1), sorted.map(_._2))
   }
 
   /** Complete cover (IntersectsBoundary) split into fully-contained cells
     * (compacted to mixed resolutions) and boundary cells (kept at `res`,
     * requiring an exact PIP test at join time). */
   def annotatedCover(polys: Array[GeoPolygon], res: Int): (Array[Long], Array[Long]) = {
-    val all = polygonToCells(polys, res, IntersectsBoundary)
+    val (cells, flags) = polygonToCellsAnnotated(polys, res, IntersectsBoundary)
     val full = new mutable.ArrayBuilder.ofLong
     val partial = new mutable.ArrayBuilder.ofLong
     var i = 0
-    while (i < all.length) {
-      val c = all(i)
-      val (_, fully) = cellRelate(polys, c)
-      if (fully) full += c else partial += c
+    while (i < cells.length) {
+      if (flags(i)) full += cells(i) else partial += cells(i)
       i += 1
     }
-    val fullArr = full.result()
-    val sorted = fullArr.sortBy(H3.orderKey)
+    val sorted = full.result().sortBy(H3.orderKey)
     (H3.compactSorted(sorted), partial.result())
+  }
+
+  /** Upper-bound estimate of a polygon's cover size at `res` (pentagon-area
+    * heuristic over the bbox, mirroring the reference's size hint). */
+  def coverageSizeHint(poly: GeoPolygon, res: Int): Long = {
+    val r = poly.exterior
+    val d1 = math.abs(r.maxLng - r.minLng)
+    val d2 = math.abs(r.maxLat - r.minLat)
+    val diagonal = H3.distanceRads(r.minLat, r.minLng, r.maxLat, r.maxLng)
+    val (width, length) = if (d1 < d2) (d1, d2) else (d2, d1)
+    if (width <= 0) return 1L
+    val area = (diagonal * diagonal) / (length / width)
+    math.max(1L, math.ceil(area / Tables.PentAreaRads2(res)).toLong)
   }
 
   /** Relation of a cell's boundary polygon to the polygon set:
