@@ -504,17 +504,23 @@ object Proj {
   private val VertsCIII: Array[Int] = Array(5,4,0, 1,5,0, 0,5,4, 0,1,5, 4,0,5, 5,0,1)
 
   /** Cell boundary as [lat0,lng0,lat1,lng1,...] radians (<= 10 vertices). */
-  def cellBoundary(cell: Long): Array[Double] = {
+  def cellBoundary(cell: Long): Array[Double] = cellBoundary(cell, 0, -1)
+
+  /** Boundary starting at topological vertex `start`, `length` vertexes
+    * (-1 = full loop). Used for edge boundaries (length 2) and single
+    * vertexes (length 1). */
+  def cellBoundary(cell: Long, start: Int, length: Int): Array[Double] = {
     val ijk = new IJK(0, 0, 0)
     val face = cellToFaceIjk(cell, ijk)
     val res = getResolution(cell)
-    if (H3.isPentagon(cell)) pentagonBoundary(face, ijk, res)
-    else hexagonBoundary(face, ijk, res)
+    if (H3.isPentagon(cell))
+      pentagonBoundary(face, ijk, res, start, if (length < 0) 5 else length)
+    else hexagonBoundary(face, ijk, res, start, if (length < 0) 6 else length)
   }
 
   /** Computes substrate vertices for the cell; returns adjusted resolution.
     * `vertFaces`/`vertI/J/K` must have length >= nVerts. */
-  private def cellVertices(center: IJK, face: Int, res: Int, nVerts: Int,
+  private[h3] def cellVertices(center: IJK, face: Int, res: Int, nVerts: Int,
                            vertFace: Array[Int], vi: Array[Int],
                            vj: Array[Int], vk: Array[Int]): Int = {
     // Adjust center to an aperture 33r substrate grid.
@@ -541,7 +547,8 @@ object Proj {
     adjRes
   }
 
-  def hexagonBoundary(faceIn: Int, center: IJK, res: Int): Array[Double] = {
+  def hexagonBoundary(faceIn: Int, center: IJK, res: Int,
+                      start: Int = 0, length: Int = 6): Array[Double] = {
     val vertFace = new Array[Int](6)
     val vi = new Array[Int](6)
     val vj = new Array[Int](6)
@@ -554,10 +561,12 @@ object Proj {
     val out = new Array[Double](2)
     val scratch = new IJK(0, 0, 0)
 
+    // One extra iteration for the full loop (last-edge distortion vertex).
+    val stop = start + length + (if (length == 6) 1 else 0)
     var lastFace = -1
     var lastOverage = -1 // -1 none, -2 face edge, >=0 new face
-    var vert = 0
-    while (vert < 7) { // 6 verts + 1 extra for last-edge distortion check
+    var vert = start
+    while (vert < stop) {
       val v = vert % 6
       scratch.set(vi(v), vj(v), vk(v))
       var fface = vertFace(v)
@@ -566,7 +575,7 @@ object Proj {
       if (overage >= 0) fface = overage
       val finalFace = fface
 
-      if (isClass3(res) && vert > 0 && finalFace != lastFace && lastOverage != -2) {
+      if (isClass3(res) && vert > start && finalFace != lastFace && lastOverage != -2) {
         // The cell edge crosses an icosahedron edge: add the intersection
         // vertex, projected through the *center* face.
         val lastV = (v + 5) % 6
@@ -613,7 +622,7 @@ object Proj {
         }
       }
 
-      if (vert < 6) {
+      if (vert < start + length) {
         val di = (scratch.i - scratch.k).toDouble
         val dj = (scratch.j - scratch.k).toDouble
         vec2dToLatLng(Math.fma(0.5, -dj, di), dj * Sqrt32, finalFace, adjRes,
@@ -628,7 +637,8 @@ object Proj {
     java.util.Arrays.copyOf(buf, 2 * n)
   }
 
-  def pentagonBoundary(faceIn: Int, center: IJK, res: Int): Array[Double] = {
+  def pentagonBoundary(faceIn: Int, center: IJK, res: Int,
+                       start: Int = 0, length: Int = 5): Array[Double] = {
     val vertFace = new Array[Int](5)
     val vi = new Array[Int](5)
     val vj = new Array[Int](5)
@@ -640,10 +650,11 @@ object Proj {
     val out = new Array[Double](2)
     val scratch = new IJK(0, 0, 0)
 
+    val stop = start + length + (if (length == 5) 1 else 0)
     var lastFace = -1
     var lastI = 0; var lastJ = 0; var lastK = 0
-    var vert = 0
-    while (vert < 6) { // 5 verts + 1 extra iteration
+    var vert = start
+    while (vert < stop) {
       val v = vert % 5
       scratch.set(vi(v), vj(v), vk(v))
       var fface = vertFace(v)
@@ -654,7 +665,7 @@ object Proj {
         ov = adjustOverageClass2(scratch, fface, adjRes, false, substrate = true)
       }
 
-      if (isClass3(res) && vert > 0) {
+      if (isClass3(res) && vert > start) {
         // All Class III pentagon edges cross icosahedron edges.
         val o0x = {
           val di = (lastI - lastK).toDouble
@@ -704,7 +715,7 @@ object Proj {
         buf(2 * n) = out(0); buf(2 * n + 1) = out(1); n += 1
       }
 
-      if (vert < 5) {
+      if (vert < start + length) {
         val di = (scratch.i - scratch.k).toDouble
         val dj = (scratch.j - scratch.k).toDouble
         vec2dToLatLng(Math.fma(0.5, -dj, di), dj * Sqrt32, fface, adjRes,

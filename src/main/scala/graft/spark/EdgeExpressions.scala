@@ -1,0 +1,305 @@
+package graft.spark
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+import graft.h3.{Edges, H3, Tables}
+
+/** Uniform static kernel facade for the edge/vertex/misc function family;
+  * every method is callable from generated code. Sentinel convention:
+  * 0 = null for Long-typed results, NaN = null for doubles. */
+object EdgeKernel {
+  // Long -> Long
+  def edgeOrigin(e: Long): Long = Edges.edgeOrigin(e)
+  def edgeDestination(e: Long): Long = Edges.edgeDestination(e)
+  def edgeReverse(e: Long): Long = Edges.edgeReverse(e)
+  def vertexOwner(v: Long): Long = Edges.vertexOwner(v)
+
+  // (Long, Long) -> Long
+  def cellsToEdge(a: Long, b: Long): Long = Edges.cellsToDirectedEdge(a, b)
+
+  // (Long, Int) -> Long
+  def cellToVertex(c: Long, v: Int): Long = Edges.cellToVertex(c, v)
+
+  // Long -> Boolean
+  def isValidEdge(e: Long): Boolean = Edges.isValidDirectedEdge(e)
+  def isValidVertex(v: Long): Boolean = Edges.isValidVertex(v)
+  def isValidIndex(v: Long): Boolean = Edges.isValidIndex(v)
+
+  // Long -> Double
+  def edgeLengthRads(e: Long): Double = Edges.edgeLengthRads(e)
+  def edgeLengthKm(e: Long): Double = Edges.edgeLengthKm(e)
+  def edgeLengthM(e: Long): Double = Edges.edgeLengthM(e)
+  def cellAreaM2(c: Long): Double = H3.cellAreaM2(c)
+
+  // (Long, Int) -> Int (direction digit at res; -1 sentinel)
+  def indexDigit(c: Long, res: Int): Int = {
+    if (res < 1 || res > H3.getResolution(c)) -1
+    else H3.getDirection(c, res)
+  }
+
+  // Int (res) -> Long / Double table lookups.
+  def numCells(res: Int): Long =
+    if (res < 0 || res > 15) 0L else Tables.CellCount(res)
+  def hexAreaAvgKm2(res: Int): Double =
+    if (res < 0 || res > 15) Double.NaN
+    else Tables.AreaRads2(res) * H3.EarthRadiusKm * H3.EarthRadiusKm
+  def edgeLengthAvgKm(res: Int): Double =
+    if (res < 0 || res > 15) Double.NaN
+    else Tables.EdgeLengthRads(res) * H3.EarthRadiusKm
+  def isResClass3(res: Int): Boolean = (res & 1) == 1
+  def maxGridDiskSize(k: Int): Long = H3.maxGridDiskSize(k)
+
+  def icosahedronFacesArr(c: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val mask = Edges.icosahedronFaces(c)
+    val out = new scala.collection.mutable.ArrayBuilder.ofInt
+    var f = 0
+    while (f < 20) { if ((mask & (1 << f)) != 0) out += f; f += 1 }
+    new GenericArrayData(out.result().map(_.asInstanceOf[Any]))
+  }
+
+  def maxFaceCount(c: Long): Int = Edges.maxFaceCount(c)
+
+  def vertexLatLngRow(v: Long): InternalRow = {
+    val ll = Edges.vertexToLatLng(v)
+    InternalRow(ll(0), ll(1))
+  }
+
+  def edgeBoundaryArray(e: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val b = Edges.directedEdgeToBoundary(e)
+    val rows = new Array[Any](b.length / 2)
+    var i = 0
+    while (i < rows.length) { rows(i) = InternalRow(b(2 * i), b(2 * i + 1)); i += 1 }
+    new GenericArrayData(rows)
+  }
+}
+
+/** Generic unary Long-input kernel call (compact registration). */
+case class H3EdgeCall1(fn: String, child: Expression, dataType: DataType,
+                       sentinelNull: Boolean) extends UnaryExpression {
+  override def nullable: Boolean = sentinelNull || child.nullable
+  override def prettyName: String = fn
+
+  override def nullSafeEval(c: Any): Any = {
+    val v = c.asInstanceOf[Long]
+    val r: Any = fn match {
+      case "edgeOrigin" => EdgeKernel.edgeOrigin(v)
+      case "edgeDestination" => EdgeKernel.edgeDestination(v)
+      case "edgeReverse" => EdgeKernel.edgeReverse(v)
+      case "vertexOwner" => EdgeKernel.vertexOwner(v)
+      case "isValidEdge" => EdgeKernel.isValidEdge(v)
+      case "isValidVertex" => EdgeKernel.isValidVertex(v)
+      case "isValidIndex" => EdgeKernel.isValidIndex(v)
+      case "edgeLengthRads" => EdgeKernel.edgeLengthRads(v)
+      case "edgeLengthKm" => EdgeKernel.edgeLengthKm(v)
+      case "edgeLengthM" => EdgeKernel.edgeLengthM(v)
+      case "cellAreaM2" => EdgeKernel.cellAreaM2(v)
+      case "vertexLatLngRow" => EdgeKernel.vertexLatLngRow(v)
+      case "edgeBoundaryArray" => EdgeKernel.edgeBoundaryArray(v)
+      case "icosahedronFacesArr" => EdgeKernel.icosahedronFacesArr(v)
+      case "maxFaceCount" => EdgeKernel.maxFaceCount(v)
+    }
+    if (sentinelNull && r == 0L) null else r
+  }
+
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      if (sentinelNull)
+        s"""${ev.value} = graft.spark.EdgeKernel.$fn($c);
+            if (${ev.value} == 0L) { ${ev.isNull} = true; }"""
+      else s"${ev.value} = graft.spark.EdgeKernel.$fn($c);")
+
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** Generic unary Int-input kernel call (per-resolution tables). */
+case class H3ResCall(fn: String, child: Expression, dataType: DataType)
+    extends UnaryExpression {
+  override def prettyName: String = fn
+  override def nullSafeEval(c: Any): Any = {
+    val v = c.asInstanceOf[Int]
+    fn match {
+      case "numCells" => EdgeKernel.numCells(v)
+      case "hexAreaAvgKm2" => EdgeKernel.hexAreaAvgKm2(v)
+      case "edgeLengthAvgKm" => EdgeKernel.edgeLengthAvgKm(v)
+      case "isResClass3" => EdgeKernel.isResClass3(v)
+      case "maxGridDiskSize" => EdgeKernel.maxGridDiskSize(v)
+    }
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.EdgeKernel.$fn($c)")
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+case class CellsToEdge(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_cells_to_directed_edge"
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val r = EdgeKernel.cellsToEdge(x.asInstanceOf[Long], y.asInstanceOf[Long])
+    if (r == 0L) null else r
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      ${ev.value} = graft.spark.EdgeKernel.cellsToEdge($x, $y);
+      if (${ev.value} == 0L) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+case class CellToVertexExpr(cell: Expression, v: Expression) extends BinaryExpression {
+  override def left: Expression = cell
+  override def right: Expression = v
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_cell_to_vertex"
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val r = EdgeKernel.cellToVertex(x.asInstanceOf[Long], y.asInstanceOf[Int])
+    if (r == 0L) null else r
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      ${ev.value} = graft.spark.EdgeKernel.cellToVertex($x, $y);
+      if (${ev.value} == 0L) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(cell = l, v = r)
+}
+
+case class CellToLocalIjExpr(anchor: Expression, cell: Expression)
+    extends BinaryExpression {
+  override def left: Expression = anchor
+  override def right: Expression = cell
+  override def dataType: DataType =
+    StructType(Seq(StructField("i", IntegerType, false), StructField("j", IntegerType, false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_cell_to_local_ij"
+  override protected def nullSafeEval(o: Any, c: Any): Any = {
+    val packed = Edges.cellToLocalIj(o.asInstanceOf[Long], c.asInstanceOf[Long])
+    if (packed == Long.MinValue) null
+    else InternalRow((packed >> 32).toInt, packed.toInt)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (o, c) => s"""
+      long packed = graft.h3.Edges.cellToLocalIj($o, $c);
+      if (packed == Long.MIN_VALUE) { ${ev.isNull} = true; }
+      else {
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] { (int)(packed >> 32), (int)packed });
+      }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(anchor = l, cell = r)
+}
+
+case class LocalIjToCellExpr(anchor: Expression, i: Expression, j: Expression)
+    extends TernaryExpression {
+  override def first: Expression = anchor
+  override def second: Expression = i
+  override def third: Expression = j
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_local_ij_to_cell"
+  override protected def nullSafeEval(o: Any, x: Any, y: Any): Any = {
+    val r = Edges.localIjToCell(o.asInstanceOf[Long], x.asInstanceOf[Int], y.asInstanceOf[Int])
+    if (r == 0L) null else r
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (o, x, y) => s"""
+      ${ev.value} = graft.h3.Edges.localIjToCell($o, $x, $y);
+      if (${ev.value} == 0L) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(anchor = f, i = s, j = t)
+}
+
+case class IndexDigitExpr(cell: Expression, res: Expression) extends BinaryExpression {
+  override def left: Expression = cell
+  override def right: Expression = res
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_get_index_digit"
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val r = EdgeKernel.indexDigit(x.asInstanceOf[Long], y.asInstanceOf[Int])
+    if (r < 0) null else r
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      ${ev.value} = graft.spark.EdgeKernel.indexDigit($x, $y);
+      if (${ev.value} < 0) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(cell = l, res = r)
+}
+
+/** Generator: directed edges of the origin cell. */
+case class OriginToEdgesGen(cell: Expression) extends Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(cell)
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("edge", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val c = cell.eval(input)
+    if (c == null) Iterator.empty
+    else Edges.originToDirectedEdges(c.asInstanceOf[Long]).iterator
+      .map(e => InternalRow(e))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cell = cs(0))
+  override def prettyName: String = "h3_origin_to_directed_edges"
+}
+
+/** Generator: canonical vertexes of a cell. */
+case class CellToVertexesGen(cell: Expression) extends Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(cell)
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("vertex", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val c = cell.eval(input)
+    if (c == null) Iterator.empty
+    else Edges.cellToVertexes(c.asInstanceOf[Long]).iterator
+      .filter(_ != 0L).map(v => InternalRow(v))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cell = cs(0))
+  override def prettyName: String = "h3_cell_to_vertexes"
+}
+
+/** Generator: the 122 resolution-0 base cells. */
+case class Res0CellsGen() extends Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Nil
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("cell", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] =
+    (0 until 122).iterator.map(bc =>
+      InternalRow(H3.setBaseCell(H3.DefaultCellIndex, bc)))
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression = this
+  override def prettyName: String = "h3_get_res0_cells"
+}
+
+/** Generator: the 12 pentagons at a resolution. */
+case class PentagonsGen(res: Expression) extends Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(res)
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("cell", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val r = res.eval(input)
+    if (r == null) Iterator.empty
+    else {
+      val rr = r.asInstanceOf[Int]
+      (0 until 122).iterator.filter(Tables.isPentagonBase).map { bc =>
+        val base = H3.setBaseCell(H3.DefaultCellIndex, bc)
+        InternalRow(H3.cellToCenterChild(base, rr))
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(res = cs(0))
+  override def prettyName: String = "h3_get_pentagons"
+}

@@ -57,7 +57,43 @@ object H3Functions {
     "h3_grid_ring" -> (es => GridRingGen(lng(es(0)), int(es(1)))),
     "h3_cell_to_children" -> (es => CellToChildrenGen(lng(es(0)), int(es(1)))),
     "h3_grid_path_cells" -> (es => GridPathCellsGen(lng(es(0)), lng(es(1)))),
-    "h3_polygon_to_cells" -> (es => PolygonToCellsGen(str(es(0)), int(es(1)), int(es(2)))))
+    "h3_polygon_to_cells" -> (es => PolygonToCellsGen(str(es(0)), int(es(1)), int(es(2)))),
+    // Directed edges.
+    "h3_cells_to_directed_edge" -> (es => CellsToEdge(lng(es(0)), lng(es(1)))),
+    "h3_origin_to_directed_edges" -> (es => OriginToEdgesGen(lng(es(0)))),
+    "h3_get_directed_edge_origin" -> (es => H3EdgeCall1("edgeOrigin", lng(es(0)), LongType, sentinelNull = true)),
+    "h3_get_directed_edge_destination" -> (es => H3EdgeCall1("edgeDestination", lng(es(0)), LongType, sentinelNull = true)),
+    "h3_directed_edge_reverse" -> (es => H3EdgeCall1("edgeReverse", lng(es(0)), LongType, sentinelNull = true)),
+    "h3_is_valid_directed_edge" -> (es => H3EdgeCall1("isValidEdge", lng(es(0)), BooleanType, sentinelNull = false)),
+    "h3_directed_edge_to_boundary" -> (es => H3EdgeCall1("edgeBoundaryArray", lng(es(0)),
+      ArrayType(StructType(Seq(StructField("lat", DoubleType, false), StructField("lng", DoubleType, false))), containsNull = false),
+      sentinelNull = false)),
+    "h3_edge_length_rads" -> (es => H3EdgeCall1("edgeLengthRads", lng(es(0)), DoubleType, sentinelNull = false)),
+    "h3_edge_length_km" -> (es => H3EdgeCall1("edgeLengthKm", lng(es(0)), DoubleType, sentinelNull = false)),
+    "h3_edge_length_m" -> (es => H3EdgeCall1("edgeLengthM", lng(es(0)), DoubleType, sentinelNull = false)),
+    // Vertexes.
+    "h3_cell_to_vertex" -> (es => CellToVertexExpr(lng(es(0)), int(es(1)))),
+    "h3_cell_to_vertexes" -> (es => CellToVertexesGen(lng(es(0)))),
+    "h3_vertex_to_latlng" -> (es => H3EdgeCall1("vertexLatLngRow", lng(es(0)),
+      StructType(Seq(StructField("lat", DoubleType, false), StructField("lng", DoubleType, false))), sentinelNull = false)),
+    "h3_get_vertex_owner" -> (es => H3EdgeCall1("vertexOwner", lng(es(0)), LongType, sentinelNull = true)),
+    "h3_is_valid_vertex" -> (es => H3EdgeCall1("isValidVertex", lng(es(0)), BooleanType, sentinelNull = false)),
+    "h3_is_valid_index" -> (es => H3EdgeCall1("isValidIndex", lng(es(0)), BooleanType, sentinelNull = false)),
+    // Misc / inspection / tables.
+    "h3_cell_area_m2" -> (es => H3EdgeCall1("cellAreaM2", lng(es(0)), DoubleType, sentinelNull = false)),
+    "h3_get_index_digit" -> (es => IndexDigitExpr(lng(es(0)), int(es(1)))),
+    "h3_get_num_cells" -> (es => H3ResCall("numCells", int(es(0)), LongType)),
+    "h3_get_hexagon_area_avg_km2" -> (es => H3ResCall("hexAreaAvgKm2", int(es(0)), DoubleType)),
+    "h3_get_hexagon_edge_length_avg_km" -> (es => H3ResCall("edgeLengthAvgKm", int(es(0)), DoubleType)),
+    "h3_is_res_class_iii" -> (es => H3ResCall("isResClass3", int(es(0)), BooleanType)),
+    "h3_max_grid_disk_size" -> (es => H3ResCall("maxGridDiskSize", int(es(0)), LongType)),
+    "h3_get_res0_cells" -> (_ => Res0CellsGen()),
+    "h3_get_pentagons" -> (es => PentagonsGen(int(es(0)))),
+    "h3_cell_to_local_ij" -> (es => CellToLocalIjExpr(lng(es(0)), lng(es(1)))),
+    "h3_local_ij_to_cell" -> (es => LocalIjToCellExpr(lng(es(0)), int(es(1)), int(es(2)))),
+    "h3_get_icosahedron_faces" -> (es => H3EdgeCall1("icosahedronFacesArr", lng(es(0)),
+      ArrayType(IntegerType, containsNull = false), sentinelNull = false)),
+    "h3_max_face_count" -> (es => H3EdgeCall1("maxFaceCount", lng(es(0)), IntegerType, sentinelNull = false)))
 
   /** Session-scoped registration (idempotent). */
   def register(spark: SparkSession): Unit = {

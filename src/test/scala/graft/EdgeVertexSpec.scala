@@ -1,0 +1,111 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.h3.{Edges, H3}
+
+/** Directed edge + vertex semantics (reference: index/{edge,vertex}.rs). */
+class EdgeVertexSpec extends AnyFunSuite {
+
+  test("reference doctest: edge 0x13a194e699ab7fff") {
+    val e = 0x13a194e699ab7fffL
+    assert(Edges.isValidDirectedEdge(e))
+    assert(Edges.getEdgeNum(e) == 3)
+    assert(Edges.edgeOrigin(e) == 0x8a194e699ab7fffL)
+    assert(Edges.edgeDestination(e) == 0x8a194e699a97fffL)
+    assert(math.abs(Edges.edgeLengthRads(e) - 1.1795418098325597e-5) < 1e-11)
+    assert(math.abs(Edges.edgeLengthKm(e) - 0.07514869340636812) < 1e-8)
+  }
+
+  test("reference doctest: vertex 0x2222597fffffffff") {
+    val v = 0x2222597fffffffffL
+    assert(Edges.isValidVertex(v))
+    assert(Edges.getVertexNum(v) == 2)
+    assert(Edges.vertexOwner(v) == 0x822597fffffffffL)
+  }
+
+  private def randomCells(n: Int): Seq[Long] = {
+    val r = new scala.util.Random(7)
+    (0 until n).map { _ =>
+      H3.latLngToCell(r.nextDouble() * 170 - 85, r.nextDouble() * 360 - 180,
+        1 + r.nextInt(12))
+    }
+  }
+
+  test("edges: origin/destination/reverse round-trips") {
+    randomCells(500).foreach { cell =>
+      val edges = Edges.originToDirectedEdges(cell)
+      assert(edges.length == (if (H3.isPentagon(cell)) 5 else 6))
+      edges.foreach { e =>
+        assert(Edges.isValidDirectedEdge(e), s"edge ${e.toHexString}")
+        assert(Edges.edgeOrigin(e) == cell)
+        val dest = Edges.edgeDestination(e)
+        assert(dest != 0L)
+        assert(H3.areNeighborCells(cell, dest))
+        assert(Edges.cellsToDirectedEdge(cell, dest) == e)
+        val rev = Edges.edgeReverse(e)
+        assert(Edges.edgeOrigin(rev) == dest)
+        assert(Edges.edgeDestination(rev) == cell)
+      }
+      // Destinations are exactly the ring-1 neighbors.
+      val dests = edges.map(Edges.edgeDestination).toSet
+      assert(dests == H3.gridRing(cell, 1).toSet)
+    }
+  }
+
+  test("edge boundary has 2-3 vertexes drawn from the cell boundary") {
+    randomCells(300).foreach { cell =>
+      val cellB = H3.cellToBoundary(cell)
+      val bset = (0 until cellB.length / 2)
+        .map(i => (cellB(2 * i), cellB(2 * i + 1))).toSet
+      Edges.originToDirectedEdges(cell).foreach { e =>
+        val b = Edges.directedEdgeToBoundary(e)
+        val nv = b.length / 2
+        assert(nv >= 2 && nv <= 3, s"edge ${e.toHexString} verts $nv")
+        (0 until nv).foreach { i =>
+          assert(bset.contains((b(2 * i), b(2 * i + 1))),
+            s"edge vertex not on cell boundary")
+        }
+        assert(Edges.edgeLengthM(e) > 0)
+      }
+    }
+  }
+
+  test("vertexes: canonical across the cells that share them") {
+    randomCells(300).foreach { cell =>
+      val mine = Edges.cellToVertexes(cell).filter(_ != 0L).toSet
+      assert(mine.size == (if (H3.isPentagon(cell)) 5 else 6))
+      mine.foreach(v => assert(Edges.isValidVertex(v), v.toHexString))
+      // Each neighbor shares exactly 2 vertexes (the common edge endpoints),
+      // and those vertex indexes are identical (canonical owner).
+      H3.gridRing(cell, 1).foreach { nb =>
+        val theirs = Edges.cellToVertexes(nb).filter(_ != 0L).toSet
+        val shared = mine.intersect(theirs)
+        assert(shared.size == 2,
+          s"cell ${cell.toHexString} nb ${nb.toHexString} shared ${shared.size}")
+      }
+    }
+  }
+
+  test("vertexToLatLng matches a boundary vertex of the owner") {
+    randomCells(200).foreach { cell =>
+      Edges.cellToVertexes(cell).filter(_ != 0L).foreach { v =>
+        val ll = Edges.vertexToLatLng(v)
+        val owner = Edges.vertexOwner(v)
+        val b = H3.cellToBoundary(owner)
+        val onBoundary = (0 until b.length / 2).exists { i =>
+          math.abs(b(2 * i) - ll(0)) < 1e-9 && math.abs(b(2 * i + 1) - ll(1)) < 1e-9
+        }
+        assert(onBoundary, s"vertex ${v.toHexString}")
+      }
+    }
+  }
+
+  test("isValidIndex accepts all three modes, rejects garbage") {
+    val cell = H3.latLngToCell(48.85, 2.35, 9)
+    assert(Edges.isValidIndex(cell))
+    assert(Edges.isValidIndex(Edges.originToDirectedEdges(cell)(0)))
+    assert(Edges.isValidIndex(Edges.cellToVertex(cell, 0)))
+    assert(!Edges.isValidIndex(0L))
+    assert(!Edges.isValidIndex(-1L))
+  }
+}
