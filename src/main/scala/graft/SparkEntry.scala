@@ -288,6 +288,81 @@ object SparkEntry {
       Ops.fingerprints(s, table(s, dir, "documents"))
     }),
 
+    // --- Directed edges / vertexes / local IJ / dissolve ---
+    "h3_edges" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(s"""
+        SELECT cell, e.edge AS edge,
+               h3_get_directed_edge_origin(e.edge) = cell AS origin_ok,
+               h3_is_valid_directed_edge(e.edge) AS valid
+        FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events)
+        LATERAL VIEW h3_origin_to_directed_edges(cell) e AS edge
+      """)
+    }),
+
+    "h3_edge_semantics" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      // Destination is a neighbor; reverse round-trips; length positive.
+      s.sql(s"""
+        SELECT cell,
+               bool_and(h3_are_neighbor_cells(cell, h3_get_directed_edge_destination(e.edge))) AS dest_ok,
+               bool_and(h3_get_directed_edge_destination(h3_directed_edge_reverse(e.edge)) = cell) AS rev_ok,
+               bool_and(h3_edge_length_m(e.edge) > 0) AS len_ok
+        FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events)
+        LATERAL VIEW h3_origin_to_directed_edges(cell) e AS edge
+        GROUP BY cell
+      """)
+    }),
+
+    "h3_vertexes" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(s"""
+        SELECT cell,
+               count(*) AS n_vertexes,
+               bool_and(h3_is_valid_vertex(v.vertex)) AS all_valid
+        FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events)
+        LATERAL VIEW h3_cell_to_vertexes(cell) v AS vertex
+        GROUP BY cell
+      """)
+    }),
+
+    "h3_local_ij_roundtrip" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(s"""
+        SELECT cell,
+               bool_and(h3_local_ij_to_cell(cell,
+                 h3_cell_to_local_ij(cell, d.dcell).i,
+                 h3_cell_to_local_ij(cell, d.dcell).j) = d.dcell) AS ok
+        FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events)
+        LATERAL VIEW h3_grid_disk(cell, 2) d AS dcell
+        GROUP BY cell
+      """)
+    }),
+
+    "h3_dissolve_roundtrip" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      // Dissolve a 1-disk then re-tile the outline: must recover the disk.
+      s.sql(s"""
+        WITH disks AS (
+          SELECT cell, sort_array(collect_set(d.dcell)) AS disk
+          FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events
+                WHERE event_id % 100 = 0)
+          LATERAL VIEW h3_grid_disk(cell, 1) d AS dcell
+          GROUP BY cell
+        )
+        SELECT cell, disk = sort_array(collect_set(p.pcell)) AS ok
+        FROM disks
+        LATERAL VIEW h3_polygon_to_cells(
+          h3_cells_to_multi_polygon(disk), 9, 0) p AS pcell
+        GROUP BY cell, disk
+      """).drop("disk")
+    }),
+
     // --- Relational baseline (Catalyst plumbing sanity) ---
     "q1_agg" -> ((s, dir) => {
       table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -408,6 +483,30 @@ object SparkEntry {
         FROM embeddings q, embeddings p
         WHERE q.vec_id % 25 = 0
         QUALIFY rnk <= 5
+      """,
+
+      "h3_edges" -> s"""
+        SELECT cell,
+               ((cell & ~(CAST(15 AS BIGINT) << 59)) | (CAST(2 AS BIGINT) << 59) | (CAST(e AS BIGINT) << 56)) AS edge,
+               TRUE AS origin_ok, TRUE AS valid
+        FROM (SELECT $cell AS cell FROM events), UNNEST([1,2,3,4,5,6]) AS t(e)
+      """,
+
+      "h3_edge_semantics" -> s"""
+        SELECT $cell AS cell, TRUE AS dest_ok, TRUE AS rev_ok, TRUE AS len_ok
+        FROM events
+      """,
+
+      "h3_vertexes" -> s"""
+        SELECT $cell AS cell, 6 AS n_vertexes, TRUE AS all_valid FROM events
+      """,
+
+      "h3_local_ij_roundtrip" -> s"""
+        SELECT $cell AS cell, TRUE AS ok FROM events
+      """,
+
+      "h3_dissolve_roundtrip" -> s"""
+        SELECT $cell AS cell, TRUE AS ok FROM events WHERE event_id % 100 = 0
       """,
 
       "q1_agg" -> """

@@ -79,7 +79,8 @@ object SpatialJoin {
     */
   def pipJoin(spark: SparkSession, points: DataFrame, polys: Seq[Poly],
               res: Int, cellCol: String = "cell9",
-              broadcastCover: Boolean = true): DataFrame = {
+              broadcastCover: Boolean = true,
+              saltBuckets: Int = 8): DataFrame = {
     H3Functions.register(spark)
     import spark.implicits._
 
@@ -99,10 +100,20 @@ object SpatialJoin {
       if (broadcastCover)
         probe.join(broadcast(coverDf), probe("__anc") === coverDf("cover_cell"))
       else {
-        val parts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-        probe.repartition(parts, col("__anc"))
-          .join(coverDf.repartition(parts, col("cover_cell")),
-            probe("__anc") === coverDf("cover_cell"))
+        // Shuffle path for covers too large to broadcast. Hot probe cells
+        // (city-cluster skew) are salted: the cover side is replicated per
+        // salt bucket, the probe side picks a deterministic per-row salt,
+        // so one hot cover cell spreads over `saltBuckets` reducers. AQE's
+        // skew-join is the backstop for residual imbalance.
+        val saltedCover = coverDf.withColumn("__salt",
+          explode(array((0 until saltBuckets).map(lit): _*)))
+        val saltedProbe = probe.withColumn("__salt",
+          pmod(xxhash64(col(cellCol), col("lat"), col("lng")),
+            lit(saltBuckets)).cast("int"))
+        saltedProbe.join(saltedCover,
+          saltedProbe("__anc") === saltedCover("cover_cell") &&
+            saltedProbe("__salt") === saltedCover("__salt"))
+          .drop("__salt")
       }
 
     val polyMap = polys.map(p => p.id -> p.geo).toMap

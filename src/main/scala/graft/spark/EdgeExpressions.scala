@@ -63,6 +63,14 @@ object EdgeKernel {
 
   def maxFaceCount(c: Long): Int = Edges.maxFaceCount(c)
 
+  def dissolveJson(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val cells = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < cells.length) { cells(i) = arr.getLong(i); i += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.h3.Dissolve.dissolveToGeoJson(cells))
+  }
+
   def vertexLatLngRow(v: Long): InternalRow = {
     val ll = Edges.vertexToLatLng(v)
     InternalRow(ll(0), ll(1))
@@ -233,6 +241,25 @@ case class IndexDigitExpr(cell: Expression, res: Expression) extends BinaryExpre
       if (${ev.value} < 0) { ${ev.isNull} = true; }""")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(cell = l, res = r)
+}
+
+/** Dissolve an array of same-resolution cells into a GeoJSON
+  * MultiPolygon outline (h3SetToLinkedGeo / cellsToMultiPolygon). */
+case class CellsToMultiPolygonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "h3_cells_to_multi_polygon"
+  override def nullSafeEval(c: Any): Any = {
+    val arr = c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val cells = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < cells.length) { cells(i) = arr.getLong(i); i += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.h3.Dissolve.dissolveToGeoJson(cells))
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.EdgeKernel.dissolveJson($c)")
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
 }
 
 /** Generator: directed edges of the origin cell. */

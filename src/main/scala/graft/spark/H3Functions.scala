@@ -93,7 +93,8 @@ object H3Functions {
     "h3_local_ij_to_cell" -> (es => LocalIjToCellExpr(lng(es(0)), int(es(1)), int(es(2)))),
     "h3_get_icosahedron_faces" -> (es => H3EdgeCall1("icosahedronFacesArr", lng(es(0)),
       ArrayType(IntegerType, containsNull = false), sentinelNull = false)),
-    "h3_max_face_count" -> (es => H3EdgeCall1("maxFaceCount", lng(es(0)), IntegerType, sentinelNull = false)))
+    "h3_max_face_count" -> (es => H3EdgeCall1("maxFaceCount", lng(es(0)), IntegerType, sentinelNull = false)),
+    "h3_cells_to_multi_polygon" -> (es => CellsToMultiPolygonExpr(lngArr(es(0)))))
 
   /** Session-scoped registration (idempotent). */
   def register(spark: SparkSession): Unit = {

@@ -1,0 +1,72 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.h3.{Dissolve, Geo, H3}
+
+/** cellsToMultiPolygon / h3SetToLinkedGeo semantics. */
+class DissolveSpec extends AnyFunSuite {
+
+  test("single cell dissolves to its own boundary") {
+    val cell = H3.latLngToCell(48.8566, 2.3522, 8)
+    val (rings, outer) = Dissolve.dissolveToRings(Array(cell))
+    assert(rings.length == 1 && outer(0))
+    val b = H3.cellToBoundary(cell)
+    assert(rings(0).length == b.length)
+    // Same vertex set (rotation may differ).
+    val want = (0 until b.length / 2).map(i => (b(2 * i), b(2 * i + 1))).toSet
+    val got = (0 until rings(0).length / 2)
+      .map(i => (rings(0)(2 * i), rings(0)(2 * i + 1))).toSet
+    assert(got == want)
+  }
+
+  test("7-cell disk dissolves to one ring with 18+ vertexes, no holes") {
+    val cell = H3.latLngToCell(48.8566, 2.3522, 8)
+    val disk = H3.gridDisk(cell, 1)
+    val (rings, outer) = Dissolve.dissolveToRings(disk)
+    assert(rings.length == 1 && outer(0))
+    assert(rings(0).length / 2 >= 18)
+  }
+
+  test("hollow ring dissolves to an outer ring plus a hole") {
+    val cell = H3.latLngToCell(48.8566, 2.3522, 8)
+    val ring = H3.gridRing(cell, 1)
+    val (rings, outer) = Dissolve.dissolveToRings(ring)
+    assert(rings.length == 2)
+    assert(outer.count(identity) == 1)
+    assert(outer.count(!_) == 1)
+  }
+
+  test("two disjoint blobs dissolve to two polygons") {
+    val a = H3.gridDisk(H3.latLngToCell(48.85, 2.35, 8), 1)
+    val b = H3.gridDisk(H3.latLngToCell(40.71, -74.0, 8), 1)
+    val (rings, outer) = Dissolve.dissolveToRings(a ++ b)
+    assert(rings.length == 2 && outer.forall(identity))
+    val json = Dissolve.dissolveToGeoJson(a ++ b)
+    val polys = Geo.parseGeoJson(json)
+    assert(polys.length == 2)
+  }
+
+  test("dissolved Paris cover round-trips through the tiler") {
+    val url = getClass.getResource("/h3/shapes/Paris.geojson")
+    val paris = Geo.parseGeoJson(scala.io.Source.fromURL(url).mkString)
+    val cover = Geo.polygonToCells(paris, 8, Geo.ContainsCentroid)
+    val json = Dissolve.dissolveToGeoJson(cover)
+    val outline = Geo.parseGeoJson(json)
+    assert(outline.nonEmpty)
+    // Tiling the dissolved outline reproduces the original cover.
+    val recovered = Geo.polygonToCells(outline, 8, Geo.ContainsCentroid)
+    assert(recovered.toSet == cover.toSet)
+  }
+
+  test("SQL surface: h3_cells_to_multi_polygon over collect_list") {
+    val spark = SparkTestBase.spark
+    val json = spark.sql("""
+      SELECT h3_cells_to_multi_polygon(collect_list(d.dcell)) AS geo
+      FROM (SELECT h3_latlng_to_cell(48.8566, 2.3522, 8) AS c)
+      LATERAL VIEW h3_grid_disk(c, 2) d AS dcell
+    """).collect()(0).getString(0)
+    assert(json.contains("MultiPolygon"))
+    val polys = Geo.parseGeoJson(json)
+    assert(polys.length == 1)
+  }
+}
