@@ -37,7 +37,11 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val mult = sys.env.getOrElse("SPARK_GRAFT_BENCH_MULT", "100").toInt
+    // Adaptive default workload: ~8-10s of headline join per run at the
+    // given parallelism (override with SPARK_GRAFT_BENCH_MULT).
+    val cpusN = cpus.toInt
+    val mult = sys.env.get("SPARK_GRAFT_BENCH_MULT").map(_.toInt)
+      .getOrElse(math.min(2000, cpusN * 60))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
