@@ -63,6 +63,34 @@ class EngineSpec extends AnyFunSuite {
     assert(engine == brute)
   }
 
+  test("kNN join is exact for external queries (including empty-disk ocean)") {
+    import spark.implicits._
+    val pages = Pages.pages(spark, sfDir)
+    val points = pages.select(col("page_id").as("id"), col("lat"), col("lng"))
+    // External queries not present in the corpus; one mid-ocean (its res-7
+    // disk is empty at this density -> exercises the escalation path).
+    val queries = Seq(
+      (9001L, 48.86, 2.34),   // Paris (dense)
+      (9002L, -43.2, -140.5), // south Pacific (no candidates nearby)
+      (9003L, 40.7, -74.0)    // NYC
+    ).toDF("qid", "lat", "lng")
+    val k = 3
+    val engine = Knn.knnJoin(spark, points, queries, k = k, res = 7)
+      .select("qid", "id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = pages.select("page_id", "lat", "lng").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val brute = Seq((9001L, 48.86, 2.34), (9002L, -43.2, -140.5),
+      (9003L, 40.7, -74.0)).flatMap { case (qid, qlat, qlng) =>
+      raw.map { case (id, lat, lng) =>
+        (id, graft.h3.H3.greatCircleDistanceM(qlat, qlng, lat, lng))
+      }.sortBy { case (id, d) => (d, id) }.take(k).zipWithIndex.map {
+        case ((id, _), i) => (qid, id, i + 1)
+      }
+    }.toSet
+    assert(engine == brute)
+  }
+
   test("tile rollup pyramid conserves counts and sums across levels") {
     val pts = Pages.indexedPages(spark, sfDir)
       .withColumn("n_chars", length(col("text")))
