@@ -70,3 +70,35 @@ class DissolveSpec extends AnyFunSuite {
     assert(polys.length == 1)
   }
 }
+
+/** Distributed compaction correctness. */
+class DistributedCompactSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("distributed compact of full child sets collapses to parents") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val parents = (0 until 50).map { _ =>
+      H3.latLngToCell(r.nextDouble() * 160 - 80, r.nextDouble() * 360 - 180, 6)
+    }.distinct
+    val children = parents.flatMap(p => H3.cellToChildren(p, 8))
+    val df = children.toDF("cell").repartition(13)
+    val compacted = graft.engine.DistributedCompact
+      .compact(spark, df).as[Long].collect().toSet
+    assert(compacted == parents.toSet)
+    // Round trip (uncompact generator already explodes rows).
+    val back = graft.engine.DistributedCompact
+      .uncompact(spark, compacted.toSeq.toDF("cell"), 8)
+      .as[Long].collect().toSet
+    assert(back == children.toSet)
+  }
+
+  test("distributed compact keeps partial sibling groups untouched") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val parent = H3.latLngToCell(48.85, 2.35, 6)
+    val kids = H3.cellToChildren(parent, 7).drop(1) // 6 of 7 -> no collapse
+    val compacted = graft.engine.DistributedCompact
+      .compact(spark, kids.toSeq.toDF("cell")).as[Long].collect().toSet
+    assert(compacted == kids.toSet)
+  }
+}
