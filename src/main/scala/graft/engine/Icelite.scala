@@ -29,7 +29,8 @@ import scala.jdk.CollectionConverters._
 object Icelite {
 
   final case class PartitionEntry(value: String, rows: Long, checksum: Long,
-                                  files: Seq[String])
+                                  files: Seq[String], durationMs: Long = 0,
+                                  lineage: String = "")
 
   final case class Snapshot(id: Long, partitionCol: String,
                             entries: Seq[PartitionEntry])
@@ -60,7 +61,8 @@ object Icelite {
     */
   def writeResumable(spark: SparkSession, df: DataFrame, root: String,
                      partitionCol: String,
-                     failAfter: Int = Int.MaxValue): Int = {
+                     failAfter: Int = Int.MaxValue,
+                     lineage: String = ""): Int = {
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
 
@@ -74,6 +76,7 @@ object Icelite {
     for (v <- todo) {
       if (computed >= failAfter)
         throw new RuntimeException(s"icelite: injected failure after $failAfter buckets")
+      val t0 = System.nanoTime()
       val part = df.filter(col(partitionCol).cast("string") === v)
       val target = dataDir(root).resolve(s"$partitionCol=$v")
       // Write bucket to a temp dir, then atomically move into place.
@@ -92,7 +95,8 @@ object Icelite {
       val files = Files.list(target).iterator().asScala
         .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
 
-      entries :+= PartitionEntry(v, rows, checksum, files)
+      entries :+= PartitionEntry(v, rows, checksum, files,
+        durationMs = (System.nanoTime() - t0) / 1000000, lineage = lineage)
       commitSnapshot(root, partitionCol, entries)
       computed += 1
     }
@@ -135,7 +139,7 @@ object Icelite {
 
   private def renderSnapshot(s: Snapshot): String = {
     val es = s.entries.map { e =>
-      s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
+      s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"durationMs":${e.durationMs},"lineage":"${esc(e.lineage)}","files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
     }.mkString(",")
     s"""{"id":${s.id},"partitionCol":"${esc(s.partitionCol)}","entries":[$es]}"""
   }
@@ -148,7 +152,11 @@ object Icelite {
         m("value").toString,
         m("rows") match { case l: Long => l; case d: Double => d.toLong },
         m("checksum") match { case l: Long => l; case d: Double => d.toLong },
-        m("files").asInstanceOf[List[Any]].map(_.toString))
+        m("files").asInstanceOf[List[Any]].map(_.toString),
+        m.get("durationMs").map {
+          case l: Long => l; case d: Double => d.toLong; case _ => 0L
+        }.getOrElse(0L),
+        m.get("lineage").map(_.toString).getOrElse(""))
     }
     Snapshot(
       v("id") match { case l: Long => l; case d: Double => d.toLong },

@@ -102,3 +102,38 @@ class DistributedCompactSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(compacted == kids.toSet)
   }
 }
+
+/** Explicit cell-prefix partitioning + pruning. */
+class CellPartitioningSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("prefix-partitioned write prunes partitions on cell_p filters") {
+    val spark = SparkTestBase.spark
+    val pts = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("prefix").toString
+    graft.engine.CellPartitioning.writePrefixPartitioned(spark, pts, "cell9", path)
+
+    val parisPrefix = graft.h3.H3.cellToParent(
+      graft.h3.H3.latLngToCell(48.8566, 2.3522, 9), 3)
+    val reader = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions.col("cell_p") === parisPrefix)
+    val plan = reader.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || reader.count() > 0)
+    // Only Paris-region rows come back.
+    val rows = reader.selectExpr("h3_cell_to_parent(cell9, 3) AS p").collect()
+    rows.foreach(r => assert(r.getLong(0) == parisPrefix))
+    assert(rows.nonEmpty)
+  }
+
+  test("range repartition keeps prefix groups together") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val pts = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+    val parted = graft.engine.CellPartitioning
+      .repartitionByCellRange(spark, pts, "cell9", 8)
+    // Every res-5 prefix group lands in exactly one partition.
+    val spread = parted
+      .selectExpr("h3_cell_to_parent(cell9, 5) AS p", "spark_partition_id() AS pid")
+      .groupBy("p").agg(org.apache.spark.sql.functions.countDistinct("pid").as("n"))
+      .filter($"n" > 1).count()
+    assert(spread == 0)
+  }
+}
