@@ -1,0 +1,18 @@
+package graft.h3.tools
+
+import org.apache.spark.sql.SparkSession
+
+object EntrySmoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = graft.SparkEntry.entry(spark)
+    df.explain("formatted")
+    val rows = df.count()
+    println(s"entry rows: $rows")
+    df.show(5, false)
+    spark.stop()
+  }
+}
