@@ -94,9 +94,9 @@ object Bench {
     }
     phases :+= "pip_join_tiles" -> tJoin
 
-    // Phase 3: tile roll-up pyramid 9 -> 7 -> 5 -> 3.
+    // Phase 3: tile roll-up pyramid 9 -> 7 -> 5 -> 3 (nDocs/4 rows).
     val (_, tRollup) = time {
-      val pts = synthPoints(spark, nDocs)
+      val pts = synthPoints(spark, nDocs / 4)
         .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))
         .withColumn("v", col("page_id") % 97)
       val levels = TileRollup.pyramid(spark, pts, "cell9", 9, Seq(7, 5, 3), Seq("v"))
@@ -104,9 +104,9 @@ object Bench {
     }
     phases :+= "tile_rollup" -> tRollup
 
-    // Phase 4: gridDisk explosion (kNN fuel), k=1 on nDocs/10.
+    // Phase 4: gridDisk explosion (kNN fuel), k=1 on nDocs/20.
     val (_, tDisk) = time {
-      synthPoints(spark, nDocs / 10)
+      synthPoints(spark, nDocs / 20)
         .selectExpr("h3_latlng_to_cell(lat, lng, 9) AS c")
         .selectExpr("h3_grid_disk(c, 1) AS n")
         .agg(count(lit(1))).collect()

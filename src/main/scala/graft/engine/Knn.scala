@@ -6,22 +6,24 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.spark.H3Functions
 
-/** kNN join via H3 gridDisk ring expansion.
+/** kNN join via H3 gridDisk expansion with resolution-coarsening
+  * escalation.
   *
-  * Both sides are bucketed at `res`; each query explodes its cell's k-ring
-  * disk, joins points on the ring cells, re-ranks candidates by exact
-  * haversine distance and keeps the top K. A verification predicate
-  * guarantees exactness: a query's result is provably complete when it has
-  * K candidates and its K-th distance is below the minimum possible
-  * distance to any point outside the explored disk. Queries failing the
-  * check (including those with no candidates at all) are re-run with a
-  * wider ring; stragglers are brute-forced (tiny set by then).
+  * Round 0 buckets both sides at `res` and joins each query's k-ring disk
+  * against the points (query disks are broadcast — points never shuffle).
+  * A query's result is provably complete when it has K candidates and its
+  * K-th distance is below the minimum possible distance to anything
+  * outside the explored disk. Unsettled queries escalate to a coarser
+  * resolution (res-4, then 0), whose ring-2 disk covers hemispheric
+  * distances, so even isolated mid-ocean queries resolve without a
+  * cross join; a brute-force pass remains as a final guard for corpora
+  * with fewer than K points in half the globe.
   */
 object Knn {
 
   /** Conservative lower bound (meters) on the distance from any point of
-    * the query cell to any point outside disk(ring). Verified against
-    * brute force in EngineSpec and the driver's DuckDB oracle. */
+    * the query cell to any point outside disk(ring) at `res`. Verified
+    * against brute force in EngineSpec and the driver's DuckDB oracle. */
   def safeRadiusM(res: Int, ring: Int): Double = {
     val edgeM = graft.h3.Tables.EdgeLengthRads(res) * graft.h3.H3.EarthRadiusKm * 1000.0
     ring.toDouble * edgeM * 0.8
@@ -33,16 +35,31 @@ object Knn {
     */
   def knnJoin(spark: SparkSession, points: DataFrame, queries: DataFrame,
               k: Int, res: Int, initialRing: Int = 2,
-              maxRounds: Int = 3): DataFrame = {
+              maxRounds: Int = 4): DataFrame = {
     H3Functions.register(spark)
 
-    val pts = points
-      .withColumn("__pcell", expr(s"h3_latlng_to_cell(lat, lng, $res)"))
-      .select(col("id"), col("lat").as("plat"), col("lng").as("plng"), col("__pcell"))
+    // Escalation ladder: native res, res-4, res 0 (hemispheric reach).
+    val levels = (List(res) ++ List(math.max(res - 4, 0), 0)).distinct
+    val rings = levels.zipWithIndex.map { case (_, i) =>
+      if (i == 0) initialRing else 2
+    }
+
+    // One cell column per level, all derived from the finest by cheap
+    // bit-level parent truncation; computed once and cached.
+    val levelCols = levels.map(l => s"__pcell$l")
+    var pts = points
+      .withColumn(s"__pcell${levels.head}",
+        expr(s"h3_latlng_to_cell(lat, lng, ${levels.head})"))
+    for (l <- levels.tail)
+      pts = pts.withColumn(s"__pcell$l",
+        expr(s"h3_cell_to_parent(__pcell${levels.head}, $l)"))
+    val ptsC = pts
+      .select((Seq(col("id"), col("lat").as("plat"), col("lng").as("plng")) ++
+        levelCols.map(col)): _*)
       .cache()
 
     var remaining = queries
-      .withColumn("__qcell", expr(s"h3_latlng_to_cell(lat, lng, $res)"))
+      .withColumn("__qcell", expr(s"h3_latlng_to_cell(lat, lng, ${levels.head})"))
       .select(col("qid"), col("lat").as("qlat"), col("lng").as("qlng"), col("__qcell"))
       .cache()
 
@@ -54,44 +71,44 @@ object Knn {
       .filter(col("rank") <= k)
       .select(col("qid"), col("id"), col("dist_m"), col("rank"))
 
-    var ring = initialRing
     var result: DataFrame = null
-    var round = 0
     var done = false
+    var round = 0
+    val totalRounds = levels.length + 1 // + brute guard
 
     while (!done) {
-      val lastRound = round == maxRounds - 1
+      val bruteRound = round == totalRounds - 1
       val cand =
-        if (lastRound) remaining.crossJoin(pts) // brute-force stragglers
-        else remaining
-          .select(col("qid"), col("qlat"), col("qlng"),
-            expr(s"h3_grid_disk(__qcell, $ring)").as("__cell"))
-          .join(pts.hint("shuffle_hash"), col("__cell") === col("__pcell"))
+        if (bruteRound) remaining.crossJoin(ptsC)
+        else {
+          val level = levels(round)
+          val ring = rings(round)
+          val disks = remaining
+            .select(col("qid"), col("qlat"), col("qlng"),
+              expr(s"h3_grid_disk(h3_cell_to_parent(__qcell, $level), $ring)")
+                .as("__cell"))
+          ptsC.join(broadcast(disks), col("__cell") === col(s"__pcell$level"))
+        }
 
       val ranked = rank(cand).cache()
 
-      if (lastRound) {
+      if (bruteRound) {
         result = if (result == null) ranked else result.unionByName(ranked)
         done = true
       } else {
-        // Provably-complete queries: k candidates, kth within safe radius.
-        val safe = safeRadiusM(res, ring)
+        val safe = safeRadiusM(levels(round), rings(round))
         val okQids = ranked.groupBy("qid")
           .agg(count(lit(1)).as("n"), max("dist_m").as("kth"))
           .filter(col("n") === k && col("kth") <= lit(safe))
           .select("qid")
         val settled = ranked.join(okQids, "qid")
         result = if (result == null) settled else result.unionByName(settled)
-
-        // Everything not settled goes to the next round -- including
-        // queries that found zero candidates this round.
         remaining = remaining.join(okQids, Seq("qid"), "left_anti").cache()
         if (remaining.isEmpty) done = true
-        else ring = ring * 2 + 1
       }
       round += 1
     }
-    pts.unpersist(blocking = false)
+    ptsC.unpersist(blocking = false)
     result
   }
 }
