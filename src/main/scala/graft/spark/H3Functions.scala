@@ -102,6 +102,11 @@ object H3Functions {
     all.foreach { case (name, builder) =>
       registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+    // Idempotent optimizer-rule injection (experimental methods allow
+    // post-session registration; dedup by reference).
+    val extra = spark.experimental.extraOptimizations
+    if (!extra.contains(H3OptimizerRule))
+      spark.experimental.extraOptimizations = extra :+ H3OptimizerRule
   }
 
   /** Column DSL (requires register(spark) once per session). */
@@ -139,7 +144,8 @@ object H3Functions {
   }
 }
 
-/** spark.sql.extensions entry point: injects every H3 function. */
+/** spark.sql.extensions entry point: injects every H3 function plus the
+  * H3-aware optimizer rewrites. */
 class H3Extensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     H3Functions.all.foreach { case (name, builder) =>
@@ -148,5 +154,6 @@ class H3Extensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo("graft.spark.H3Expressions", name),
         builder))
     }
+    extensions.injectOptimizerRule(_ => H3OptimizerRule)
   }
 }

@@ -93,3 +93,29 @@ class SparkH3Spec extends AnyFunSuite {
     assert(plan.contains("*(1)"), plan.take(500))
   }
 }
+
+/** H3-aware optimizer rewrites. */
+class H3RulesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("parent-of-parent collapses to a single kernel call") {
+    val spark = SparkTestBase.spark
+    val df = spark.range(100).selectExpr(
+      "h3_cell_to_parent(h3_cell_to_parent(h3_latlng_to_cell(id * 0.1, id * 0.2, 9), 7), 5) AS t")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    // Exactly one h3_cell_to_parent survives.
+    assert("h3_cell_to_parent".r.findAllIn(optimized).size == 1, optimized)
+    // Semantics unchanged.
+    val direct = spark.range(100).selectExpr(
+      "h3_cell_to_parent(h3_latlng_to_cell(id * 0.1, id * 0.2, 9), 5) AS t")
+    assert(df.collect().map(_.getLong(0)).toSeq ==
+      direct.collect().map(_.getLong(0)).toSeq)
+  }
+
+  test("resolution of a fresh index folds to the literal") {
+    val spark = SparkTestBase.spark
+    val df = spark.range(10).selectExpr(
+      "h3_get_resolution(h3_latlng_to_cell(id * 0.1, id * 0.2, 9)) AS r")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("h3_latlng_to_cell"), optimized)
+    assert(df.collect().forall(_.getInt(0) == 9))
+  }
+}
