@@ -20,9 +20,21 @@ object Dissolve {
 
   /** Dissolve to rings: returns (rings, isOuter) where each ring is
     * [lat0,lng0,lat1,lng1,...] in degrees (unclosed). */
-  def dissolveToRings(cells: Array[Long]): (Array[Array[Double]], Array[Boolean]) = {
-    val cellSet = new java.util.HashSet[Long](cells.length * 2)
+  def dissolveToRings(cells0: Array[Long]): (Array[Array[Double]], Array[Boolean]) = {
+    if (cells0.isEmpty) return (Array.empty, Array.empty)
+    // Heterogeneous (compacted) input: uncompact to the finest resolution
+    // so edge cancellation sees a uniform grid.
+    var maxRes = 0
     var i = 0
+    while (i < cells0.length) {
+      val r = H3.getResolution(cells0(i))
+      if (r > maxRes) maxRes = r
+      i += 1
+    }
+    val mixed = cells0.exists(c => H3.getResolution(c) != maxRes)
+    val cells = if (mixed) H3.uncompact(cells0, maxRes) else cells0
+    val cellSet = new java.util.HashSet[Long](cells.length * 2)
+    i = 0
     while (i < cells.length) { cellSet.add(cells(i)); i += 1 }
 
     // Surviving arcs keyed by their start vertex.

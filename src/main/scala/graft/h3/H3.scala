@@ -384,9 +384,36 @@ object H3 {
     }
   }
 
+  /** Previous cell in cell-prefix order at the same resolution, or 0. */
+  def pred(cell: Long): Long = {
+    val res = getResolution(cell)
+    val off = directionOffset(res)
+    var bits = cell >>> off
+    val bitpos = java.lang.Long.numberOfTrailingZeros(bits)
+    val respos = bitpos / 3
+    bits |= 0x36DB6DB6DB6DB6L & ((1L << (respos * 3)) - 1)
+    bits = setUnused(bits << off, res)
+    if (respos < res) {
+      val one = 1L << (off + respos * 3)
+      bits -= one
+      if (isValidCell(bits)) bits else bits - one
+    } else {
+      val base = getBaseCell(cell)
+      if (base == 0) 0L else setBaseCell(bits, base - 1)
+    }
+  }
+
   /** First cell at resolution `res` in cell-prefix order. */
   def firstCell(res: Int): Long =
     setUnused(setResolution(DefaultCellIndex & ~DirectionsMask, res), res)
+
+  /** Last cell at resolution `res` in cell-prefix order. */
+  def lastCell(res: Int): Long = {
+    var bits = setBaseCell(setResolution(DefaultCellIndex, res), 121)
+    var r = 1
+    while (r <= res) { bits = setDirection(bits, r, IJ); r += 1 }
+    setUnused(bits, res)
+  }
 
   def cellToString(cell: Long): String = java.lang.Long.toHexString(cell)
 
