@@ -253,29 +253,52 @@ object Proj {
       return setBaseCell(bits, packed >> 3)
     }
 
-    // Build the index digits finest resolution up.
+    // Build the index digits finest resolution up. All-local arithmetic
+    // (no scratch objects) — this is the hottest loop of the engine.
+    var i = ijk.i; var j = ijk.j; var k = ijk.k
     var r = res
-    val last = new IJK(0, 0, 0)
-    val lastCenter = new IJK(0, 0, 0)
     while (r >= 1) {
-      last.copyFrom(ijk)
+      val li = i; val lj = j; val lk = k
+      val di = i - k
+      val dj = j - k
+      var ci = 0; var cj = 0; var ck = 0
       if (isClass3(r)) {
-        ijk.upAp7(true)
-        lastCenter.copyFrom(ijk)
-        lastCenter.downAp7(true)
+        // upAp7 ccw.
+        i = Math.round((3 * di - dj) / 7.0).toInt
+        j = Math.round((di + 2 * dj) / 7.0).toInt
+        k = 0
+        var m = Math.min(i, Math.min(j, k))
+        i -= m; j -= m; k -= m
+        // downAp7 ccw of the parent = center of last level.
+        ci = 3 * i + j
+        cj = 3 * j + k
+        ck = i + 3 * k
+        m = Math.min(ci, Math.min(cj, ck))
+        ci -= m; cj -= m; ck -= m
       } else {
-        ijk.upAp7(false)
-        lastCenter.copyFrom(ijk)
-        lastCenter.downAp7(false)
+        // upAp7 cw.
+        i = Math.round((2 * di + dj) / 7.0).toInt
+        j = Math.round((3 * dj - di) / 7.0).toInt
+        k = 0
+        var m = Math.min(i, Math.min(j, k))
+        i -= m; j -= m; k -= m
+        // downAp7 cw.
+        ci = 3 * i + k
+        cj = i + 3 * j
+        ck = j + 3 * k
+        m = Math.min(ci, Math.min(cj, ck))
+        ci -= m; cj -= m; ck -= m
       }
-      last.i -= lastCenter.i; last.j -= lastCenter.j; last.k -= lastCenter.k
-      last.normalize()
-      bits = setDirection(bits, r, last.toDirection)
+      var xi = li - ci; var xj = lj - cj; var xk = lk - ck
+      val m2 = Math.min(xi, Math.min(xj, xk))
+      xi -= m2; xj -= m2; xk -= m2
+      bits = setDirection(bits, r, (xi << 2) | (xj << 1) | xk)
       r -= 1
     }
+    ijk.set(i, j, k)
 
-    if (ijk.i > 2 || ijk.j > 2 || ijk.k > 2) return 0L
-    val packed = FaceIjkBaseCells(face)(ijk.i * 9 + ijk.j * 3 + ijk.k)
+    if (i > 2 || j > 2 || k > 2) return 0L
+    val packed = FaceIjkBaseCells(face)(i * 9 + j * 3 + k)
     val baseCell = packed >> 3
     val rotations = packed & 7
     bits = setBaseCell(bits, baseCell)

@@ -61,23 +61,6 @@ object SparkKernel {
   }
 }
 
-/** Shared shape for unary Long->Long kernels with a 0 sentinel (-> null). */
-abstract class H3LongToLong extends UnaryExpression with Serializable {
-  override def dataType: DataType = LongType
-  override def nullable: Boolean = true
-  def staticCall(c: String): String
-  def kernel(c: Long): Long
-  override def nullSafeEval(c: Any): Any = {
-    val r = kernel(c.asInstanceOf[Long])
-    if (r == 0L) null else r
-  }
-  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c => s"""
-      ${ev.value} = ${staticCall(c)};
-      if (${ev.value} == 0L) { ${ev.isNull} = true; }
-    """)
-}
-
 case class LatLngToCell(lat: Expression, lng: Expression, res: Expression)
     extends TernaryExpression {
   override def first: Expression = lat
