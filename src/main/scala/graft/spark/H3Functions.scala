@@ -141,6 +141,41 @@ object H3Functions {
       call_function("h3_uncompact_cells", cells, res)
     def h3_polygon_to_cells(geojson: Column, res: Column, mode: Column): Column =
       call_function("h3_polygon_to_cells", geojson, res, mode)
+    def h3_cells_to_directed_edge(a: Column, b: Column): Column =
+      call_function("h3_cells_to_directed_edge", a, b)
+    def h3_origin_to_directed_edges(cell: Column): Column =
+      call_function("h3_origin_to_directed_edges", cell)
+    def h3_get_directed_edge_origin(e: Column): Column =
+      call_function("h3_get_directed_edge_origin", e)
+    def h3_get_directed_edge_destination(e: Column): Column =
+      call_function("h3_get_directed_edge_destination", e)
+    def h3_edge_length_m(e: Column): Column = call_function("h3_edge_length_m", e)
+    def h3_cell_to_vertex(cell: Column, v: Column): Column =
+      call_function("h3_cell_to_vertex", cell, v)
+    def h3_cell_to_vertexes(cell: Column): Column =
+      call_function("h3_cell_to_vertexes", cell)
+    def h3_vertex_to_latlng(v: Column): Column =
+      call_function("h3_vertex_to_latlng", v)
+    def h3_cells_to_multi_polygon(cells: Column): Column =
+      call_function("h3_cells_to_multi_polygon", cells)
+    def h3_cell_to_local_ij(anchor: Column, cell: Column): Column =
+      call_function("h3_cell_to_local_ij", anchor, cell)
+    def h3_local_ij_to_cell(anchor: Column, i: Column, j: Column): Column =
+      call_function("h3_local_ij_to_cell", anchor, i, j)
+    def h3_grid_ring(cell: Column, k: Column): Column =
+      call_function("h3_grid_ring", cell, k)
+    def h3_grid_path_cells(a: Column, b: Column): Column =
+      call_function("h3_grid_path_cells", a, b)
+    def h3_cell_area_km2(cell: Column): Column =
+      call_function("h3_cell_area_km2", cell)
+    def h3_cell_to_child_pos(cell: Column, res: Column): Column =
+      call_function("h3_cell_to_child_pos", cell, res)
+    def h3_child_pos_to_cell(pos: Column, cell: Column, res: Column): Column =
+      call_function("h3_child_pos_to_cell", pos, cell, res)
+    def h3_are_neighbor_cells(a: Column, b: Column): Column =
+      call_function("h3_are_neighbor_cells", a, b)
+    def h3_to_string(cell: Column): Column = call_function("h3_to_string", cell)
+    def h3_from_string(s: Column): Column = call_function("h3_from_string", s)
   }
 }
 
