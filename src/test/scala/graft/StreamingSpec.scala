@@ -61,3 +61,45 @@ class StreamingSpec extends AnyFunSuite {
     assert(bcast == shuffled && bcast.nonEmpty)
   }
 }
+
+/** Extension injection + salting distribution evidence. */
+class ExtensionsAndSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
+
+  test("H3Extensions injects functions + optimizer rule into a fresh session") {
+    val base = SparkTestBase.spark
+    val s2 = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.spark.H3Extensions().apply(_))
+      .getOrCreate()
+    try {
+      val v = s2.sql("SELECT h3_cell_to_parent(h3_latlng_to_cell(48.85, 2.35, 9), 5) AS p")
+        .collect()(0).getLong(0)
+      assert(graft.h3.H3.getResolution(v) == 5)
+    } finally {
+      // Keep the shared context alive for other suites.
+      graft.spark.H3Functions.register(base)
+    }
+  }
+
+  test("salting spreads a hot cover cell across reducers") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    graft.spark.H3Functions.register(spark)
+    // All probe rows land on ONE cover cell (extreme skew).
+    val hot = graft.h3.H3.latLngToCell(48.8566, 2.3522, 5)
+    val n = 20000
+    val probe = spark.range(n).selectExpr(
+      s"${hot}L AS anc", "id AS payload",
+      "48.8 + id * 1e-9 AS lat", "2.3 + id * 1e-9 AS lng")
+    val salts = 8
+    val salted = probe.withColumn("salt",
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64($"anc", $"lat", $"lng"),
+        org.apache.spark.sql.functions.lit(salts)).cast("int"))
+    val dist = salted.groupBy("salt").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dist.size == salts, s"salts used: ${dist.size}")
+    // No bucket holds more than 2x the fair share.
+    assert(dist.values.max < 2L * n / salts, dist.toString)
+  }
+}
