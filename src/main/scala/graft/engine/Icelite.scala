@@ -104,11 +104,20 @@ object Icelite {
   }
 
   /** Reads the table back (all committed partitions). */
-  def read(spark: SparkSession, root: String): DataFrame = {
+  def read(spark: SparkSession, root: String): DataFrame =
+    readWhere(spark, root, _ => true)
+
+  /** Manifest-driven partition pruning: only partitions whose value passes
+    * the predicate are ever listed or opened (Iceberg-style scan planning
+    * without touching the file system for pruned buckets). */
+  def readWhere(spark: SparkSession, root: String,
+                predicate: String => Boolean): DataFrame = {
     val snap = currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
-    val paths = snap.entries.map(e =>
+    val paths = snap.entries.filter(e => predicate(e.value)).map(e =>
       dataDir(root).resolve(s"${snap.partitionCol}=${e.value}").toString)
+    if (paths.isEmpty)
+      throw new IllegalArgumentException("no partitions match the predicate")
     spark.read.parquet(paths: _*)
   }
 

@@ -281,6 +281,82 @@ object Geo {
     math.max(1L, math.ceil(area / Tables.PentAreaRads2(res)).toLong)
   }
 
+  /** Cells tracing a polyline (Plotter): grid paths between consecutive
+    * vertex cells, with a sampling fallback where the path is undefined
+    * (pentagon distortion). Order-preserving, consecutive-dedup. */
+  def lineToCells(latsDeg: Array[Double], lngsDeg: Array[Double], res: Int): Array[Long] = {
+    val out = new mutable.ArrayBuilder.ofLong
+    var last = 0L
+    var i = 0
+    while (i < latsDeg.length - 1) {
+      val a = H3.latLngToCell(latsDeg(i), lngsDeg(i), res)
+      val b = H3.latLngToCell(latsDeg(i + 1), lngsDeg(i + 1), res)
+      val path = H3.gridPathCells(a, b)
+      val cells =
+        if (path.nonEmpty) path
+        else {
+          // Pentagon/unfold failure: fall back to dense segment sampling.
+          val lat0 = Math.toRadians(latsDeg(i)); val lng0 = Math.toRadians(lngsDeg(i))
+          val lat1 = Math.toRadians(latsDeg(i + 1)); val lng1 = Math.toRadians(lngsDeg(i + 1))
+          val d = H3.distanceRads(lat0, lng0, lat1, lng1)
+          val count = Math.max(1, Math.ceil(d / Tables.PentDiameterRads(res)).toInt)
+          Array.tabulate(count + 1) { s =>
+            val t = s.toDouble / count
+            Proj.latLngToCell(lat0 + (lat1 - lat0) * t, lng0 + (lng1 - lng0) * t, res)
+          }
+        }
+      var c = 0
+      while (c < cells.length) {
+        if (cells(c) != last) { out += cells(c); last = cells(c) }
+        c += 1
+      }
+      i += 1
+    }
+    if (latsDeg.length == 1) out += H3.latLngToCell(latsDeg(0), lngsDeg(0), res)
+    out.result()
+  }
+
+  /** Parses GeoJSON LineString / MultiLineString into (lats, lngs) arrays. */
+  def parseGeoJsonLines(text: String): Array[(Array[Double], Array[Double])] = {
+    val value = Json.parse(text)
+    val lines = new mutable.ArrayBuffer[(Array[Double], Array[Double])]
+    def coordsToArrays(coords: List[Any]): (Array[Double], Array[Double]) = {
+      val pts = coords.map(_.asInstanceOf[List[Any]])
+      (pts.map(p => anyToDouble(p(1))).toArray, pts.map(p => anyToDouble(p.head)).toArray)
+    }
+    def handleGeometry(g: Map[String, Any]): Unit = g.getOrElse("type", "") match {
+      case "LineString" =>
+        lines += coordsToArrays(g("coordinates").asInstanceOf[List[Any]])
+      case "MultiLineString" =>
+        for (l <- g("coordinates").asInstanceOf[List[Any]])
+          lines += coordsToArrays(l.asInstanceOf[List[Any]])
+      case _ =>
+    }
+    value match {
+      case m: Map[_, _] =>
+        val obj = m.asInstanceOf[Map[String, Any]]
+        obj.getOrElse("type", "") match {
+          case "Feature" => obj.get("geometry").foreach {
+            case g: Map[_, _] => handleGeometry(g.asInstanceOf[Map[String, Any]])
+            case _ =>
+          }
+          case "FeatureCollection" =>
+            for (f <- obj.getOrElse("features", List.empty).asInstanceOf[List[Any]])
+              f match {
+                case fm: Map[_, _] =>
+                  fm.asInstanceOf[Map[String, Any]].get("geometry").foreach {
+                    case g: Map[_, _] => handleGeometry(g.asInstanceOf[Map[String, Any]])
+                    case _ =>
+                  }
+                case _ =>
+              }
+          case _ => handleGeometry(obj)
+        }
+      case _ =>
+    }
+    lines.toArray
+  }
+
   /** Relation of a cell's boundary polygon to the polygon set:
     * (intersects, fullyContained). Planar tests in radian lng/lat space,
     * aligned to each polygon's transmeridian frame. */

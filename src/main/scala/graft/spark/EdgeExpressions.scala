@@ -50,6 +50,8 @@ object EdgeKernel {
   def edgeLengthAvgKm(res: Int): Double =
     if (res < 0 || res > 15) Double.NaN
     else Tables.EdgeLengthRads(res) * H3.EarthRadiusKm
+  def hexAreaAvgM2(res: Int): Double = hexAreaAvgKm2(res) * 1e6
+  def edgeLengthAvgM(res: Int): Double = edgeLengthAvgKm(res) * 1000.0
   def isResClass3(res: Int): Boolean = (res & 1) == 1
   def maxGridDiskSize(k: Int): Long = H3.maxGridDiskSize(k)
 
@@ -133,7 +135,9 @@ case class H3ResCall(fn: String, child: Expression, dataType: DataType)
     fn match {
       case "numCells" => EdgeKernel.numCells(v)
       case "hexAreaAvgKm2" => EdgeKernel.hexAreaAvgKm2(v)
+      case "hexAreaAvgM2" => EdgeKernel.hexAreaAvgM2(v)
       case "edgeLengthAvgKm" => EdgeKernel.edgeLengthAvgKm(v)
+      case "edgeLengthAvgM" => EdgeKernel.edgeLengthAvgM(v)
       case "isResClass3" => EdgeKernel.isResClass3(v)
       case "maxGridDiskSize" => EdgeKernel.maxGridDiskSize(v)
     }
@@ -294,6 +298,28 @@ case class CellToVertexesGen(cell: Expression) extends Generator
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(cell = cs(0))
   override def prettyName: String = "h3_cell_to_vertexes"
+}
+
+/** Generator: polyline (GeoJSON LineString/MultiLineString) to cells. */
+case class LineToCellsGen(geojson: Expression, res: Expression) extends Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(geojson, res)
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("cell", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val g = geojson.eval(input)
+    val r = res.eval(input)
+    if (g == null || r == null) Iterator.empty
+    else {
+      val lines = graft.h3.Geo.parseGeoJsonLines(g.toString)
+      lines.iterator.flatMap { case (lats, lngs) =>
+        graft.h3.Geo.lineToCells(lats, lngs, r.asInstanceOf[Int]).iterator
+      }.map(c => InternalRow(c))
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(geojson = cs(0), res = cs(1))
+  override def prettyName: String = "h3_line_to_cells"
 }
 
 /** Generator: the 122 resolution-0 base cells. */

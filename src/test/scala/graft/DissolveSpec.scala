@@ -137,3 +137,29 @@ class CellPartitioningSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(spread == 0)
   }
 }
+
+/** Plotter: polyline -> cells. */
+class LineToCellsSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("line cells form a connected chain hitting both endpoints") {
+    val lats = Array(48.8566, 48.9, 49.0)
+    val lngs = Array(2.3522, 2.5, 2.4)
+    val cells = Geo.lineToCells(lats, lngs, 8)
+    assert(cells.nonEmpty && cells.distinct.length == cells.length)
+    assert(cells.head == H3.latLngToCell(lats(0), lngs(0), 8))
+    assert(cells.last == H3.latLngToCell(lats(2), lngs(2), 8))
+    cells.sliding(2).foreach {
+      case Array(a, b) => assert(H3.areNeighborCells(a, b), s"${a.toHexString}")
+      case _ =>
+    }
+  }
+
+  test("SQL generator over a GeoJSON LineString") {
+    val spark = SparkTestBase.spark
+    val n = spark.sql("""
+      SELECT l.cell FROM (SELECT 1)
+      LATERAL VIEW h3_line_to_cells(
+        '{"type":"LineString","coordinates":[[2.3522,48.8566],[2.5,48.9]]}', 8) l AS cell
+    """).count()
+    assert(n >= 2)
+  }
+}
