@@ -347,11 +347,14 @@ object H3 {
     (cell & ~(mask << offset)) | newDirs
   }
 
-  /** Expands a compacted set back to cells at `res`. */
+  /** Expands a compacted set back to cells at `res`. Guarded against
+    * pathological blow-ups (> 100M output cells) to keep SQL usage safe. */
   def uncompact(cells: Array[Long], res: Int): Array[Long] = {
     var total = 0L
     var i = 0
     while (i < cells.length) { total += cellToChildrenSize(cells(i), res); i += 1 }
+    require(total <= 100000000L,
+      s"uncompact would produce $total cells (max 100M); use a coarser resolution")
     val out = new Array[Long](total.toInt)
     var off = 0
     i = 0

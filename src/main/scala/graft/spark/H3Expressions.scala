@@ -34,10 +34,21 @@ object SparkKernel {
     val arr = new Array[Long](n)
     var i = 0
     while (i < n) { arr(i) = cells.getLong(i); i += 1 }
-    val sorted = arr.distinct
-    java.util.Arrays.sort(sorted)
-    scala.util.Sorting.stableSort(sorted.asInstanceOf[Array[Long]],
-      (a: Long, b: Long) => java.lang.Long.compareUnsigned(H3.orderKey(a), H3.orderKey(b)) < 0)
+    val distinct = arr.distinct
+    // Reference semantics: heterogeneous input is an error
+    // (CompactionError::HeterogeneousResolution); duplicates are treated as
+    // set input (deduplicated) since SQL arrays carry no uniqueness.
+    if (distinct.nonEmpty) {
+      val res = H3.getResolution(distinct(0))
+      i = 0
+      while (i < distinct.length) {
+        if (H3.getResolution(distinct(i)) != res)
+          throw new IllegalArgumentException(
+            "h3_compact_cells: heterogeneous resolutions in input")
+        i += 1
+      }
+    }
+    val sorted = distinct.sortBy(H3.orderKey)
     new GenericArrayData(H3.compactSorted(sorted))
   }
 
@@ -54,9 +65,24 @@ object SparkKernel {
   def cellToString(cell: Long): UTF8String =
     UTF8String.fromString(H3.cellToString(cell))
 
-  /** geojson -> sorted compacted cover cells (used by the generator). */
+  /** geojson -> cover cells (used by the generator). The parsed polygon is
+    * memoized per thread (covers the common constant-geojson-per-query
+    * case without repeated parsing). */
+  private val parseCache =
+    new ThreadLocal[(String, Array[Geo.GeoPolygon])] {
+      override def initialValue(): (String, Array[Geo.GeoPolygon]) = ("", Array.empty)
+    }
+
   def polygonToCells(geojson: UTF8String, res: Int, mode: Int): Array[Long] = {
-    val polys = Geo.parseGeoJson(geojson.toString)
+    val text = geojson.toString
+    val cached = parseCache.get()
+    val polys =
+      if (cached._1 == text) cached._2
+      else {
+        val parsed = Geo.parseGeoJson(text)
+        parseCache.set((text, parsed))
+        parsed
+      }
     Geo.polygonToCells(polys, res, mode)
   }
 }
