@@ -37,6 +37,44 @@ object Proj {
   @inline def toPositiveAngle(a: Double): Double =
     if (a < 0) a + TwoPi else if (a >= TwoPi) a - TwoPi else a
 
+  // Precomputed north/east tangent bases at each face center (constants of
+  // the grid; avoids recomputing a normalization per indexed point).
+  private val FaceNorthX = new Array[Double](20)
+  private val FaceNorthY = new Array[Double](20)
+  private val FaceNorthZ = new Array[Double](20)
+  private val FaceEastX = new Array[Double](20)
+  private val FaceEastY = new Array[Double](20)
+  private val FaceEastZ = new Array[Double](20)
+  locally {
+    var f = 0
+    while (f < 20) {
+      val cx = FaceCenterX(f); val cy = FaceCenterY(f); val cz = FaceCenterZ(f)
+      var nx = -cz * cx
+      var ny = -cz * cy
+      var nz = Math.fma(-cz, cz, 1.0)
+      val norm = Math.sqrt(Math.fma(nx, nx, Math.fma(ny, ny, nz * nz)))
+      if (norm > 0) { val s = 1.0 / norm; nx *= s; ny *= s; nz *= s }
+      FaceNorthX(f) = nx; FaceNorthY(f) = ny; FaceNorthZ(f) = nz
+      FaceEastX(f) = Math.fma(ny, cz, -(nz * cy))
+      FaceEastY(f) = Math.fma(nz, cx, -(nx * cz))
+      FaceEastZ(f) = Math.fma(nx, cy, -(ny * cx))
+      f += 1
+    }
+  }
+
+  /** Azimuth from the face center to (bx,by,bz); scale-invariant atan2 of
+    * tangent-plane projections against the precomputed basis. */
+  @inline private def faceAzimuth(face: Int, bx: Double, by: Double, bz: Double): Double = {
+    val cx = FaceCenterX(face); val cy = FaceCenterY(face); val cz = FaceCenterZ(face)
+    val dot = Math.fma(bx, cx, Math.fma(by, cy, bz * cz))
+    val px = Math.fma(-dot, cx, bx)
+    val py = Math.fma(-dot, cy, by)
+    val pz = Math.fma(-dot, cz, bz)
+    Math.atan2(
+      Math.fma(px, FaceEastX(face), Math.fma(py, FaceEastY(face), pz * FaceEastZ(face))),
+      Math.fma(px, FaceNorthX(face), Math.fma(py, FaceNorthY(face), pz * FaceNorthZ(face))))
+  }
+
   // -------------------------------------------------------------------
   // Mutable IJK scratch (JIT-scalarizable; never escapes the kernel).
 
@@ -148,13 +186,16 @@ object Proj {
     }
 
     // Gnomonic projection onto face-local 2D hex coordinates.
+    // tan(acos(1 - sqd/2)) computed directly from the chord:
+    // 1-x^2 = (sqd/2)(2 - sqd/2) with x = 1 - sqd/2.
     var vx = 0.0
     var vy = 0.0
-    val r = Math.acos(Math.fma(sqd, -0.5, 1.0))
-    if (r >= Epsilon) {
-      val rScaled = Math.tan(r) * InvRes0UGnomonic * Sqrt7Powers(res)
-      var theta = FaceAxesAzRadsCII(face) -
-        azimuth(FaceCenterX(face), FaceCenterY(face), FaceCenterZ(face), x, y, z)
+    // r = acos(1 - sqd/2) ~ sqrt(sqd) near zero, so r < Epsilon <=> sqd < Epsilon^2.
+    if (sqd >= Epsilon * Epsilon) {
+      val half = sqd * 0.5
+      val tanR = Math.sqrt(half * (2.0 - half)) / (1.0 - half)
+      val rScaled = tanR * InvRes0UGnomonic * Sqrt7Powers(res)
+      var theta = FaceAxesAzRadsCII(face) - faceAzimuth(face, x, y, z)
       if (isClass3(res)) theta -= Ap7RotRads
       vx = rScaled * Math.cos(theta)
       vy = rScaled * Math.sin(theta)
