@@ -119,3 +119,32 @@ class H3RulesSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(df.collect().forall(_.getInt(0) == 9))
   }
 }
+
+/** Prefix-equality filters become parquet-pushable range predicates. */
+class PrefixPushdownSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("h3_cell_to_parent equality filter pushes a cell range into the scan") {
+    val spark = SparkTestBase.spark
+    val pts = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+    val path = java.nio.file.Files.createTempDirectory("pushdown").toString
+    pts.select("page_id", "cell9").write.mode("overwrite").parquet(path)
+
+    val parent = graft.h3.H3.cellToParent(
+      graft.h3.H3.latLngToCell(48.8566, 2.3522, 9), 5)
+    val df = spark.read.parquet(path)
+      .filter(org.apache.spark.sql.functions
+        .expr(s"h3_cell_to_parent(cell9, 5) = ${parent}L"))
+
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GreaterThanOrEqual(cell9") ||
+           plan.contains("PushedFilters: [IsNotNull(cell9), GreaterThanOrEqual"),
+      plan.take(1200))
+
+    // Semantics preserved: matches the unoptimized predicate exactly.
+    val expected = pts
+      .filter(org.apache.spark.sql.functions
+        .expr(s"h3_cell_to_parent(cell9, 5) = ${parent}L"))
+      .select("page_id").collect().map(_.getLong(0)).toSet
+    val got = df.select("page_id").collect().map(_.getLong(0)).toSet
+    assert(got == expected && got.nonEmpty)
+  }
+}
