@@ -103,3 +103,31 @@ class ExtensionsAndSkewSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(dist.values.max < 2L * n / salts, dist.toString)
   }
 }
+
+/** flatMapGroupsWithState custom per-tile state. */
+class StatefulStreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("per-tile running totals across triggers") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Double, Double)]
+    val events = input.toDF().toDF("ts", "lat", "lng")
+    val updates = graft.engine.StreamingTiles.tileVisitStats(spark, events)
+    val q = updates.writeStream.format("memory")
+      .queryName("tile_stats").outputMode("update").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData((t, 48.8566, 2.3522), (t, 48.8566, 2.3522))
+    q.processAllAvailable()
+    input.addData((t, 48.8570, 2.3530))
+    q.processAllAvailable()
+    val tile = graft.h3.H3.cellToParent(
+      graft.h3.H3.latLngToCell(48.8566, 2.3522, 9), 5)
+    val rows = spark.sql(
+      s"SELECT total, distinct_cells FROM tile_stats WHERE tile = $tile ORDER BY total")
+      .collect()
+    // Second trigger carries state: total reaches 3.
+    assert(rows.nonEmpty && rows.last.getLong(0) == 3)
+    q.stop()
+  }
+}
