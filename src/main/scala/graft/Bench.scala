@@ -95,7 +95,7 @@ object Bench {
     phases :+= "pip_join_tiles" -> tJoin
 
     // Phase 3: tile roll-up pyramid 9 -> 7 -> 5 -> 3 (nDocs/4 rows).
-    val (_, tRollup) = time {
+    val tRollup = best {
       val pts = synthPoints(spark, nDocs / 4)
         .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))
         .withColumn("v", col("page_id") % 97)
@@ -105,7 +105,7 @@ object Bench {
     phases :+= "tile_rollup" -> tRollup
 
     // Phase 4: gridDisk explosion (kNN fuel), k=1 on nDocs/20.
-    val (_, tDisk) = time {
+    val tDisk = best {
       synthPoints(spark, nDocs / 20)
         .selectExpr("h3_latlng_to_cell(lat, lng, 9) AS c")
         .selectExpr("h3_grid_disk(c, 1) AS n")
@@ -114,7 +114,7 @@ object Bench {
     phases :+= "grid_disk" -> tDisk
 
     // Phase 5: kNN join (200 queries against nDocs/10 points).
-    val (_, tKnn) = time {
+    val tKnn = best {
       val pts = synthPoints(spark, nDocs / 10)
         .select(col("page_id").as("id"), col("lat"), col("lng"))
       val qs = synthPoints(spark, 200)
@@ -126,13 +126,13 @@ object Bench {
 
     // Phase 6: dedup + ANN over the driver tables.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val (_, tDedup) = time {
+    val tDedup = best {
       Ops.dedupMinHash(spark, docs, threshold = 0.5).agg(count(lit(1))).collect()
     }
     phases :+= "dedup_minhash" -> tDedup
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val (_, tAnn) = time {
+    val tAnn = best {
       Ops.annBruteForce(spark, emb, emb.limit(50), k = 10)
         .agg(count(lit(1))).collect()
     }
