@@ -87,6 +87,20 @@ class GeoSpec extends AnyFunSuite {
     }
   }
 
+  test("Covers mode returns the containing cell for sub-cell geometries") {
+    // A tiny triangle well inside one res-5 cell.
+    val tiny = new Geo.GeoPolygon(Geo.ringFromDegrees(
+      Array(48.8566, 48.8567, 48.85665),
+      Array(2.3522, 2.3523, 2.35225)), Array.empty)
+    val cover = Geo.polygonToCells(Array(tiny), 5, Geo.Covers)
+    assert(cover.length == 1)
+    assert(cover(0) == graft.h3.H3.latLngToCell(48.8566, 2.3522, 5))
+    // Covers at a fine resolution behaves like Intersects.
+    val fine = Geo.polygonToCells(Array(tiny), 12, Geo.Covers)
+    val intersects = Geo.polygonToCells(Array(tiny), 12, Geo.IntersectsBoundary)
+    assert(fine.toSet == intersects.toSet && fine.nonEmpty)
+  }
+
   test("transmeridian shapes produce non-empty covers on both sides") {
     val cells = Geo.polygonToCells(shape("Transmeridian"), 5, Geo.ContainsCentroid)
     assert(cells.nonEmpty)
