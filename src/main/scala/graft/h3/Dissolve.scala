@@ -101,16 +101,29 @@ object Dissolve {
     (rings.toArray, isOuter.toArray)
   }
 
-  /** Planar signed area (shoelace) in lng/lat degrees; >0 = CCW. */
+  /** Planar signed area (shoelace) in lng/lat degrees; >0 = CCW.
+    * Transmeridian rings are evaluated in the +360-shifted frame so the
+    * antimeridian jump doesn't corrupt the orientation. */
   def signedArea(ring: Array[Double]): Double = {
     val n = ring.length / 2
-    var area = 0.0
+    // Detect an antimeridian crossing.
+    var shifted = false
     var i = 0
     var j = n - 1
+    while (i < n && !shifted) {
+      if (Math.abs(ring(2 * i + 1) - ring(2 * j + 1)) > 180.0) shifted = true
+      j = i
+      i += 1
+    }
+    @inline def lngAt(idx: Int): Double = {
+      val l = ring(2 * idx + 1)
+      if (shifted && l < 0) l + 360.0 else l
+    }
+    var area = 0.0
+    i = 0
+    j = n - 1
     while (i < n) {
-      val latI = ring(2 * i); val lngI = ring(2 * i + 1)
-      val latJ = ring(2 * j); val lngJ = ring(2 * j + 1)
-      area += (lngJ + lngI) * (latJ - latI)
+      area += (lngAt(j) + lngAt(i)) * (ring(2 * j) - ring(2 * i))
       j = i
       i += 1
     }

@@ -156,3 +156,47 @@ class EngineSpec extends AnyFunSuite {
     assert(a.toSeq == b.toSeq)
   }
 }
+
+/** Empirical validation of the kNN completeness bound against worst-case
+  * grid distortion, globally sampled. */
+class KnnBoundSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("safeRadius lower-bounds the distance to everything outside the disk") {
+    val r = new scala.util.Random(99)
+    for (_ <- 0 until 400) {
+      val res = 3 + r.nextInt(8)
+      val ring = 1 + r.nextInt(3)
+      val cell = graft.h3.H3.latLngToCell(
+        r.nextDouble() * 170 - 85, r.nextDouble() * 360 - 180, res)
+      val center = graft.h3.H3.cellToLatLng(cell)
+      val safe = graft.engine.Knn.safeRadiusM(res, ring)
+      // Every boundary vertex of every cell on the (ring+1) shell must be
+      // farther than the claimed bound (vertices are the closest points).
+      graft.h3.H3.gridRing(cell, ring + 1).foreach { outside =>
+        val b = graft.h3.H3.cellToBoundary(outside)
+        var i = 0
+        while (i < b.length / 2) {
+          val d = graft.h3.H3.greatCircleDistanceM(
+            center(0), center(1), b(2 * i), b(2 * i + 1))
+          assert(d >= safe,
+            s"res=$res ring=$ring cell=${cell.toHexString} d=$d safe=$safe")
+          i += 1
+        }
+      }
+    }
+  }
+}
+
+/** Transmeridian dissolve round-trip. */
+class TransmeridianDissolveSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("dissolve of a disk straddling the antimeridian re-tiles exactly") {
+    val cell = graft.h3.H3.latLngToCell(-16.9, 179.9995, 7)
+    val disk = graft.h3.H3.gridDisk(cell, 2)
+    // The disk genuinely straddles the antimeridian.
+    val lngs = disk.map(graft.h3.H3.cellToLng)
+    assert(lngs.exists(_ > 179) && lngs.exists(_ < -179))
+    val json = graft.h3.Dissolve.dissolveToGeoJson(disk)
+    val polys = graft.h3.Geo.parseGeoJson(json)
+    val recovered = graft.h3.Geo.polygonToCells(polys, 7, graft.h3.Geo.ContainsCentroid)
+    assert(recovered.toSet == disk.toSet)
+  }
+}
