@@ -138,12 +138,13 @@ object Dissolve {
     val outers = rings.indices.filter(isOuter)
     val holes = rings.indices.filterNot(isOuter)
 
-    // Assign each hole to the first outer ring containing its first vertex.
+    // Assign each hole to the first outer ring containing its first vertex
+    // (ringFromDegrees applies the transmeridian shift when needed).
     val outerRings = outers.map { oi =>
       val r = rings(oi)
-      val lats = Array.tabulate(r.length / 2)(i => Math.toRadians(r(2 * i)))
-      val lngs = Array.tabulate(r.length / 2)(i => Math.toRadians(r(2 * i + 1)))
-      new Geo.Ring(lats, lngs, false)
+      Geo.ringFromDegrees(
+        Array.tabulate(r.length / 2)(i => r(2 * i)),
+        Array.tabulate(r.length / 2)(i => r(2 * i + 1)))
     }
     val holesByOuter = mutable.Map.empty[Int, mutable.ArrayBuffer[Int]]
     for (hi <- holes) {
