@@ -67,6 +67,42 @@ object Multimodal {
       }
   }
 
+  final case class ResizedBlob(doc_id: Long, kind: String, width: Int,
+                               height: Int, payload: Array[Byte])
+
+  final case class Frame(doc_id: Long, frame_idx: Int, feature: Array[Float])
+
+  /** STUB resize: deterministic re-encode to the target dimensions (real
+    * deployments swap in an image codec; the dataflow — schema, typed map,
+    * partition preservation — is what this stage pins down). */
+  def resize(spark: SparkSession, media: Dataset[MediaBlob],
+             width: Int, height: Int): Dataset[ResizedBlob] = {
+    import spark.implicits._
+    media.map { blob =>
+      val out = new Array[Byte](math.min(blob.payload.length, width * height / 8))
+      var i = 0
+      while (i < out.length) {
+        out(i) = blob.payload(i * math.max(1, blob.payload.length / math.max(out.length, 1)) % blob.payload.length)
+        i += 1
+      }
+      ResizedBlob(blob.doc_id, blob.kind, width, height, out)
+    }
+  }
+
+  /** STUB frame sampling: one deterministic feature vector per sampled
+    * frame (every `stride`-th frame), rows exploded via flatMap. */
+  def sampleFrames(spark: SparkSession, media: Dataset[MediaBlob],
+                   stride: Int = 2, featureDim: Int = 16): Dataset[Frame] = {
+    import spark.implicits._
+    media.flatMap { blob =>
+      val n = FakeCodec.frameCount(blob.payload, blob.kind)
+      (0 until n by stride).map { f =>
+        Frame(blob.doc_id, f,
+          FakeCodec.decodeToFeatures(blob.payload :+ f.toByte, featureDim))
+      }
+    }
+  }
+
   /** Decode + feature-extract stage: batched per partition; output shape is
     * fixed (dim-`featureDim` vectors), partitioning preserved. */
   def extractFeatures(spark: SparkSession, media: Dataset[MediaBlob],

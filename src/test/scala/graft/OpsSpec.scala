@@ -134,3 +134,44 @@ class OpsSpec extends AnyFunSuite {
     feats.foreach(f => assert(again(f.doc_id) == f.feature.toSeq))
   }
 }
+
+/** Typed top-K aggregator (map-side partial top-k). */
+class TopKSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("top_k per group matches window ranking") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val r = new scala.util.Random(5)
+    val rows = (0 until 5000).map { i =>
+      (i % 7L, r.nextDouble(), i.toLong)
+    }
+    val df = rows.toDF("grp", "score", "id").repartition(9)
+    val got = graft.ops.TopK.topKPerGroup(spark, df, "grp", "score", "id", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(t => (-t._2, t._3)).take(5).zipWithIndex.map {
+        case ((_, _, id), i) => (g, (i + 1).toLong, id)
+      }
+    }.toSet
+    assert(got == expected)
+  }
+}
+
+/** Multimodal resize + frame sampling stubs over real dataflow. */
+class MultimodalStagesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("resize and frame-sample stages are deterministic with fixed shapes") {
+    val spark = SparkTestBase.spark
+    val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
+    val resized = Multimodal.resize(spark, media, 32, 32).collect()
+    assert(resized.nonEmpty)
+    resized.foreach(b => assert(b.width == 32 && b.height == 32 && b.payload.nonEmpty))
+    val frames = Multimodal.sampleFrames(spark, media, stride = 2, featureDim = 16)
+      .collect()
+    assert(frames.nonEmpty)
+    frames.foreach(f => assert(f.feature.length == 16 && f.frame_idx % 2 == 0))
+    // Deterministic.
+    val again = Multimodal.sampleFrames(spark,
+      Multimodal.mediaTable(spark, "/root/testdata/sf0.001").repartition(5), 2, 16)
+      .collect().map(f => (f.doc_id, f.frame_idx) -> f.feature.toSeq).toMap
+    frames.foreach(f => assert(again((f.doc_id, f.frame_idx)) == f.feature.toSeq))
+  }
+}
