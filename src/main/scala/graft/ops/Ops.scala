@@ -102,6 +102,20 @@ object Ops {
       .select("qid", "vec_id", "sim", "rank")
   }
 
+  /** Brute-force cosine top-k via the typed top-K aggregator: partial
+    * top-k runs map-side, so the shuffle carries at most k rows per query
+    * per partition (the preferred shape when candidate sets are huge). */
+  def annBruteForceAgg(spark: SparkSession, corpus: DataFrame,
+                       queries: DataFrame, k: Int): DataFrame = {
+    OpsFunctions.register(spark)
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("q_vec")))
+    val scored = corpus.select(col("vec_id"), col("embedding"))
+      .crossJoin(q)
+      .withColumn("sim", expr("cosine_similarity(embedding, q_vec)"))
+    TopK.topKPerGroup(spark, scored, "qid", "sim", "vec_id", k)
+  }
+
   /** LSH-bucketed ANN: L independent hash tables of `bits` hyperplanes
     * each, plus 1-bit multi-probe per table; candidates unioned across
     * tables, then re-ranked by exact cosine. Scale path: the corpus is

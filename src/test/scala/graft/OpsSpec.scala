@@ -175,3 +175,20 @@ class MultimodalStagesSpec extends org.scalatest.funsuite.AnyFunSuite {
     frames.foreach(f => assert(again((f.doc_id, f.frame_idx)) == f.feature.toSeq))
   }
 }
+
+/** Aggregator-based ANN equals the window-based baseline. */
+class AnnAggSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("annBruteForceAgg matches annBruteForce") {
+    val spark = SparkTestBase.spark
+    import org.apache.spark.sql.functions.col
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 50 === 0)
+    val a = Ops.annBruteForce(spark, emb, queries, k = 5)
+      .select("qid", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong)).toSet
+    val b = Ops.annBruteForceAgg(spark, emb, queries, k = 5)
+      .select("qid", "vec_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(a == b && a.nonEmpty)
+  }
+}
