@@ -1,0 +1,91 @@
+package graft
+
+/** DuckDB SQL emitters that re-derive the text/vector kernels of
+  * [[graft.ops.TextKernel]] / [[graft.ops.OpsKernel]] bit-for-bit, so the
+  * driver's oracle can hash-match LSH/dedup/ANN pipeline outputs exactly.
+  *
+  * Parity contract (kept by construction on both sides):
+  *  - all hashes are modular arithmetic over P = 2^31-1 with intermediates
+  *    < 2^63 (DuckDB BIGINT errors on overflow, so no wraparound is used);
+  *  - all floating-point accumulations are left-folds in element order in
+  *    double precision (DuckDB's `list_reduce` is a left fold, and FLOAT ->
+  *    DOUBLE widening is exact), making sums, cosines and hyperplane dot
+  *    products bit-identical.
+  */
+object OracleDialect {
+
+  val P = 2147483647L // Mersenne prime 2^31-1, shared with TextKernel.P
+
+  /** Rolling fingerprint (mod P, seed 5381) of a string expression — equals
+    * TextKernel.stringFp. The lambda variable is `ci` so callers may embed
+    * this inside lambdas using other names (never shadow `ci`). */
+  def fp(x: String): String =
+    s"list_reduce(list_prepend(CAST(5381 AS BIGINT), " +
+      s"list_transform(range(1, length($x)+1), ci -> CAST(unicode($x[ci:ci]) AS BIGINT))), " +
+      s"(h,c) -> (31*h + c) % $P)"
+
+  /** Whitespace word list of a text expression. */
+  def words(x: String): String = s"string_split_regex(trim($x), '\\s+')"
+
+  /** Word k-shingle fingerprints from a word-list expression `w` — equals
+    * TextKernel.shingleFps (shingle = words joined by one space; fewer than
+    * k words hash all words joined; empty -> empty list). */
+  def shingleFps(w: String, k: Int): String =
+    s"""(CASE
+        WHEN len($w) = 0 THEN CAST([] AS BIGINT[])
+        WHEN len($w) < $k THEN [${fp(s"array_to_string($w, ' ')")}]
+        ELSE list_transform(range(1, len($w) - ${k - 2}),
+               si -> ${fp(s"array_to_string($w[si:si+${k - 1}], ' ')")})
+      END)"""
+
+  /** MinHash signature (list of `numHashes` minima) from a shingle-fps
+    * expression — equals TextKernel.minHash (empty -> P sentinel). */
+  def minHashSig(fps: String, numHashes: Int): String =
+    s"list_transform(range(0, $numHashes), f -> coalesce(" +
+      s"list_min(list_transform($fps, x -> ((2*f+3)*x + 7919*f + 1) % $P)), $P))"
+
+  /** LSH band hash of signature rows [band*rows, band*rows+rows) — equals
+    * TextKernel.bandHash. `sig` must be a column name, `band` an expression. */
+  def bandHash(sig: String, band: String, rows: Int): String =
+    s"list_reduce(list_prepend($band + CAST(17 AS BIGINT), " +
+      s"$sig[$rows*$band+1 : $rows*$band+$rows]), (h,m) -> (131*h + m) % $P)"
+
+  /** 63-bit SimHash from a word-fps list expression — equals
+    * TextKernel.simHash. */
+  def simHashSig(wfps: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 63), b ->
+        CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform($wfps, fp ->
+               CASE WHEN (((fp + 1 + b*10007) * 48271) % $P) % 2 = 1
+                    THEN CAST(1 AS BIGINT) ELSE CAST(-1 AS BIGINT) END)),
+               (x,y) -> x + y) > 0
+             THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+      (x,y) -> x + y)"""
+
+  /** Rademacher hyperplane LSH bucket of a float-list expression — equals
+    * OpsKernel.hyperplaneSig(v, bits, seed); `seed` may reference columns. */
+  def hyperplaneSig(v: String, bits: Int, seed: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $bits), b ->
+        CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, len($v)), d ->
+               CASE WHEN ((($seed) + (b*128 + d)*48271) % $P) % 2 = 0
+                    THEN CAST($v[d+1] AS DOUBLE) ELSE -CAST($v[d+1] AS DOUBLE) END)),
+               (x,y) -> x + y) >= 0
+             THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),
+      (x,y) -> x + y)"""
+
+  /** Cosine similarity mirroring OpsKernel.cosineF exactly: index-order
+    * left-fold accumulation of dot and both norms, dot/sqrt(na*nb),
+    * 0.0 when either norm is zero. `a`/`b` must be column references. */
+  def cosine(a: String, b: String): String = {
+    def fold(term: String) =
+      s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+        s"list_transform(range(0, least(len($a), len($b))), i -> $term)), (x,y) -> x + y)"
+    val dot = fold(s"CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)")
+    val na = fold(s"CAST($a[i+1] AS DOUBLE) * CAST($a[i+1] AS DOUBLE)")
+    val nb = fold(s"CAST($b[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)")
+    s"(CASE WHEN $na = 0 OR $nb = 0 THEN 0.0 ELSE $dot / sqrt($na * $nb) END)"
+  }
+
+  /** Normalized-text fingerprint — equals TextKernel.fingerprint. */
+  def docFingerprint(text: String): String =
+    fp(s"array_to_string(${words(s"lower($text)")}, ' ')")
+}

@@ -190,20 +190,31 @@ object SparkEntry {
       """)
     }),
 
-    // --- Geotagged pages: indexing + roll-ups (rows-only; FP-level H3
-    //     correctness is fixture-tested under sbt test) ---
+    // --- Geotagged pages: indexing (geotag arithmetic + H3 invariants are
+    //     DuckDB-checkable; the FP-level H3 projection itself is
+    //     fixture-tested under sbt test) ---
     "pages_index" -> ((s, dir) => {
       registerAll(s)
-      Pages.indexedPages(s, dir)
-        .selectExpr("page_id", "url", "cell9", "cell_p",
-          "h3_is_valid_cell(cell9) AS valid")
+      Pages.indexedPages(s, dir).selectExpr(
+        "page_id", "url",
+        "cast(floor(lat * 1000) as bigint) AS lat_q",
+        "cast(floor(lng * 1000) as bigint) AS lng_q",
+        "h3_is_valid_cell(cell9) AS valid",
+        "h3_get_resolution(cell9) AS res",
+        "h3_cell_to_parent(cell9, 3) = cell_p AS parent_ok",
+        "h3_latlng_to_cell(h3_cell_to_lat(cell9), h3_cell_to_lng(cell9), 9) = cell9 AS rt_ok")
     }),
 
+    // Tile pyramid over bit-level synthetic cells: DuckDB re-aggregates the
+    // base level directly to res 5 with parent bit-math, so the stepwise
+    // 9 -> 7 -> 5 re-aggregation is fully oracle-checked.
     "tile_rollup" -> ((s, dir) => {
       registerAll(s)
-      val pts = Pages.indexedPages(s, dir).withColumn("n_chars", length(col("text")))
-      val levels = TileRollup.pyramid(s, pts, "cell9", 9, Seq(7, 5, 3), Seq("n_chars"))
-      levels(5).selectExpr("h3_to_string(cell) AS tile", "cnt", "n_chars")
+      table(s, dir, "events").createOrReplaceTempView("events")
+      val base = s.sql(
+        s"SELECT ${cellSqlSpark("event_id")} AS cell9, event_id % 997 AS v FROM events")
+      val levels = TileRollup.pyramid(s, base, "cell9", 9, Seq(7, 5, 3), Seq("v"))
+      levels(5).selectExpr("h3_to_string(cell) AS tile", "cnt", "v")
     }),
 
     // --- PIP spatial join vs rectangle oracle ---
@@ -249,13 +260,15 @@ object SparkEntry {
 
     "dedup_embedding" -> ((s, dir) => {
       Ops.dedupEmbedding(s, table(s, dir, "embeddings"), threshold = 0.4, bits = 8)
+        .select("a_id", "b_id")
     }),
 
-    // --- Similarity search ---
+    // --- Similarity search (map-side top-K aggregator path) ---
     "ann_brute" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 25 === 0)
-      Ops.annBruteForce(s, emb, queries, k = 5).withColumnRenamed("rank", "rnk").select("qid", "vec_id", "rnk")
+      Ops.annBruteForceAgg(s, emb, queries, k = 5)
+        .withColumnRenamed("rank", "rnk").select("qid", "vec_id", "rnk")
     }),
 
     "ann_lsh" -> ((s, dir) => {
@@ -310,6 +323,23 @@ object SparkEntry {
                bool_and(h3_are_neighbor_cells(cell, h3_get_directed_edge_destination(e.edge))) AS dest_ok,
                bool_and(h3_get_directed_edge_destination(h3_directed_edge_reverse(e.edge)) = cell) AS rev_ok,
                bool_and(h3_edge_length_m(e.edge) > 0) AS len_ok
+        FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events)
+        LATERAL VIEW h3_origin_to_directed_edges(cell) e AS edge
+        GROUP BY cell
+      """)
+    }),
+
+    "h3_edge_cells" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      // Edge cells() pair accessor + max ring size (reference edge.rs:169-180).
+      s.sql(s"""
+        SELECT cell,
+               bool_and(h3_directed_edge_to_cells(e.edge)[0] = cell) AS cells0_ok,
+               bool_and(h3_directed_edge_to_cells(e.edge)[1] =
+                        h3_get_directed_edge_destination(e.edge)) AS cells1_ok,
+               max(h3_max_grid_ring_size(2)) AS ring2,
+               max(h3_max_grid_ring_size(0)) AS ring0
         FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events)
         LATERAL VIEW h3_origin_to_directed_edges(cell) e AS edge
         GROUP BY cell
@@ -497,8 +527,141 @@ object SparkEntry {
         FROM events
       """,
 
+      "h3_edge_cells" -> s"""
+        SELECT $cell AS cell, TRUE AS cells0_ok, TRUE AS cells1_ok,
+               CAST(12 AS BIGINT) AS ring2, CAST(1 AS BIGINT) AS ring0
+        FROM events
+      """,
+
       "h3_vertexes" -> s"""
         SELECT $cell AS cell, 6 AS n_vertexes, TRUE AS all_valid FROM events
+      """,
+
+      "pages_index" -> s"""
+        WITH ${Pages.duckPagesCte}
+        SELECT page_id, url,
+               CAST(floor(lat * 1000) AS BIGINT) AS lat_q,
+               CAST(floor(lng * 1000) AS BIGINT) AS lng_q,
+               TRUE AS valid, 9 AS res, TRUE AS parent_ok, TRUE AS rt_ok
+        FROM pages
+      """,
+
+      "tile_rollup" -> s"""
+        SELECT printf('%x', ${parentSqlDuck("cell", 5)}) AS tile,
+               count(*) AS cnt,
+               CAST(sum(event_id % 997) AS BIGINT) AS v
+        FROM (SELECT event_id, $cell AS cell FROM events)
+        GROUP BY 1
+      """,
+
+      "dedup_minhash" -> {
+        import OracleDialect._
+        s"""
+        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        shing AS (SELECT doc_id, ${shingleFps("w", 3)} AS fps FROM wrds),
+        sigs AS (SELECT doc_id, list_distinct(fps) AS dfps,
+                        ${minHashSig("fps", 64)} AS sig FROM shing),
+        bnds AS (SELECT doc_id, b.band AS band, ${bandHash("sig", "b.band", 4)} AS band_hash
+                 FROM sigs, (SELECT unnest(range(0, 16)) AS band) b),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bnds a JOIN bnds b USING (band, band_hash)
+                 WHERE a.doc_id < b.doc_id),
+        pairs AS (SELECT c.a_id, c.b_id,
+                 CASE WHEN len(sa.dfps) = 0 AND len(sb.dfps) = 0 THEN 1
+                      ELSE len(list_intersect(sa.dfps, sb.dfps)) END AS n_inter,
+                 CASE WHEN len(sa.dfps) = 0 AND len(sb.dfps) = 0 THEN 1
+                      ELSE len(sa.dfps) + len(sb.dfps)
+                           - len(list_intersect(sa.dfps, sb.dfps)) END AS n_union
+                 FROM cand c
+                 JOIN sigs sa ON sa.doc_id = c.a_id
+                 JOIN sigs sb ON sb.doc_id = c.b_id)
+        SELECT a_id, b_id, CAST(n_inter AS INT) AS n_inter, CAST(n_union AS INT) AS n_union
+        FROM pairs WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5
+      """
+      },
+
+      "dedup_simhash" -> {
+        import OracleDialect._
+        s"""
+        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        wfps AS (SELECT doc_id, list_transform(w, x -> ${fp("x")}) AS wf FROM wrds),
+        sigs AS (SELECT doc_id, ${simHashSig("wf")} AS sig FROM wfps)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        FROM sigs a, sigs b
+        WHERE a.doc_id < b.doc_id AND bit_count(xor(a.sig, b.sig)) <= 6
+      """
+      },
+
+      "dedup_embedding" -> {
+        import OracleDialect._
+        s"""
+        WITH sigs AS (SELECT vec_id, embedding,
+                             ${hyperplaneSig("embedding", 8, "42")} AS bucket
+                      FROM embeddings),
+        cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                        a.embedding AS ea, b.embedding AS eb
+                 FROM sigs a JOIN sigs b USING (bucket)
+                 WHERE a.vec_id < b.vec_id)
+        SELECT a_id, b_id FROM cand WHERE ${cosine("ea", "eb")} >= 0.4
+      """
+      },
+
+      "ann_lsh" -> {
+        import OracleDialect._
+        val masks = (0L +: (0 until 10).map(1L << _).map(_.toLong)).mkString(", ")
+        s"""
+        WITH tbls AS (SELECT unnest(range(0, 4)) AS tbl),
+        sigs AS (SELECT e.vec_id, e.embedding, t.tbl,
+                        ${hyperplaneSig("e.embedding", 10, "42 + 7919*t.tbl")} AS bucket
+                 FROM embeddings e, tbls t),
+        probes AS (SELECT s.vec_id AS qid, s.tbl,
+                          xor(s.bucket, CAST(m.m AS BIGINT)) AS bucket
+                   FROM sigs s, (SELECT unnest([$masks]) AS m) m
+                   WHERE s.vec_id % 25 = 0),
+        cand AS (SELECT DISTINCT p.qid, s.vec_id
+                 FROM probes p JOIN sigs s USING (tbl, bucket)),
+        scored AS (SELECT c.qid, c.vec_id, ${cosine("e.embedding", "q.embedding")} AS sim
+                   FROM cand c
+                   JOIN embeddings e ON e.vec_id = c.vec_id
+                   JOIN embeddings q ON q.vec_id = c.qid)
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored QUALIFY rnk <= 5
+      """
+      },
+
+      "fingerprints" -> {
+        import OracleDialect._
+        s"""
+        SELECT doc_id, ${docFingerprint("text")} AS fingerprint FROM documents
+      """
+      },
+
+      "lang_id" -> s"""
+        WITH g AS (
+          SELECT doc_id, lang,
+                 unnest(list_transform(
+                   range(1, greatest(least(length(lower(text)) - 2, 500), 0) + 1),
+                   i -> lower(text)[i:i+2])) AS ngram
+          FROM documents),
+        prof AS (
+          SELECT lang AS p_lang, ngram, 201 - rk AS weight FROM (
+            SELECT lang, ngram,
+                   row_number() OVER (PARTITION BY lang
+                     ORDER BY count(*) DESC, ngram) AS rk
+            FROM g GROUP BY lang, ngram)
+          WHERE rk <= 200),
+        dg AS (SELECT doc_id, lang, ngram, count(*) AS tf
+               FROM g GROUP BY doc_id, lang, ngram),
+        sc AS (SELECT dg.doc_id, dg.lang, prof.p_lang,
+                      sum(prof.weight * dg.tf) AS score
+               FROM dg JOIN prof USING (ngram)
+               GROUP BY dg.doc_id, dg.lang, prof.p_lang)
+        SELECT doc_id, lang, p_lang AS predicted FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                      ORDER BY score DESC, p_lang) AS rk FROM sc)
+        WHERE rk = 1
       """,
 
       "h3_local_ij_roundtrip" -> s"""

@@ -128,7 +128,11 @@ object Icelite {
     val name = f"snapshot-$id%06d.json"
     val tmp = manifestDir(root).resolve(s".$name.tmp")
     Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, manifestDir(root).resolve(name), StandardCopyOption.ATOMIC_MOVE)
+    // REPLACE_EXISTING: a crash between this rename and the CURRENT update
+    // leaves an orphaned snapshot file with the same next-id; the orphan is
+    // dead data (CURRENT is the commit point), so overwrite it on resume.
+    Files.move(tmp, manifestDir(root).resolve(name),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
     val curTmp = manifestDir(root).resolve(".CURRENT.tmp")
     Files.write(curTmp, name.getBytes(StandardCharsets.UTF_8))
     Files.move(curTmp, manifestDir(root).resolve("CURRENT"),

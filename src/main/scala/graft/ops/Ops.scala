@@ -22,40 +22,58 @@ object Ops {
       .agg(min("doc_id").as("keep_id"), count(lit(1)).as("dup_count"))
 
   /** MinHash-LSH near-duplicate candidate pairs with verified Jaccard.
-    * shingle=3 words, 64 hashes, 16 bands of 4 rows. */
+    * shingle=3 words, 64 hashes, 16 bands of 4 rows.
+    *
+    * Scale shape: candidate generation is id-only — the band join and the
+    * pair-dedup shuffle carry (band, hash, id) rows, never document text;
+    * texts are joined back exactly once per verified-candidate side. */
   def dedupMinHash(spark: SparkSession, docs: DataFrame,
                    threshold: Double = 0.7, shingle: Int = 3,
                    numHashes: Int = 64, bands: Int = 16): DataFrame = {
     OpsFunctions.register(spark)
     val withBands = docs
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id"),
         posexplode(expr(s"minhash_band_hashes(text, $shingle, $numHashes, $bands)"))
           .as(Seq("band", "band_hash")))
 
-    // Same band index + same band hash -> candidate pair (a < b).
-    val a = withBands.select(col("band"), col("band_hash"),
-      col("doc_id").as("a_id"), col("text").as("a_text"))
-    val b = withBands.select(col("band"), col("band_hash"),
-      col("doc_id").as("b_id"), col("text").as("b_text"))
-    a.join(b, Seq("band", "band_hash"))
+    // Same band index + same band hash -> candidate pair (a < b), ids only.
+    val a = withBands.select(col("band"), col("band_hash"), col("doc_id").as("a_id"))
+    val b = withBands.select(col("band"), col("band_hash"), col("doc_id").as("b_id"))
+    val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), col("a_text"), col("b_text"))
+      .select("a_id", "b_id")
       .distinct()
-      .withColumn("jaccard", expr(s"ngram_jaccard(a_text, b_text, $shingle)"))
-      .filter(col("jaccard") >= threshold)
-      .select("a_id", "b_id", "jaccard")
+
+    // Texts join back once per side for exact-Jaccard verification.
+    val texts = docs.select(col("doc_id"), col("text"))
+    candidates
+      .join(texts.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+      .join(texts.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
+      .withColumn("ov", expr(s"ngram_overlap(a_text, b_text, $shingle)"))
+      .select(col("a_id"), col("b_id"),
+        col("ov.n_inter").as("n_inter"), col("ov.n_union").as("n_union"))
+      .filter(col("n_inter").cast("double") / col("n_union") >= threshold)
   }
 
-  /** SimHash near-duplicates: 64-bit signature, blocking on 4 x 16-bit
-    * chunks (any pair with hamming <= 3 shares at least one chunk). */
+  /** SimHash near-duplicates over the 63-bit signature, blocked on
+    * (maxHamming + 1) bit chunks: by pigeonhole, any pair within
+    * `maxHamming` differing bits shares at least one untouched chunk, so
+    * recall at the threshold is exact. */
   def dedupSimHash(spark: SparkSession, docs: DataFrame,
                    maxHamming: Int = 3): DataFrame = {
     OpsFunctions.register(spark)
+    require(maxHamming >= 0 && maxHamming < 63, s"maxHamming=$maxHamming")
+    val chunks = maxHamming + 1
+    val base = 63 / chunks
+    val rem = 63 % chunks
+    // Chunk i covers [off(i), off(i+1)): first `rem` chunks get base+1 bits.
+    val offsets = (0 to chunks).map(i => i * base + math.min(i, rem))
     val sigs = docs.select(col("doc_id"), expr("simhash(text)").as("sig"))
     val chunked = sigs.select(col("doc_id"), col("sig"),
-      posexplode(array((0 until 4).map(i =>
-        expr(s"cast((sig >> ${i * 16}) & 65535 as int)")): _*))
-        .as(Seq("chunk", "chunk_val")))
+      posexplode(array((0 until chunks).map { i =>
+        val width = offsets(i + 1) - offsets(i)
+        expr(s"cast((sig >> ${offsets(i)}) & ${(1L << width) - 1} as int)")
+      }: _*)).as(Seq("chunk", "chunk_val")))
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("a_id"), col("sig").as("a_sig"))
     val b = chunked.select(col("chunk"), col("chunk_val"),
@@ -126,19 +144,25 @@ object Ops {
     OpsFunctions.register(spark)
     val tableSigs = (0 until tables).map(t =>
       expr(s"hyperplane_lsh(embedding, $bits, ${seed + 7919L * t}L)"))
-    val hashed = corpus.select(col("vec_id"), col("embedding"),
+    val hashed = corpus.select(col("vec_id"),
       posexplode(array(tableSigs: _*)).as(Seq("tbl", "bucket")))
-    val probes = queries.select(col("vec_id").as("qid"), col("embedding").as("q_vec"),
+    val probes = queries.select(col("vec_id").as("qid"), col("embedding"),
       posexplode(array(tableSigs: _*)).as(Seq("tbl", "b0")))
       .withColumn("bucket", explode(array(
         col("b0") +: (0 until bits).map(i => expr(s"b0 ^ ${1L << i}")): _*)))
-    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
-    probes.join(hashed, Seq("tbl", "bucket"))
-      .select("qid", "q_vec", "vec_id", "embedding").distinct()
+      .select("qid", "tbl", "bucket")
+    // Candidates and the cross-table dedup shuffle carry ids only; the
+    // embedding payloads join back once after dedup.
+    val candidates = probes.join(hashed, Seq("tbl", "bucket"))
+      .select("qid", "vec_id").distinct()
+    val scored = candidates
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("q_vec"))), "qid")
       .withColumn("sim", expr("cosine_similarity(embedding, q_vec)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "vec_id", "sim", "rank")
+    // Map-side partial top-k: the final shuffle carries <= k rows per
+    // query per partition.
+    TopK.topKPerGroup(spark, scored, "qid", "sim", "vec_id", k)
   }
 
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",

@@ -49,8 +49,15 @@ object OpsKernel {
     if (na == 0 || nb == 0) 0.0 else dot / Math.sqrt(na * nb)
   }
 
-  /** Deterministic hyperplane LSH signature (`bits` sign bits) of a float
-    * vector; plane components are pseudo-random from (seed, bit, dim). */
+  /** Sign (+1/-1) of hyperplane component (seed, bit, dim): parity of an
+    * affine hash mod the Mersenne prime — same arithmetic is expressible in
+    * DuckDB SQL for the driver oracle. `seed` must be non-negative. */
+  @inline def planeSign(seed: Long, b: Int, d: Int): Double =
+    if (((seed + (b * 128L + d) * 48271L) % TextKernel.P & 1L) == 0L) 1.0 else -1.0
+
+  /** Deterministic Rademacher (+-1) hyperplane LSH signature (`bits` sign
+    * bits) of a float vector. The dot product accumulates in index order in
+    * double precision so DuckDB's left-fold reproduces it bit-for-bit. */
   def hyperplaneSig(v: ArrayData, bits: Int, seed: Long): Long = {
     val n = v.numElements()
     var sig = 0L
@@ -59,16 +66,19 @@ object OpsKernel {
       var dot = 0.0
       var i = 0
       while (i < n) {
-        val h = TextKernel.mix64(seed ^ (b.toLong << 32) ^ i.toLong)
-        // Map to [-1, 1).
-        val plane = (h >> 11).toDouble / (1L << 52).toDouble
-        dot += v.getFloat(i) * plane
+        dot += planeSign(seed, b, i) * v.getFloat(i).toDouble
         i += 1
       }
       if (dot >= 0) sig |= (1L << b)
       b += 1
     }
     sig
+  }
+
+  /** Distinct word-shingle overlap counts as a (n_inter, n_union) row. */
+  def overlapRow(a: UTF8String, b: UTF8String, k: Int): InternalRow = {
+    val (inter, union) = TextKernel.overlapCounts(a.toString, b.toString, k)
+    InternalRow(inter, union)
   }
 }
 
@@ -134,6 +144,26 @@ case class JaccardExpr(a: Expression, b: Expression, shingle: Expression)
     OpsKernel.jaccard(x.asInstanceOf[UTF8String], y.asInstanceOf[UTF8String], k.asInstanceOf[Int])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (x, y, k) => s"graft.ops.OpsKernel.jaccard($x, $y, $k)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(a = f, b = s, shingle = t)
+}
+
+/** (n_inter, n_union) of distinct word-shingle fingerprint sets — integer
+  * outputs so the driver's DuckDB oracle can hash-match them exactly. */
+case class OverlapCountsExpr(a: Expression, b: Expression, shingle: Expression)
+    extends TernaryExpression {
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = shingle
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_inter", IntegerType, nullable = false),
+    StructField("n_union", IntegerType, nullable = false)))
+  override def prettyName: String = "ngram_overlap"
+  override protected def nullSafeEval(x: Any, y: Any, k: Any): Any =
+    OpsKernel.overlapRow(x.asInstanceOf[UTF8String], y.asInstanceOf[UTF8String],
+      k.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y, k) => s"graft.ops.OpsKernel.overlapRow($x, $y, $k)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(a = f, b = s, shingle = t)
 }

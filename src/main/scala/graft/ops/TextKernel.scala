@@ -2,10 +2,23 @@ package graft.ops
 
 /** Pure-JVM text kernels for the data-pipeline operators: shingle minhash,
   * simhash, rolling-hash fingerprints, n-gram extraction. All deterministic,
-  * seedable, zero dependencies; called from Catalyst expressions. */
+  * seedable, zero dependencies; called from Catalyst expressions.
+  *
+  * Every hash here uses modular arithmetic over the Mersenne prime
+  * P = 2^31-1 with all intermediates < 2^63, so the exact same pipeline is
+  * expressible 1:1 in DuckDB SQL (whose BIGINT errors on overflow instead
+  * of wrapping) — the driver's oracle re-derives these values bit-for-bit
+  * (see SparkEntry.oracleSql). Weaker than a 64-bit avalanche hash in
+  * collision resistance, but collisions are identical on both sides and
+  * ~2^31 space is ample for LSH banding.
+  */
 object TextKernel {
 
-  /** 64-bit avalanche mix (splitmix64 finalizer). */
+  /** Modulus for all rolling/derived hashes (Mersenne prime 2^31-1). */
+  val P: Long = 2147483647L
+
+  /** 64-bit avalanche mix (splitmix64 finalizer) — internal-only uses
+    * (never oracle-compared). */
   @inline def mix64(z0: Long): Long = {
     var z = z0
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
@@ -13,16 +26,19 @@ object TextKernel {
     z ^ (z >>> 31)
   }
 
-  /** Polynomial rolling hash of s[from, until). */
-  def rollHash(s: String, from: Int, until: Int): Long = {
-    var h = 1125899906842597L
+  /** Polynomial rolling hash mod P of s[from, until), seeded at `h0`. */
+  @inline private def rollFp(s: String, from: Int, until: Int, h0: Long): Long = {
+    var h = h0
     var i = from
     while (i < until) {
-      h = 31 * h + s.charAt(i)
+      h = (31 * h + s.charAt(i)) % P
       i += 1
     }
     h
   }
+
+  /** Rolling hash mod P of the full string (DuckDB: fold over unicode()). */
+  def stringFp(s: String): Long = rollFp(s, 0, s.length, 5381L)
 
   /** Whitespace word boundaries: returns offsets of word starts/ends. */
   private def wordBounds(s: String): (Array[Int], Array[Int]) = {
@@ -41,35 +57,57 @@ object TextKernel {
     (starts.result(), ends.result())
   }
 
-  /** Hashes of all word `k`-shingles of the text. */
-  def shingleHashes(text: String, k: Int): Array[Long] = {
+  /** Fingerprint of words [from, until) joined by a single space — equals
+    * stringFp(words.mkString(" ")) without materializing the join. */
+  private def joinedFp(text: String, starts: Array[Int], ends: Array[Int],
+                       from: Int, until: Int): Long = {
+    var h = 5381L
+    var w = from
+    while (w < until) {
+      if (w > from) h = (31 * h + ' ') % P
+      h = rollFp(text, starts(w), ends(w), h)
+      w += 1
+    }
+    h
+  }
+
+  /** Fingerprints (mod P) of all word `k`-shingles of the text; a shingle's
+    * fingerprint is the rolling hash of its words joined by one space.
+    * Fewer than k words: one fingerprint of all words joined. */
+  def shingleFps(text: String, k: Int): Array[Long] = {
     val (starts, ends) = wordBounds(text)
     val words = starts.length
     if (words < k) {
       if (words == 0) return Array.emptyLongArray
-      return Array(mix64(rollHash(text, starts(0), ends(words - 1))))
+      return Array(joinedFp(text, starts, ends, 0, words))
     }
     val out = new Array[Long](words - k + 1)
     var i = 0
     while (i + k <= words) {
-      out(i) = mix64(rollHash(text, starts(i), ends(i + k - 1)))
+      out(i) = joinedFp(text, starts, ends, i, i + k)
       i += 1
     }
     out
   }
 
-  /** MinHash signature over word `k`-shingles: `numHashes` minima of
-    * seed-mixed shingle hashes. */
+  /** Hash family member f applied to a shingle fingerprint. */
+  @inline def hashF(fp: Long, f: Int): Long =
+    ((2L * f + 3L) * fp + 7919L * f + 1L) % P
+
+  /** MinHash signature over word `k`-shingles: `numHashes` minima of the
+    * affine hash family applied to shingle fingerprints. */
   def minHash(text: String, k: Int, numHashes: Int): Array[Long] = {
-    val shingles = shingleHashes(text, k)
+    val shingles = shingleFps(text, k)
     val sig = new Array[Long](numHashes)
-    java.util.Arrays.fill(sig, Long.MaxValue)
+    // "Infinity" sentinel = P: every family value is < P, and the sentinel
+    // stays inside the band-hash modular bound (DuckDB: coalesce(min, P)).
+    java.util.Arrays.fill(sig, P)
     var s = 0
     while (s < shingles.length) {
-      val h0 = shingles(s)
+      val fp = shingles(s)
       var f = 0
       while (f < numHashes) {
-        val h = mix64(h0 ^ (0x9E3779B97F4A7C15L * (f + 1)))
+        val h = hashF(fp, f)
         if (h < sig(f)) sig(f) = h
         f += 1
       }
@@ -80,22 +118,22 @@ object TextKernel {
 
   /** Hash of one LSH band (signature rows [band*rows, (band+1)*rows)). */
   def bandHash(sig: Array[Long], band: Int, rowsPerBand: Int): Long = {
-    var h = 1125899906842597L ^ band
+    var h = band + 17L
     var i = band * rowsPerBand
     val end = Math.min(sig.length, i + rowsPerBand)
     while (i < end) {
-      h = mix64(h ^ sig(i))
+      h = (131 * h + sig(i)) % P
       i += 1
     }
     h
   }
 
-  /** Exact Jaccard similarity of word-shingle sets. */
-  def jaccard(a: String, b: String, k: Int): Double = {
-    val sa = shingleHashes(a, k)
-    val sb = shingleHashes(b, k)
-    if (sa.isEmpty && sb.isEmpty) return 1.0
-    if (sa.isEmpty || sb.isEmpty) return 0.0
+  /** Distinct-shingle overlap counts: (intersection, union). Both empty ->
+    * (1, 1) so inter/union = Jaccard = 1.0 by convention. */
+  def overlapCounts(a: String, b: String, k: Int): (Int, Int) = {
+    val sa = shingleFps(a, k)
+    val sb = shingleFps(b, k)
+    if (sa.isEmpty && sb.isEmpty) return (1, 1)
     val setA = new java.util.HashSet[Long]()
     var i = 0
     while (i < sa.length) { setA.add(sa(i)); i += 1 }
@@ -105,50 +143,50 @@ object TextKernel {
     var inter = 0
     val it = setB.iterator()
     while (it.hasNext) if (setA.contains(it.next())) inter += 1
-    inter.toDouble / (setA.size + setB.size - inter)
+    (inter, setA.size + setB.size - inter)
   }
 
-  /** 64-bit SimHash over word unigrams. */
+  /** Exact Jaccard similarity of word-shingle fingerprint sets. */
+  def jaccard(a: String, b: String, k: Int): Double = {
+    val (inter, union) = overlapCounts(a, b, k)
+    inter.toDouble / union
+  }
+
+  /** Bit `b` (0..62) contribution of a word fingerprint to the simhash:
+    * +1 when the derived hash is odd, else -1. */
+  @inline def simBit(fp: Long, b: Int): Int =
+    if ((((fp + 1L + b * 10007L) * 48271L) % P & 1L) == 1L) 1 else -1
+
+  /** 63-bit SimHash over word unigrams (bit 63 unused so the value is
+    * non-negative on both the JVM and DuckDB). */
   def simHash(text: String): Long = {
     val (starts, ends) = wordBounds(text)
-    val counts = new Array[Int](64)
+    val counts = new Array[Int](63)
     var w = 0
     while (w < starts.length) {
-      val h = mix64(rollHash(text, starts(w), ends(w)))
+      val fp = joinedFp(text, starts, ends, w, w + 1)
       var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      while (b < 63) {
+        counts(b) += simBit(fp, b)
         b += 1
       }
       w += 1
     }
     var out = 0L
     var b = 0
-    while (b < 64) {
+    while (b < 63) {
       if (counts(b) > 0) out |= (1L << b)
       b += 1
     }
     out
   }
 
-  /** Rolling-hash document fingerprint over normalized text (lowercased,
-    * whitespace collapsed). Byte-stable across runs. */
+  /** Rolling-hash document fingerprint over normalized text: lowercased,
+    * whitespace-trimmed and collapsed to single spaces. */
   def fingerprint(text: String): Long = {
-    var h = 1125899906842597L
-    var i = 0
-    var lastWasSpace = true
-    val n = text.length
-    while (i < n) {
-      val c = text.charAt(i)
-      if (Character.isWhitespace(c)) {
-        if (!lastWasSpace) { h = 31 * h + ' '; lastWasSpace = true }
-      } else {
-        h = 31 * h + Character.toLowerCase(c)
-        lastWasSpace = false
-      }
-      i += 1
-    }
-    mix64(h)
+    val s = text.toLowerCase
+    val (starts, ends) = wordBounds(s)
+    joinedFp(s, starts, ends, 0, starts.length)
   }
 
   /** Character n-grams of the lowercased text (for language ID profiles). */

@@ -54,6 +54,12 @@ object EdgeKernel {
   def edgeLengthAvgM(res: Int): Double = edgeLengthAvgKm(res) * 1000.0
   def isResClass3(res: Int): Boolean = (res & 1) == 1
   def maxGridDiskSize(k: Int): Long = H3.maxGridDiskSize(k)
+  def maxGridRingSize(k: Int): Long = if (k <= 0) 1L else 6L * k
+
+  /** Origin and destination cells of a directed edge (reference
+    * src/index/edge.rs:169-180 `cells()`). */
+  def edgeCellsArray(e: Long): org.apache.spark.sql.catalyst.util.ArrayData =
+    new GenericArrayData(Array[Any](Edges.edgeOrigin(e), Edges.edgeDestination(e)))
 
   def icosahedronFacesArr(c: Long): org.apache.spark.sql.catalyst.util.ArrayData = {
     val mask = Edges.icosahedronFaces(c)
@@ -109,6 +115,7 @@ case class H3EdgeCall1(fn: String, child: Expression, dataType: DataType,
       case "cellAreaM2" => EdgeKernel.cellAreaM2(v)
       case "vertexLatLngRow" => EdgeKernel.vertexLatLngRow(v)
       case "edgeBoundaryArray" => EdgeKernel.edgeBoundaryArray(v)
+      case "edgeCellsArray" => EdgeKernel.edgeCellsArray(v)
       case "icosahedronFacesArr" => EdgeKernel.icosahedronFacesArr(v)
       case "maxFaceCount" => EdgeKernel.maxFaceCount(v)
     }
@@ -140,6 +147,7 @@ case class H3ResCall(fn: String, child: Expression, dataType: DataType)
       case "edgeLengthAvgM" => EdgeKernel.edgeLengthAvgM(v)
       case "isResClass3" => EdgeKernel.isResClass3(v)
       case "maxGridDiskSize" => EdgeKernel.maxGridDiskSize(v)
+      case "maxGridRingSize" => EdgeKernel.maxGridRingSize(v)
     }
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

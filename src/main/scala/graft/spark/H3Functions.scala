@@ -68,6 +68,8 @@ object H3Functions {
     "h3_directed_edge_to_boundary" -> (es => H3EdgeCall1("edgeBoundaryArray", lng(es(0)),
       ArrayType(StructType(Seq(StructField("lat", DoubleType, false), StructField("lng", DoubleType, false))), containsNull = false),
       sentinelNull = false)),
+    "h3_directed_edge_to_cells" -> (es => H3EdgeCall1("edgeCellsArray", lng(es(0)),
+      ArrayType(LongType, containsNull = false), sentinelNull = false)),
     "h3_edge_length_rads" -> (es => H3EdgeCall1("edgeLengthRads", lng(es(0)), DoubleType, sentinelNull = false)),
     "h3_edge_length_km" -> (es => H3EdgeCall1("edgeLengthKm", lng(es(0)), DoubleType, sentinelNull = false)),
     "h3_edge_length_m" -> (es => H3EdgeCall1("edgeLengthM", lng(es(0)), DoubleType, sentinelNull = false)),
@@ -87,6 +89,7 @@ object H3Functions {
     "h3_get_hexagon_edge_length_avg_km" -> (es => H3ResCall("edgeLengthAvgKm", int(es(0)), DoubleType)),
     "h3_is_res_class_iii" -> (es => H3ResCall("isResClass3", int(es(0)), BooleanType)),
     "h3_max_grid_disk_size" -> (es => H3ResCall("maxGridDiskSize", int(es(0)), LongType)),
+    "h3_max_grid_ring_size" -> (es => H3ResCall("maxGridRingSize", int(es(0)), LongType)),
     "h3_get_res0_cells" -> (_ => Res0CellsGen()),
     "h3_get_pentagons" -> (es => PentagonsGen(int(es(0)))),
     "h3_cell_to_local_ij" -> (es => CellToLocalIjExpr(lng(es(0)), lng(es(1)))),

@@ -3,7 +3,7 @@ package graft.spark
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
 import graft.h3.H3
 
@@ -69,14 +69,26 @@ object H3OptimizerRule extends Rule[LogicalPlan] {
         else Filter(extra.foldLeft(cond)(And(_, _)), child)
     }
     withRanges.transformAllExpressions {
+      // Parent-of-parent collapse, null-preserving: the inner call returns
+      // NULL when r1 exceeds the cell's own resolution, so the collapsed
+      // form keeps that check (a cheap bit op instead of a full parent
+      // computation).
       case CellToParent(CellToParent(cell, Literal(r1: Int, IntegerType)),
                         outer @ Literal(r2: Int, IntegerType))
           if r2 <= r1 && r2 >= 0 =>
-        CellToParent(cell, outer)
+        If(GreaterThan(Literal(r1, IntegerType), CellResolution(cell)),
+          Literal(null, LongType), CellToParent(cell, outer))
 
+      // Resolution-of-index shortcut, null-preserving: LatLngToCell is NULL
+      // exactly when lat/lng are non-finite (NaN/Inf) for an in-range
+      // literal res; `x - x = 0.0` is true iff x is finite, and evaluates
+      // to NULL/false for NULL inputs, so the If falls through to NULL.
       case CellResolution(LatLngToCell(lat, lng, Literal(r: Int, IntegerType)))
-          if r >= 0 && r <= 15 && !lat.nullable && !lng.nullable =>
-        Literal(r, IntegerType)
+          if r >= 0 && r <= 15 =>
+        val finite = And(
+          EqualTo(Subtract(lat, lat), Literal(0.0, DoubleType)),
+          EqualTo(Subtract(lng, lng), Literal(0.0, DoubleType)))
+        If(finite, Literal(r, IntegerType), Literal(null, IntegerType))
     }
   }
 }
