@@ -51,13 +51,19 @@ object Icelite {
   def completedPartitions(root: String): Set[String] =
     currentSnapshot(root).map(_.entries.map(_.value).toSet).getOrElse(Set.empty)
 
-  /** Writes `df` partitioned by `partitionCol`, one commit per bucket group,
-    * skipping buckets already in the manifest (resume). Returns the number
-    * of buckets actually computed this run.
+  /** Writes `df` partitioned by `partitionCol`, skipping buckets already in
+    * the manifest (resume). Returns the number of buckets computed this run.
     *
-    * `bucketExpr` must be a deterministic, coarse (<= ~100 values at test
-    * scale) partitioning expression; at production scale this is the
-    * `cell_p` H3 prefix.
+    * Scale shape: ALL remaining buckets are written in ONE Spark job
+    * (`partitionBy` into a staging dir) plus one stats job — the input is
+    * scanned exactly twice regardless of bucket count (the previous design
+    * ran one full job per bucket: 41k sequential scans at 100 TB). Each
+    * staged bucket directory is then promoted into place with an atomic
+    * rename and committed to the manifest incrementally, so a crash
+    * mid-promote resumes at bucket granularity with no partial data.
+    *
+    * `partitionCol` must be a deterministic, coarse partitioning column;
+    * at production scale this is the `cell_p` H3 prefix (~41k buckets).
     */
   def writeResumable(spark: SparkSession, df: DataFrame, root: String,
                      partitionCol: String,
@@ -65,41 +71,52 @@ object Icelite {
                      lineage: String = ""): Int = {
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
+    // Abandoned staging dirs from a crashed run are dead data.
+    Files.list(Paths.get(root)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith(".staging-"))
+      .foreach(deleteRecursively)
 
     val done = completedPartitions(root)
-    val values = df.select(col(partitionCol).cast("string")).distinct()
-      .collect().map(_.getString(0)).sorted
-    val todo = values.filterNot(done)
+    // `__part` drives partitionBy so the original column stays in the data
+    // files (partitionBy consumes its column) and read-back schemas match.
+    val remaining0 = df.withColumn("__part", col(partitionCol).cast("string"))
+    val remaining =
+      if (done.isEmpty) remaining0
+      else remaining0.filter(!col("__part").isInCollection(done))
 
+    val t0 = System.nanoTime()
+    // Job 1: stage every remaining bucket at once.
+    val staging = Paths.get(root, s".staging-${System.nanoTime()}")
+    remaining.write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
+
+    // Job 2: per-bucket row counts + content checksums (same scan shape).
+    val dataCols = df.columns.filterNot(_ == partitionCol).map(c => s"`$c`")
+    val stats = remaining.groupBy("__part")
+      .agg(count(lit(1)).as("rows"),
+        expr(s"bit_xor(xxhash64(struct(${dataCols.mkString(",")})))").as("checksum"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .sortBy(_._1)
+
+    // Promote loop: atomic rename per bucket + incremental manifest commit
+    // (driver-side only — no further Spark jobs).
     var entries = currentSnapshot(root).map(_.entries.toVector).getOrElse(Vector.empty)
     var computed = 0
-    for (v <- todo) {
+    for ((v, (rows, checksum)) <- stats) {
       if (computed >= failAfter)
         throw new RuntimeException(s"icelite: injected failure after $failAfter buckets")
-      val t0 = System.nanoTime()
-      val part = df.filter(col(partitionCol).cast("string") === v)
+      val staged = staging.resolve(s"__part=$v")
       val target = dataDir(root).resolve(s"$partitionCol=$v")
-      // Write bucket to a temp dir, then atomically move into place.
-      val tmp = Paths.get(root, s".tmp-$v-${System.nanoTime()}")
-      part.write.mode("overwrite").parquet(tmp.toString)
       if (Files.exists(target)) deleteRecursively(target)
-      Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
-
-      val stats = spark.read.parquet(target.toString)
-        .agg(count(lit(1)), expr(
-          "bit_xor(xxhash64(struct(" +
-            df.columns.filterNot(_ == partitionCol).map(c => s"`$c`").mkString(",") + ")))"))
-        .collect()(0)
-      val rows = stats.getLong(0)
-      val checksum = if (stats.isNullAt(1)) 0L else stats.getLong(1)
+      Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
       val files = Files.list(target).iterator().asScala
         .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
-
       entries :+= PartitionEntry(v, rows, checksum, files,
         durationMs = (System.nanoTime() - t0) / 1000000, lineage = lineage)
       commitSnapshot(root, partitionCol, entries)
       computed += 1
     }
+    deleteRecursively(staging)
     computed
   }
 

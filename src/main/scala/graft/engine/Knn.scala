@@ -21,27 +21,49 @@ import graft.spark.H3Functions
   */
 object Knn {
 
-  /** Conservative lower bound (meters) on the distance from any point of
-    * the query cell to any point outside disk(ring) at `res`. Verified
-    * against brute force in EngineSpec and the driver's DuckDB oracle. */
+  /** Conservative lower bound (meters) on the distance from ANY point of
+    * the query cell (worst case: a boundary vertex) to any point outside
+    * disk(ring) at `res`, for ring >= 2.
+    *
+    * Derivation: a segment leaving the origin cell and exiting disk(ring)
+    * crosses each of rings 1..ring, so its length is at least ring x the
+    * minimum cell width. The 0.75 factor is calibrated against an
+    * exhaustive boundary-vertex-to-boundary-vertex sweep over ALL pentagon
+    * neighborhoods (the maximal grid distortion) at res 0..11 plus global
+    * random sampling, whose observed worst ratio is 0.925 x ring x avgEdge
+    * (KnnBoundSpec re-runs a subset); ring < 2 is rejected because the
+    * single-ring margin is not covered by the calibration. */
   def safeRadiusM(res: Int, ring: Int): Double = {
+    require(ring >= 2, s"safeRadiusM requires ring >= 2, got $ring")
+    // Res 0 admits NO positive bound: with only 122 cells the ring-2 shell
+    // wraps around and can touch the origin cell (observed d = 0), so
+    // settlement is rejected there — the ladder floors at res 1 and the
+    // brute-force guard covers whatever cannot settle.
+    require(res >= 1, s"safeRadiusM requires res >= 1, got $res")
     val edgeM = graft.h3.Tables.EdgeLengthRads(res) * graft.h3.H3.EarthRadiusKm * 1000.0
-    ring.toDouble * edgeM * 0.8
+    ring.toDouble * edgeM * 0.75
   }
 
   /** @param points  columns: id, lat, lng (degrees)
     * @param queries columns: qid, lat, lng (degrees)
+    * @param broadcastMaxDisks max exploded disk rows (queries x disk size)
+    *        broadcast per round; above it the disk join falls back to a
+    *        shuffle join so huge query sets cannot blow the driver.
     * @return columns: qid, id, dist_m, rank (rank 1..k)
     */
   def knnJoin(spark: SparkSession, points: DataFrame, queries: DataFrame,
               k: Int, res: Int, initialRing: Int = 2,
-              maxRounds: Int = 4): DataFrame = {
+              maxRounds: Int = 4,
+              broadcastMaxDisks: Long = 2L * 1000 * 1000): DataFrame = {
     H3Functions.register(spark)
 
-    // Escalation ladder: native res, res-4, res 0 (hemispheric reach).
-    val levels = (List(res) ++ List(math.max(res - 4, 0), 0)).distinct
+    // Escalation ladder: native res, res-4, res 1 (near-hemispheric
+    // reach; res 0 cannot soundly settle — see safeRadiusM). Rings below 2
+    // are rejected: the settlement bound is only calibrated for ring >= 2.
+    require(res >= 1, s"knnJoin requires res >= 1, got $res")
+    val levels = (List(res) ++ List(math.max(res - 4, 1), 1)).distinct
     val rings = levels.zipWithIndex.map { case (_, i) =>
-      if (i == 0) initialRing else 2
+      if (i == 0) math.max(initialRing, 2) else 2
     }
 
     // One cell column per level, all derived from the finest by cheap
@@ -75,6 +97,7 @@ object Knn {
     var done = false
     var round = 0
     val totalRounds = levels.length + 1 // + brute guard
+    var remainingCount = queries.count()
 
     while (!done) {
       val bruteRound = round == totalRounds - 1
@@ -87,7 +110,14 @@ object Knn {
             .select(col("qid"), col("qlat"), col("qlng"),
               expr(s"h3_grid_disk(h3_cell_to_parent(__qcell, $level), $ring)")
                 .as("__cell"))
-          ptsC.join(broadcast(disks), col("__cell") === col(s"__pcell$level"))
+          // Broadcast only while the exploded disk set is provably small;
+          // otherwise shuffle both sides on the disk cell (query sets in
+          // the millions would blow the driver through the broadcast).
+          val diskRows = remainingCount * graft.h3.H3.maxGridDiskSize(ring)
+          if (diskRows <= broadcastMaxDisks)
+            ptsC.join(broadcast(disks), col("__cell") === col(s"__pcell$level"))
+          else
+            ptsC.join(disks, col("__cell") === col(s"__pcell$level"))
         }
 
       val ranked = rank(cand).cache()
@@ -104,7 +134,8 @@ object Knn {
         val settled = ranked.join(okQids, "qid")
         result = if (result == null) settled else result.unionByName(settled)
         remaining = remaining.join(okQids, Seq("qid"), "left_anti").cache()
-        if (remaining.isEmpty) done = true
+        remainingCount = remaining.count()
+        if (remainingCount == 0) done = true
       }
       round += 1
     }

@@ -31,12 +31,43 @@ object StreamingTiles {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  final case class TileState(total: Long, distinctCells: Set[Long])
-  final case class TileUpdate(tile: Long, total: Long, distinct_cells: Int)
+  /** Per-tile state is BOUNDED: a fixed 256-register HyperLogLog sketch
+    * (256 bytes) instead of a distinct-cell set — a long-running stream over
+    * fine-resolution cells would otherwise grow state without limit and
+    * OOM the state store. */
+  final case class TileState(total: Long, hll: Array[Byte])
+  final case class TileUpdate(tile: Long, total: Long, distinct_cells: Long)
 
-  /** Custom-state streaming: per-tile running totals + distinct-cell
-    * cardinality via flatMapGroupsWithState (the KeyValueGroupedDataset
-    * escape hatch for state Spark's windowed aggregates can't express). */
+  private[graft] final val HllRegisters = 256 // 2^8; ~6.5% standard error
+
+  private[graft] def hllAdd(regs: Array[Byte], value: Long): Unit = {
+    val h = graft.ops.TextKernel.mix64(value)
+    val idx = (h >>> 56).toInt // top 8 bits
+    val rank = (java.lang.Long.numberOfLeadingZeros(h << 8 | 0xFFL) + 1).toByte
+    if (rank > regs(idx)) regs(idx) = rank
+  }
+
+  private[graft] def hllEstimate(regs: Array[Byte]): Long = {
+    val m = HllRegisters
+    var sum = 0.0
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      sum += java.lang.Math.pow(2.0, -regs(i).toDouble)
+      if (regs(i) == 0) zeros += 1
+      i += 1
+    }
+    val alpha = 0.7213 / (1.0 + 1.079 / m) // HLL bias constant, m >= 128
+    val e = alpha * m * m / sum
+    val corrected =
+      if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+    math.round(corrected)
+  }
+
+  /** Custom-state streaming: per-tile running totals + approximate
+    * distinct-cell cardinality via flatMapGroupsWithState (the
+    * KeyValueGroupedDataset escape hatch for state Spark's windowed
+    * aggregates can't express). */
   def tileVisitStats(spark: SparkSession, events: DataFrame,
                      pointRes: Int = 9, tileRes: Int = 5)
       : org.apache.spark.sql.Dataset[TileUpdate] = {
@@ -52,12 +83,13 @@ object StreamingTiles {
     keyed.flatMapGroupsWithState(
       OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
       (tile: Long, rows: Iterator[(Long, Long)], state: GroupState[TileState]) =>
-        val prev = state.getOption.getOrElse(TileState(0L, Set.empty))
+        val prev = state.getOption.getOrElse(
+          TileState(0L, new Array[Byte](HllRegisters)))
         var total = prev.total
-        var cells = prev.distinctCells
-        rows.foreach { case (_, cell) => total += 1; cells += cell }
-        state.update(TileState(total, cells))
-        Iterator(TileUpdate(tile, total, cells.size))
+        val regs = prev.hll.clone()
+        rows.foreach { case (_, cell) => total += 1; hllAdd(regs, cell) }
+        state.update(TileState(total, regs))
+        Iterator(TileUpdate(tile, total, hllEstimate(regs)))
     }
   }
 }

@@ -147,6 +147,29 @@ class EngineSpec extends AnyFunSuite {
     assert(Icelite.writeResumable(spark, df, root, "bucket") == 0)
   }
 
+  test("icelite: staged write job count is bounded regardless of bucket count") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-jobs").toString
+    val df = Pages.indexedPages(spark, sfDir)
+      .withColumn("bucket", pmod(col("page_id"), lit(23)))
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Icelite.writeResumable(spark, df, root, "bucket")
+      Thread.sleep(500) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // One staged write + one stats aggregation (+ small constant overhead),
+    // never O(buckets): the old per-bucket loop would run 46+ jobs here.
+    assert(jobs.get <= 6, s"jobs=${jobs.get}")
+    assert(Icelite.completedPartitions(root).size == 23)
+    val back = Icelite.read(spark, root).select("page_id").collect()
+      .map(_.getLong(0)).sorted
+    assert(back.toSeq == df.select("page_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
   test("pages table is deterministic across partitionings") {
     val a = Pages.pages(spark, sfDir).select("page_id", "lat", "lng")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
@@ -160,29 +183,77 @@ class EngineSpec extends AnyFunSuite {
 /** Empirical validation of the kNN completeness bound against worst-case
   * grid distortion, globally sampled. */
 class KnnBoundSpec extends org.scalatest.funsuite.AnyFunSuite {
-  test("safeRadius lower-bounds the distance to everything outside the disk") {
+  import graft.h3.{H3, Tables}
+
+  /** Worst-case distance check: every boundary VERTEX of the origin cell
+    * (a query point can sit arbitrarily close to a vertex) against every
+    * boundary vertex of the (ring+1) shell — the closest points outside
+    * disk(ring). */
+  private def checkCell(cell: Long, res: Int, ring: Int): Unit = {
+    val safe = graft.engine.Knn.safeRadiusM(res, ring)
+    val ob = H3.cellToBoundary(cell)
+    H3.gridRing(cell, ring + 1).foreach { outside =>
+      val b = H3.cellToBoundary(outside)
+      var i = 0
+      while (i < b.length / 2) {
+        var j = 0
+        while (j < ob.length / 2) {
+          val d = H3.greatCircleDistanceM(
+            ob(2 * j), ob(2 * j + 1), b(2 * i), b(2 * i + 1))
+          assert(d >= safe,
+            s"res=$res ring=$ring cell=${cell.toHexString} d=$d safe=$safe")
+          j += 1
+        }
+        i += 1
+      }
+    }
+  }
+
+  test("safeRadius bounds hold at every pentagon neighborhood (max distortion)") {
+    for (res <- 1 to 9; bc <- 0 until 122 if Tables.isPentagonBase(bc)) {
+      val pent = H3.cellToCenterChild(H3.setBaseCell(H3.DefaultCellIndex, bc), res)
+      for (c <- H3.gridDisk(pent, 1)) checkCell(c, res, 2)
+    }
+  }
+
+  test("res 0 settlement is rejected (ring-2 shell can touch the origin)") {
+    intercept[IllegalArgumentException] {
+      graft.engine.Knn.safeRadiusM(0, 2)
+    }
+  }
+
+  test("safeRadius bounds hold on a global random sample, rings 2..3") {
     val r = new scala.util.Random(99)
     for (_ <- 0 until 400) {
       val res = 3 + r.nextInt(8)
-      val ring = 1 + r.nextInt(3)
-      val cell = graft.h3.H3.latLngToCell(
+      val ring = 2 + r.nextInt(2)
+      val cell = H3.latLngToCell(
         r.nextDouble() * 170 - 85, r.nextDouble() * 360 - 180, res)
-      val center = graft.h3.H3.cellToLatLng(cell)
-      val safe = graft.engine.Knn.safeRadiusM(res, ring)
-      // Every boundary vertex of every cell on the (ring+1) shell must be
-      // farther than the claimed bound (vertices are the closest points).
-      graft.h3.H3.gridRing(cell, ring + 1).foreach { outside =>
-        val b = graft.h3.H3.cellToBoundary(outside)
-        var i = 0
-        while (i < b.length / 2) {
-          val d = graft.h3.H3.greatCircleDistanceM(
-            center(0), center(1), b(2 * i), b(2 * i + 1))
-          assert(d >= safe,
-            s"res=$res ring=$ring cell=${cell.toHexString} d=$d safe=$safe")
-          i += 1
-        }
-      }
+      checkCell(cell, res, ring)
     }
+  }
+
+  test("rings below 2 are rejected") {
+    intercept[IllegalArgumentException] {
+      graft.engine.Knn.safeRadiusM(7, 1)
+    }
+  }
+
+  test("kNN shuffle-join fallback (tiny broadcast cap) equals broadcast path") {
+    val spark = SparkTestBase.spark
+    val sfDir = "/root/testdata/sf0.001"
+    val pages = graft.engine.Pages.pages(spark, sfDir)
+    val points = pages.select(col("page_id").as("id"), col("lat"), col("lng"))
+    val queries = pages.filter(col("page_id") % 101 === 0)
+      .select(col("page_id").as("qid"), col("lat"), col("lng"))
+    def run(cap: Long) =
+      graft.engine.Knn.knnJoin(spark, points, queries, k = 3, res = 7,
+          broadcastMaxDisks = cap)
+        .select("qid", "id", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val viaShuffle = run(1) // cap below any query set -> shuffle join path
+    val viaBroadcast = run(Long.MaxValue)
+    assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
   }
 }
 

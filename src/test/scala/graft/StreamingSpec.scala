@@ -131,3 +131,22 @@ class StatefulStreamingSpec extends org.scalatest.funsuite.AnyFunSuite {
     q.stop()
   }
 }
+
+/** Bounded streaming state: the per-tile HLL sketch stays 64 bytes and
+  * estimates distinct cells within normal HLL error. */
+class HllStateSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("HLL estimate tracks true cardinality within ~25%") {
+    for (n <- Seq(10, 100, 5000)) {
+      val regs = new Array[Byte](graft.engine.StreamingTiles.HllRegisters)
+      (0 until n).foreach(i => graft.engine.StreamingTiles.hllAdd(regs, i * 2654435761L + 17))
+      val est = graft.engine.StreamingTiles.hllEstimate(regs)
+      assert(math.abs(est - n).toDouble / n <= 0.25, s"n=$n est=$est")
+    }
+  }
+  test("HLL is insensitive to duplicates") {
+    val regs = new Array[Byte](graft.engine.StreamingTiles.HllRegisters)
+    (0 until 10000).foreach(i => graft.engine.StreamingTiles.hllAdd(regs, (i % 7).toLong))
+    val est = graft.engine.StreamingTiles.hllEstimate(regs)
+    assert(est >= 5 && est <= 9, s"est=$est")
+  }
+}
