@@ -393,6 +393,62 @@ object SparkEntry {
       """).drop("disk")
     }),
 
+    // Heterogeneous dissolve: a mixed-res set (ring-1 at res 9 + children
+    // of the center at res 10) must re-tile to exactly the uncompacted
+    // disk at res 10 — drives the boundary-refinement fast path.
+    "h3_dissolve_compacted" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(s"""
+        WITH base AS (
+          SELECT ${cellSqlSpark("event_id")} AS cell FROM events
+          WHERE event_id % 200 = 0),
+        mixed AS (
+          SELECT cell, collect_set(m) AS mixed_cells FROM (
+            SELECT cell, r.rcell AS m FROM base
+            LATERAL VIEW h3_grid_ring(cell, 1) r AS rcell
+            UNION ALL
+            SELECT cell, c.ccell AS m FROM base
+            LATERAL VIEW h3_cell_to_children(cell, 10) c AS ccell
+          ) GROUP BY cell),
+        expect AS (
+          SELECT cell, sort_array(collect_set(u.ucell)) AS want FROM base
+          LATERAL VIEW h3_grid_disk(cell, 1) d AS dcell
+          LATERAL VIEW h3_cell_to_children(d.dcell, 10) u AS ucell
+          GROUP BY cell)
+        SELECT m.cell, sort_array(collect_set(p.pcell)) = e.want AS ok
+        FROM mixed m JOIN expect e ON m.cell = e.cell
+        LATERAL VIEW h3_polygon_to_cells(
+          h3_cells_to_multi_polygon(m.mixed_cells), 10, 0) p AS pcell
+        GROUP BY m.cell, e.want
+      """).select("cell", "ok")
+    }),
+
+    // Distributed dissolve (groupBy canonical edge -> twin cancel -> link):
+    // each group's MultiPolygon must re-tile to exactly its input disk.
+    "dissolve_distributed" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      val disks = s.sql(s"""
+        SELECT cell AS grp, d.dcell AS cell
+        FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events
+              WHERE event_id % 200 = 0)
+        LATERAL VIEW h3_grid_disk(cell, 2) d AS dcell""")
+      val dissolved = engine.DistributedDissolve.dissolve(s, disks, "grp", "cell")
+      dissolved.createOrReplaceTempView("__dissolved")
+      disks.createOrReplaceTempView("__disks")
+      s.sql("""
+        WITH want AS (SELECT grp, sort_array(collect_set(cell)) AS cells
+                      FROM __disks GROUP BY grp),
+        got AS (SELECT d.grp, sort_array(collect_set(p.pcell)) AS cells
+                FROM __dissolved d
+                LATERAL VIEW h3_polygon_to_cells(d.geojson, 9, 0) p AS pcell
+                GROUP BY d.grp)
+        SELECT w.grp AS cell, w.cells = g.cells AS ok
+        FROM want w JOIN got g ON w.grp = g.grp
+      """)
+    }),
+
     // --- Relational baseline (Catalyst plumbing sanity) ---
     "q1_agg" -> ((s, dir) => {
       table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -670,6 +726,14 @@ object SparkEntry {
 
       "h3_dissolve_roundtrip" -> s"""
         SELECT $cell AS cell, TRUE AS ok FROM events WHERE event_id % 100 = 0
+      """,
+
+      "h3_dissolve_compacted" -> s"""
+        SELECT $cell AS cell, TRUE AS ok FROM events WHERE event_id % 200 = 0
+      """,
+
+      "dissolve_distributed" -> s"""
+        SELECT $cell AS cell, TRUE AS ok FROM events WHERE event_id % 200 = 0
       """,
 
       "q1_agg" -> """

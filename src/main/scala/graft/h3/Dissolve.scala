@@ -2,7 +2,7 @@ package graft.h3
 
 import scala.collection.mutable
 
-/** Dissolves a set of same-resolution cells into a MultiPolygon outline
+/** Dissolves a set of cells into a MultiPolygon outline
   * (h3SetToLinkedGeo / cellsToMultiPolygon).
   *
   * Algorithm (parallel-friendly re-derivation of the reference's Solvent,
@@ -12,64 +12,39 @@ import scala.collection.mutable
   * walking canonical vertex keys (VertexIndex equality replaces float
   * coordinate matching); rings with positive signed area are outer shells,
   * negative ones are holes assigned to the containing shell.
+  *
+  * Heterogeneous (compacted) input takes a boundary-refinement fast path
+  * (the role of the reference's Gosper-walk, arc_set.rs:38-56 +
+  * index/iterator/gosper.rs:76-260): instead of uncompacting the whole set
+  * to the finest resolution (O(area)), only cells whose neighborhood is not
+  * fully covered are recursively split, so work and memory are O(perimeter
+  * x depth). Coverage tests use the canonicalized (compacted) set, where
+  * "fully covered" is exactly "self or an ancestor is present".
   */
 object Dissolve {
 
   final class Arc(val startVertex: Long, val endVertex: Long,
                   val coords: Array[Double]) // [lat,lng,...] degrees
 
-  /** Dissolve to rings: returns (rings, isOuter) where each ring is
-    * [lat0,lng0,lat1,lng1,...] in degrees (unclosed). */
-  def dissolveToRings(cells0: Array[Long]): (Array[Array[Double]], Array[Boolean]) = {
-    if (cells0.isEmpty) return (Array.empty, Array.empty)
-    // Heterogeneous (compacted) input: uncompact to the finest resolution
-    // so edge cancellation sees a uniform grid.
-    var maxRes = 0
-    var i = 0
-    while (i < cells0.length) {
-      val r = H3.getResolution(cells0(i))
-      if (r > maxRes) maxRes = r
-      i += 1
-    }
-    val mixed = cells0.exists(c => H3.getResolution(c) != maxRes)
-    val cells = if (mixed) H3.uncompact(cells0, maxRes) else cells0
-    val cellSet = new java.util.HashSet[Long](cells.length * 2)
-    i = 0
-    while (i < cells.length) { cellSet.add(cells(i)); i += 1 }
+  /** Emits the boundary arc of `cell` toward direction `dir` (whose
+    * neighbor is outside the region). */
+  private def emitArc(cell: Long, dir: Int,
+                      arcsByStart: mutable.HashMap[Long, Arc]): Unit = {
+    val startV = Edges.directionToVertex(cell, dir)
+    if (startV < 0) return
+    val endVnum = (startV + 1) % (if (H3.isPentagon(cell)) 5 else 6)
+    val sv = Edges.cellToVertex(cell, startV)
+    val ev = Edges.cellToVertex(cell, endVnum)
+    val coords = Proj.cellBoundary(cell, startV, 2)
+    val deg = new Array[Double](coords.length)
+    var c = 0
+    while (c < coords.length) { deg(c) = Math.toDegrees(coords(c)); c += 1 }
+    arcsByStart(sv) = new Arc(sv, ev, deg)
+  }
 
-    // Surviving arcs keyed by their start vertex.
-    val arcsByStart = new mutable.HashMap[Long, Arc]
-    i = 0
-    while (i < cells.length) {
-      val cell = cells(i)
-      val dirs = if (H3.isPentagon(cell)) Array(2, 3, 4, 5, 6)
-                 else Array(1, 2, 3, 4, 5, 6)
-      var d = 0
-      while (d < dirs.length) {
-        val packed = Traverse.neighborRotations(cell, dirs(d), 0)
-        if (packed != 0) {
-          val neighbor = Traverse.packedCell(packed)
-          if (!cellSet.contains(neighbor)) {
-            // Boundary edge: emit its arc.
-            val startV = Edges.directionToVertex(cell, dirs(d))
-            if (startV >= 0) {
-              val endVnum = (startV + 1) % (if (H3.isPentagon(cell)) 5 else 6)
-              val sv = Edges.cellToVertex(cell, startV)
-              val ev = Edges.cellToVertex(cell, endVnum)
-              val coords = Proj.cellBoundary(cell, startV, 2)
-              val deg = new Array[Double](coords.length)
-              var c = 0
-              while (c < coords.length) { deg(c) = Math.toDegrees(coords(c)); c += 1 }
-              arcsByStart(sv) = new Arc(sv, ev, deg)
-            }
-          }
-        }
-        d += 1
-      }
-      i += 1
-    }
-
-    // Link arcs into rings.
+  /** Links surviving arcs into closed rings (destructive on the map). */
+  private def linkRings(arcsByStart: mutable.HashMap[Long, Arc])
+      : (Array[Array[Double]], Array[Boolean]) = {
     val rings = new mutable.ArrayBuffer[Array[Double]]
     val isOuter = new mutable.ArrayBuffer[Boolean]
     while (arcsByStart.nonEmpty) {
@@ -93,12 +68,175 @@ object Dissolve {
         }
         guard += 1
       }
-      // Drop the duplicated closing vertex (last pair == next arc start).
       val arr = ring.toArray
       rings += arr
       isOuter += signedArea(arr) > 0
     }
     (rings.toArray, isOuter.toArray)
+  }
+
+  @inline private def neighborDirs(cell: Long): Array[Int] =
+    if (H3.isPentagon(cell)) Array(2, 3, 4, 5, 6) else Array(1, 2, 3, 4, 5, 6)
+
+  /** Bottom-up sibling collapse of a duplicate-free mixed-resolution set:
+    * afterwards a position is fully covered iff itself or an ancestor is in
+    * the set (complete child groups can no longer hide a parent). */
+  def canonicalize(cells: Array[Long]): Array[Long] = {
+    val set = new java.util.HashSet[Long](cells.length * 2)
+    var maxRes = 0
+    cells.foreach { c =>
+      set.add(c)
+      val r = H3.getResolution(c)
+      if (r > maxRes) maxRes = r
+    }
+    var r = maxRes
+    while (r >= 1) {
+      val counts = new mutable.HashMap[Long, Int]
+      val it = set.iterator()
+      while (it.hasNext) {
+        val c = it.next()
+        if (H3.getResolution(c) == r) {
+          val p = H3.cellToParent(c, r - 1)
+          counts(p) = counts.getOrElse(p, 0) + 1
+        }
+      }
+      counts.foreach { case (p, n) =>
+        if (n == H3.cellToChildrenSize(p, r)) {
+          H3.cellToChildren(p, r).foreach(set.remove)
+          set.add(p)
+        }
+      }
+      r -= 1
+    }
+    val out = new Array[Long](set.size)
+    val it = set.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    out
+  }
+
+  /** Finest-resolution cells on (or near) the region boundary of a
+    * canonicalized set: cells whose same-res neighborhood is fully covered
+    * are pruned, everything else is split one level and re-examined —
+    * O(perimeter x depth) instead of the O(area) full uncompaction.
+    * Public for the perimeter-vs-area assertions in DissolveSpec. */
+  def boundaryCellsOfCompacted(canon: Array[Long], maxRes: Int): Array[Long] = {
+    val set = new java.util.HashSet[Long](canon.length * 2)
+    canon.foreach(set.add)
+
+    def coveredFully(c: Long): Boolean = {
+      var r = H3.getResolution(c)
+      while (r >= 0) {
+        if (set.contains(H3.cellToParent(c, r))) return true
+        r -= 1
+      }
+      false
+    }
+
+    def interior(c: Long): Boolean = {
+      val dirs = neighborDirs(c)
+      var d = 0
+      while (d < dirs.length) {
+        val packed = Traverse.neighborRotations(c, dirs(d), 0)
+        if (packed == 0) return false
+        if (!coveredFully(Traverse.packedCell(packed))) return false
+        d += 1
+      }
+      true
+    }
+
+    val out = new mutable.ArrayBuffer[Long]
+    def process(c: Long): Unit = {
+      val r = H3.getResolution(c)
+      if (r == maxRes) { out += c; return }
+      if (interior(c)) return
+      H3.cellToChildren(c, r + 1).foreach(process)
+    }
+    canon.foreach(process)
+    out.toArray
+  }
+
+  /** Dissolve to rings: returns (rings, isOuter) where each ring is
+    * [lat0,lng0,lat1,lng1,...] in degrees (unclosed). Accepts mixed
+    * (compacted) input — see the class doc for the fast path. */
+  def dissolveToRings(cells0: Array[Long]): (Array[Array[Double]], Array[Boolean]) = {
+    if (cells0.isEmpty) return (Array.empty, Array.empty)
+    val dedup = new java.util.LinkedHashSet[Long]()
+    cells0.foreach(dedup.add)
+    val cells = new Array[Long](dedup.size)
+    val dit = dedup.iterator()
+    var i = 0
+    while (dit.hasNext) { cells(i) = dit.next(); i += 1 }
+
+    var maxRes = 0
+    i = 0
+    while (i < cells.length) {
+      val r = H3.getResolution(cells(i))
+      if (r > maxRes) maxRes = r
+      i += 1
+    }
+    val mixed = cells.exists(c => H3.getResolution(c) != maxRes)
+
+    val arcsByStart = new mutable.HashMap[Long, Arc]
+    if (!mixed) {
+      val cellSet = new java.util.HashSet[Long](cells.length * 2)
+      i = 0
+      while (i < cells.length) { cellSet.add(cells(i)); i += 1 }
+      i = 0
+      while (i < cells.length) {
+        val cell = cells(i)
+        val dirs = neighborDirs(cell)
+        var d = 0
+        while (d < dirs.length) {
+          val packed = Traverse.neighborRotations(cell, dirs(d), 0)
+          if (packed != 0 && !cellSet.contains(Traverse.packedCell(packed)))
+            emitArc(cell, dirs(d), arcsByStart)
+          d += 1
+        }
+        i += 1
+      }
+    } else {
+      // Boundary-refinement fast path: never materializes the full
+      // uncompacted area.
+      val canon = canonicalize(cells)
+      val set = new java.util.HashSet[Long](canon.length * 2)
+      canon.foreach(set.add)
+      def coveredFully(c: Long): Boolean = {
+        var r = H3.getResolution(c)
+        while (r >= 0) {
+          if (set.contains(H3.cellToParent(c, r))) return true
+          r -= 1
+        }
+        false
+      }
+      boundaryCellsOfCompacted(canon, maxRes).foreach { cell =>
+        val dirs = neighborDirs(cell)
+        var d = 0
+        while (d < dirs.length) {
+          val packed = Traverse.neighborRotations(cell, dirs(d), 0)
+          if (packed != 0 && !coveredFully(Traverse.packedCell(packed)))
+            emitArc(cell, dirs(d), arcsByStart)
+          d += 1
+        }
+      }
+    }
+    linkRings(arcsByStart)
+  }
+
+  /** Dissolve from pre-cancelled directed BOUNDARY edges (the distributed
+    * formulation: groupBy canonical edge -> twin-cancel -> link): each
+    * surviving edge contributes its arc keyed by canonical vertexes, then
+    * rings link exactly as in the cell-set path. All edges must share one
+    * resolution. */
+  def edgesToRings(edges: Array[Long]): (Array[Array[Double]], Array[Boolean]) = {
+    val arcsByStart = new mutable.HashMap[Long, Arc]
+    var i = 0
+    while (i < edges.length) {
+      val e = edges(i)
+      emitArc(Edges.edgeOrigin(e), Edges.getEdgeNum(e), arcsByStart)
+      i += 1
+    }
+    linkRings(arcsByStart)
   }
 
   /** Planar signed area (shoelace) in lng/lat degrees; >0 = CCW.
@@ -135,6 +273,19 @@ object Dissolve {
   def dissolveToGeoJson(cells: Array[Long]): String = {
     if (cells.isEmpty) return """{"type":"MultiPolygon","coordinates":[]}"""
     val (rings, isOuter) = dissolveToRings(cells)
+    renderGeoJson(rings, isOuter)
+  }
+
+  /** GeoJSON MultiPolygon of pre-cancelled boundary edges (distributed
+    * dissolve final stage). */
+  def edgesToGeoJson(edges: Array[Long]): String = {
+    if (edges.isEmpty) return """{"type":"MultiPolygon","coordinates":[]}"""
+    val (rings, isOuter) = edgesToRings(edges)
+    renderGeoJson(rings, isOuter)
+  }
+
+  private def renderGeoJson(rings: Array[Array[Double]],
+                            isOuter: Array[Boolean]): String = {
     val outers = rings.indices.filter(isOuter)
     val holes = rings.indices.filterNot(isOuter)
 

@@ -79,6 +79,16 @@ object EdgeKernel {
       graft.h3.Dissolve.dissolveToGeoJson(cells))
   }
 
+  /** Final stage of the distributed dissolve: link pre-cancelled boundary
+    * edges into a MultiPolygon (O(perimeter) input). */
+  def dissolveEdgesJson(arr: org.apache.spark.sql.catalyst.util.ArrayData): org.apache.spark.unsafe.types.UTF8String = {
+    val edges = new Array[Long](arr.numElements())
+    var i = 0
+    while (i < edges.length) { edges(i) = arr.getLong(i); i += 1 }
+    org.apache.spark.unsafe.types.UTF8String.fromString(
+      graft.h3.Dissolve.edgesToGeoJson(edges))
+  }
+
   def vertexLatLngRow(v: Long): InternalRow = {
     val ll = Edges.vertexToLatLng(v)
     InternalRow(ll(0), ll(1))
@@ -270,6 +280,19 @@ case class CellsToMultiPolygonExpr(child: Expression) extends UnaryExpression {
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.spark.EdgeKernel.dissolveJson($c)")
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
+}
+
+/** Link pre-cancelled directed boundary edges into a GeoJSON MultiPolygon
+  * (final, O(perimeter) stage of the distributed dissolve). */
+case class EdgesToMultiPolygonExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "h3_dissolve_edges"
+  override def nullSafeEval(c: Any): Any =
+    EdgeKernel.dissolveEdgesJson(c.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.spark.EdgeKernel.dissolveEdgesJson($c)")
   override protected def withNewChildInternal(nc: Expression): Expression =
     copy(child = nc)
 }

@@ -98,6 +98,7 @@ object H3Functions {
       ArrayType(IntegerType, containsNull = false), sentinelNull = false)),
     "h3_max_face_count" -> (es => H3EdgeCall1("maxFaceCount", lng(es(0)), IntegerType, sentinelNull = false)),
     "h3_cells_to_multi_polygon" -> (es => CellsToMultiPolygonExpr(lngArr(es(0)))),
+    "h3_dissolve_edges" -> (es => EdgesToMultiPolygonExpr(lngArr(es(0)))),
     "h3_line_to_cells" -> (es => LineToCellsGen(str(es(0)), int(es(1)))),
     "h3_get_hexagon_area_avg_m2" -> (es => H3ResCall("hexAreaAvgM2", int(es(0)), DoubleType)),
     "h3_get_hexagon_edge_length_avg_m" -> (es => H3ResCall("edgeLengthAvgM", int(es(0)), DoubleType)))

@@ -163,3 +163,90 @@ class LineToCellsSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(n >= 2)
   }
 }
+
+/** Heterogeneous (compacted) dissolve fast path: identical geometry to
+  * dissolving the fully-uncompacted set, at O(perimeter) materialization. */
+class CompactedDissolveSpec extends AnyFunSuite {
+
+  private def ringSet(rings: Array[Array[Double]]): Set[Set[(Double, Double)]] =
+    rings.map(r => (0 until r.length / 2).map(i => (r(2 * i), r(2 * i + 1))).toSet).toSet
+
+  test("compacted Paris res-10 cover dissolves identically to the uncompacted set") {
+    val url = getClass.getResource("/h3/shapes/Paris.geojson")
+    val poly = Geo.parseGeoJson(scala.io.Source.fromURL(url).mkString)(0)
+    val fine = Geo.polygonToCells(Array(poly), 10, 0)
+    val compacted = H3.compactSorted(fine.sortBy(H3.orderKey).distinct)
+    assert(compacted.length < fine.length / 4, s"${compacted.length} vs ${fine.length}")
+
+    val (r1, o1) = Dissolve.dissolveToRings(compacted)
+    val (r2, o2) = Dissolve.dissolveToRings(fine)
+    assert(o1.count(identity) == o2.count(identity))
+    assert(ringSet(r1) == ringSet(r2))
+  }
+
+  test("boundary refinement materializes O(perimeter), not O(area)") {
+    val parent = H3.latLngToCell(48.85, 2.35, 4)
+    val fine = H3.cellToChildren(parent, 10) // 7^6 = 117,649 cells
+    val canon = Dissolve.canonicalize(Array(parent, H3.cellToChildren(
+      graft.h3.H3.gridDisk(parent, 1).find(_ != parent).get, 5)(0)))
+    // Mixed set: the res-4 parent + one res-5 neighbor child.
+    val boundary = Dissolve.boundaryCellsOfCompacted(canon, 10)
+    // Perimeter of a res-4 cell at res 10 is ~6*7^3 with the refinement
+    // fan-out; assert it is far below the 117k-cell area.
+    assert(boundary.length < fine.length / 5, s"boundary=${boundary.length} area=${fine.length}")
+  }
+
+  test("mixed-res blob with a hole dissolves like its uncompacted equivalent") {
+    val center = H3.latLngToCell(48.85, 2.35, 7)
+    val disk2 = H3.gridDisk(center, 2)
+    // Remove the center (hole), mix resolutions: ring-2 cells uncompacted
+    // to res 9, ring-1 kept at res 7.
+    val ring1 = H3.gridRing(center, 1)
+    val ring2 = H3.gridRing(center, 2)
+    val mixed = ring1 ++ ring2.flatMap(c => H3.cellToChildren(c, 9))
+    val flat = ring1.flatMap(c => H3.cellToChildren(c, 9)) ++
+      ring2.flatMap(c => H3.cellToChildren(c, 9))
+    val (r1, o1) = Dissolve.dissolveToRings(mixed)
+    val (r2, o2) = Dissolve.dissolveToRings(flat)
+    assert(o1.count(identity) == 1 && o1.count(!_) == 1) // shell + hole
+    assert(ringSet(r1) == ringSet(r2))
+  }
+
+}
+
+/** Distributed dissolve: groupBy canonical edge -> twin cancel -> link. */
+class DistributedDissolveSpec extends AnyFunSuite {
+  test("distributed dissolve equals the scalar kernel per group") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val centers = Seq(
+      H3.latLngToCell(48.85, 2.35, 8),
+      H3.latLngToCell(40.71, -74.0, 8),
+      H3.latLngToCell(-16.9, 179.9995, 8)) // transmeridian
+    val rows = centers.zipWithIndex.flatMap { case (c, g) =>
+      H3.gridDisk(c, 2).map(cell => (g.toLong, cell))
+    }
+    val df = rows.toDF("grp", "cell").repartition(7)
+    val got = graft.engine.DistributedDissolve.dissolve(spark, df, "grp", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // Compare via re-tiling (ring start/order may legitimately differ).
+    centers.zipWithIndex.foreach { case (c, g) =>
+      val disk = H3.gridDisk(c, 2).toSet
+      val retiled = Geo.polygonToCells(
+        Geo.parseGeoJson(got(g.toLong)), 8, 0).toSet
+      assert(retiled == disk, s"group $g")
+    }
+  }
+
+  test("hollow region keeps its hole through the distributed path") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val center = H3.latLngToCell(48.85, 2.35, 8)
+    val ring = H3.gridDisk(center, 2).filterNot(_ == center)
+    val df = ring.toSeq.map(c => (1L, c)).toDF("grp", "cell")
+    val geo = graft.engine.DistributedDissolve.dissolve(spark, df, "grp", "cell")
+      .collect()(0).getString(1)
+    val polys = Geo.parseGeoJson(geo)
+    assert(polys.length == 1 && polys(0).holes.length == 1)
+  }
+}
