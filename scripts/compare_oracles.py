@@ -1,0 +1,45 @@
+#!/usr/bin/env python3
+# Driver-style local correctness check: runs each oracle_sql.json entry in
+# DuckDB over the sf tables and compares rows/schema/sorted values against
+# the graft.Verify parquet dumps. Usage: first run
+#   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
+# then: python3 scripts/compare_oracles.py
+import duckdb, json, sys, glob, os
+sf = "/root/testdata/sf0.01"
+out = "/tmp/verify_out"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    p = f"{sf}/{t}.parquet"
+    if os.path.exists(p):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+oracles = json.load(open(f"{out}/oracle_sql.json"))
+results = {}
+for name in sorted(os.listdir(out)):
+    d = os.path.join(out, name)
+    if not os.path.isdir(d): continue
+    spark_df = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
+    if name not in oracles:
+        results[name] = "no_oracle"
+        continue
+    try:
+        odf = con.execute(oracles[name]).fetchdf()
+    except Exception as e:
+        results[name] = f"oracle ERROR: {e}"
+        continue
+    s = spark_df.reindex(sorted(spark_df.columns), axis=1)
+    o = odf.reindex(sorted(odf.columns), axis=1)
+    rows = len(s) == len(o)
+    schema = list(s.columns) == list(o.columns)
+    if not schema:
+        results[name] = f"schema mismatch: spark={list(s.columns)} oracle={list(o.columns)}"
+        continue
+    sv = sorted(map(tuple, s.astype(str).values.tolist()))
+    ov = sorted(map(tuple, o.astype(str).values.tolist()))
+    hash_match = sv == ov
+    if rows and hash_match:
+        results[name] = f"OK ({len(s)} rows)"
+    else:
+        diff = [x for x in sv[:5] if x not in ov[:50]]
+        results[name] = f"MISMATCH rows {len(s)} vs {len(o)}; sample spark={sv[:2]} oracle={ov[:2]}"
+for k, v in sorted(results.items()):
+    print(f"{k:25s} {v}")

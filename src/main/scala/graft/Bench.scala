@@ -133,10 +133,29 @@ object Bench {
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val tAnn = best {
-      Ops.annBruteForce(spark, emb, emb.limit(50), k = 10)
+      // Production path: map-side top-K aggregator (shuffle carries at
+      // most k rows per query per partition).
+      Ops.annBruteForceAgg(spark, emb, emb.limit(50), k = 10)
         .agg(count(lit(1))).collect()
     }
     phases :+= "ann_brute" -> tAnn
+
+    // Phase 8: compacted (mixed-res) dissolve via the boundary-refinement
+    // fast path, through the SQL surface.
+    val tDissolve = best {
+      spark.sql(s"""
+        WITH base AS (SELECT h3_latlng_to_cell(lat, lng, 6) AS cell
+                      FROM (SELECT ${Pages.latSql("id", duck = false)} AS lat,
+                                   ${Pages.lngSql("id", duck = false)} AS lng
+                            FROM range(0, 2000)))
+        SELECT count(*) FROM (
+          SELECT h3_cells_to_multi_polygon(
+                   array_union(collect_set(cell),
+                               collect_set(h3_cell_to_center_child(cell, 8)))) AS geo
+          FROM base GROUP BY cell % 64)
+      """).collect()
+    }
+    phases :+= "dissolve_compacted" -> tDissolve
 
     val docsPerSec = nDocs / tJoin
     val qs = phases.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

@@ -301,6 +301,19 @@ object SparkEntry {
       Ops.fingerprints(s, table(s, dir, "documents"))
     }),
 
+    // Multimodal plumbing: the decode stage is a declared stub, but the
+    // dataflow (kind routing, frame counting, stride sampling, fixed
+    // feature shape) is integer-exact and oracle-checked end-to-end.
+    "multimodal_pipeline" -> ((s, dir) => {
+      val media = ops.Multimodal.mediaTable(s, dir)
+      val feats = ops.Multimodal.extractFeatures(s, media, featureDim = 32).toDF()
+        .select(col("doc_id"), col("kind"), col("frames"),
+          size(col("feature")).as("feat_dim"))
+      val sampled = ops.Multimodal.sampleFrames(s, media, stride = 2, featureDim = 16)
+        .toDF().groupBy("doc_id").agg(count(lit(1)).as("n_sampled"))
+      feats.join(sampled, "doc_id")
+    }),
+
     // --- Directed edges / vertexes / local IJ / dissolve ---
     "h3_edges" -> ((s, dir) => {
       registerAll(s)
@@ -693,6 +706,20 @@ object SparkEntry {
         SELECT doc_id, ${docFingerprint("text")} AS fingerprint FROM documents
       """
       },
+
+      "multimodal_pipeline" -> """
+        SELECT doc_id,
+               CASE CAST(doc_id % 3 AS INT)
+                    WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                    ELSE 'video' END AS kind,
+               CAST(CASE CAST(doc_id % 3 AS INT)
+                    WHEN 2 THEN greatest(1, length(text) // 4096)
+                    WHEN 1 THEN greatest(1, length(text) // 1024)
+                    ELSE 1 END AS INT) AS frames,
+               32 AS feat_dim,
+               CAST((frames + 1) // 2 AS BIGINT) AS n_sampled
+        FROM documents
+      """,
 
       "lang_id" -> s"""
         WITH g AS (

@@ -192,3 +192,63 @@ class AnnAggSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(a == b && a.nonEmpty)
   }
 }
+
+/** Scale-shape assertions: candidate-generation shuffles carry ids only,
+  * never document text or embedding payloads. */
+class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+  private def shuffleOutputs(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: ShuffleExchangeExec => buf += s.output.map(_.name).toSeq
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
+
+  test("dedupMinHash: band-join and pair-dedup shuffles are text-free") {
+    val spark = SparkTestBase.spark
+    // Force shuffle joins so the candidate exchanges are observable (at
+    // production scale neither side broadcasts).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val df = Ops.dedupMinHash(spark, docs, threshold = 0.5)
+    val shuffles = shuffleOutputs(df)
+    assert(shuffles.nonEmpty)
+    // Text may appear only in the final verification join (keyed by a_id /
+    // b_id); the band-hash candidate shuffles must not carry it.
+    shuffles.filter(_.exists(_.contains("band"))).foreach { cols =>
+      assert(!cols.exists(_.contains("text")), cols.toString)
+    }
+    assert(shuffles.exists(_.exists(_.contains("band"))))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("annLsh: bucket-join and dedup shuffles are embedding-free") {
+    val spark = SparkTestBase.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Ops.annLsh(spark, emb,
+      emb.filter(org.apache.spark.sql.functions.col("vec_id") % 50 === 0), k = 5)
+    val shuffles = shuffleOutputs(df)
+    shuffles.filter(_.exists(_ == "bucket")).foreach { cols =>
+      assert(!cols.exists(c => c.contains("embedding") || c.contains("vec" + "_val")), cols.toString)
+    }
+    assert(shuffles.exists(_.exists(_ == "bucket")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
