@@ -62,11 +62,14 @@ object OracleDialect {
       (x,y) -> x + y)"""
 
   /** Rademacher hyperplane LSH bucket of a float-list expression — equals
-    * OpsKernel.hyperplaneSig(v, bits, seed); `seed` may reference columns. */
+    * OpsKernel.hyperplaneSig(v, bits, seed); `seed` may reference columns.
+    * The sign hash is the double modular mix of OpsKernel.planeSign (every
+    * multiply wraps mod P; a non-wrapping form degenerates to parity(d)). */
   def hyperplaneSig(v: String, bits: Int, seed: String): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, $bits), b ->
         CASE WHEN list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(0, len($v)), d ->
-               CASE WHEN ((($seed) + (b*128 + d)*48271) % $P) % 2 = 0
+               CASE WHEN ((((((($seed) * 48271 + 11) % $P) * (b*131 + 1) + b) % $P)
+                           * (d*2 + 1) + d) % $P) % 2 = 0
                     THEN CAST($v[d+1] AS DOUBLE) ELSE -CAST($v[d+1] AS DOUBLE) END)),
                (x,y) -> x + y) >= 0
              THEN (CAST(1 AS BIGINT) << b) ELSE CAST(0 AS BIGINT) END)),

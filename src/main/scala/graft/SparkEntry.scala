@@ -259,7 +259,10 @@ object SparkEntry {
     }),
 
     "dedup_embedding" -> ((s, dir) => {
-      Ops.dedupEmbedding(s, table(s, dir, "embeddings"), threshold = 0.4, bits = 8)
+      // Low threshold (wide angle) needs few bits + many tables; recall
+      // 0.97 vs brute at sf0.01 (see BASELINE.md).
+      Ops.dedupEmbedding(s, table(s, dir, "embeddings"),
+          threshold = 0.4, bits = 4, tables = 20)
         .select("a_id", "b_id")
     }),
 
@@ -274,7 +277,10 @@ object SparkEntry {
     "ann_lsh" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 25 === 0)
-      Ops.annLsh(s, emb, queries, k = 5).withColumnRenamed("rank", "rnk").select("qid", "vec_id", "rnk")
+      // bits sized for ~8 vectors/bucket at this corpus (bits ~ log2(n/8));
+      // recall 0.93 vs brute at sf0.01 (see BASELINE.md).
+      Ops.annLsh(s, emb, queries, k = 5, bits = 6, tables = 8)
+        .withColumnRenamed("rank", "rnk").select("qid", "vec_id", "rnk")
     }),
 
     // --- Text analysis ---
@@ -404,6 +410,29 @@ object SparkEntry {
           h3_cells_to_multi_polygon(disk), 9, 0) p AS pcell
         GROUP BY cell, disk
       """).drop("disk")
+    }),
+
+    // Line plotter: cells along a LineString between two cell centers form
+    // a grid path of exactly grid_distance+1 cells containing both ends.
+    "h3_line_cells" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(s"""
+        WITH pts AS (
+          SELECT cell, h3_cell_to_center_child(h3_cell_to_parent(cell, 5), 9) AS cell2
+          FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events
+                WHERE event_id % 100 = 0))
+        SELECT cell,
+               count(*) = h3_grid_distance(cell, cell2) + 1 AS count_ok,
+               max(cast(l.lcell = cell AS int)) = 1 AS has_start,
+               max(cast(l.lcell = cell2 AS int)) = 1 AS has_end
+        FROM pts
+        LATERAL VIEW h3_line_to_cells(
+          concat('{"type":"LineString","coordinates":[[',
+            h3_cell_to_lng(cell), ',', h3_cell_to_lat(cell), '],[',
+            h3_cell_to_lng(cell2), ',', h3_cell_to_lat(cell2), ']]}'), 9) l AS lcell
+        GROUP BY cell, cell2
+      """)
     }),
 
     // Heterogeneous dissolve: a mixed-res set (ring-1 at res 9 + children
@@ -665,24 +694,28 @@ object SparkEntry {
       "dedup_embedding" -> {
         import OracleDialect._
         s"""
-        WITH sigs AS (SELECT vec_id, embedding,
-                             ${hyperplaneSig("embedding", 8, "42")} AS bucket
-                      FROM embeddings),
-        cand AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                        a.embedding AS ea, b.embedding AS eb
-                 FROM sigs a JOIN sigs b USING (bucket)
-                 WHERE a.vec_id < b.vec_id)
-        SELECT a_id, b_id FROM cand WHERE ${cosine("ea", "eb")} >= 0.4
+        WITH tbls AS (SELECT unnest(range(0, 20)) AS tbl),
+        sigs AS (SELECT e.vec_id, t.tbl,
+                        ${hyperplaneSig("e.embedding", 4, "42 + 7919*t.tbl")} AS bucket
+                 FROM embeddings e, tbls t),
+        cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+                 FROM sigs a JOIN sigs b USING (tbl, bucket)
+                 WHERE a.vec_id < b.vec_id),
+        pairs AS (SELECT c.a_id, c.b_id, ea.embedding AS ea, eb.embedding AS eb
+                  FROM cand c
+                  JOIN embeddings ea ON ea.vec_id = c.a_id
+                  JOIN embeddings eb ON eb.vec_id = c.b_id)
+        SELECT a_id, b_id FROM pairs WHERE ${cosine("ea", "eb")} >= 0.4
       """
       },
 
       "ann_lsh" -> {
         import OracleDialect._
-        val masks = (0L +: (0 until 10).map(1L << _).map(_.toLong)).mkString(", ")
+        val masks = (0L +: (0 until 6).map(1L << _).map(_.toLong)).mkString(", ")
         s"""
-        WITH tbls AS (SELECT unnest(range(0, 4)) AS tbl),
+        WITH tbls AS (SELECT unnest(range(0, 8)) AS tbl),
         sigs AS (SELECT e.vec_id, e.embedding, t.tbl,
-                        ${hyperplaneSig("e.embedding", 10, "42 + 7919*t.tbl")} AS bucket
+                        ${hyperplaneSig("e.embedding", 6, "42 + 7919*t.tbl")} AS bucket
                  FROM embeddings e, tbls t),
         probes AS (SELECT s.vec_id AS qid, s.tbl,
                           xor(s.bucket, CAST(m.m AS BIGINT)) AS bucket
@@ -753,6 +786,11 @@ object SparkEntry {
 
       "h3_dissolve_roundtrip" -> s"""
         SELECT $cell AS cell, TRUE AS ok FROM events WHERE event_id % 100 = 0
+      """,
+
+      "h3_line_cells" -> s"""
+        SELECT $cell AS cell, TRUE AS count_ok, TRUE AS has_start, TRUE AS has_end
+        FROM events WHERE event_id % 100 = 0
       """,
 
       "h3_dissolve_compacted" -> s"""

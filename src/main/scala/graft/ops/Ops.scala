@@ -86,19 +86,29 @@ object Ops {
       .select("a_id", "b_id", "hamming")
   }
 
-  /** Embedding near-duplicates via hyperplane LSH blocking + exact cosine. */
+  /** Embedding near-duplicates via MULTI-TABLE hyperplane LSH blocking +
+    * exact cosine verification. Recall per table is (1 - theta/pi)^bits,
+    * unioned across tables — size `bits` so buckets stay small at the
+    * corpus size (bits ~ log2(n / bucketTarget)) and `tables` for the
+    * recall target at the threshold's angle. Candidate generation and the
+    * cross-table dedup shuffle are id-only; vectors join back once. */
   def dedupEmbedding(spark: SparkSession, embeddings: DataFrame,
                      threshold: Double = 0.95, bits: Int = 16,
-                     seed: Long = 42L): DataFrame = {
+                     tables: Int = 8, seed: Long = 42L): DataFrame = {
     OpsFunctions.register(spark)
-    val sigs = embeddings.select(col("vec_id"), col("embedding"),
-      expr(s"hyperplane_lsh(embedding, $bits, ${seed}L)").as("bucket"))
-    val a = sigs.select(col("bucket"), col("vec_id").as("a_id"),
-      col("embedding").as("a_vec"))
-    val b = sigs.select(col("bucket"), col("vec_id").as("b_id"),
-      col("embedding").as("b_vec"))
-    a.join(b, "bucket")
+    val tableSigs = (0 until tables).map(t =>
+      expr(s"hyperplane_lsh(embedding, $bits, ${seed + 7919L * t}L)"))
+    val hashed = embeddings.select(col("vec_id"),
+      posexplode(array(tableSigs: _*)).as(Seq("tbl", "bucket")))
+    val a = hashed.select(col("tbl"), col("bucket"), col("vec_id").as("a_id"))
+    val b = hashed.select(col("tbl"), col("bucket"), col("vec_id").as("b_id"))
+    val candidates = a.join(b, Seq("tbl", "bucket"))
       .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val vecs = embeddings.select(col("vec_id"), col("embedding"))
+    candidates
+      .join(vecs.select(col("vec_id").as("a_id"), col("embedding").as("a_vec")), "a_id")
+      .join(vecs.select(col("vec_id").as("b_id"), col("embedding").as("b_vec")), "b_id")
       .withColumn("cosine", expr("cosine_similarity(a_vec, b_vec)"))
       .filter(col("cosine") >= threshold)
       .select("a_id", "b_id", "cosine")

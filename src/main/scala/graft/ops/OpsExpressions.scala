@@ -49,11 +49,18 @@ object OpsKernel {
     if (na == 0 || nb == 0) 0.0 else dot / Math.sqrt(na * nb)
   }
 
-  /** Sign (+1/-1) of hyperplane component (seed, bit, dim): parity of an
-    * affine hash mod the Mersenne prime — same arithmetic is expressible in
-    * DuckDB SQL for the driver oracle. `seed` must be non-negative. */
-  @inline def planeSign(seed: Long, b: Int, d: Int): Double =
-    if (((seed + (b * 128L + d) * 48271L) % TextKernel.P & 1L) == 0L) 1.0 else -1.0
+  /** Sign (+1/-1) of hyperplane component (seed, bit, dim): parity of a
+    * double modular mix over the Mersenne prime — the same arithmetic is
+    * expressible in DuckDB SQL for the driver oracle. Every multiply wraps
+    * mod P (factors ~2^31 x ~2^7..2^17), which matters: a non-wrapping
+    * affine form degenerates to parity(d) and collapses the LSH to two
+    * buckets per table. `seed` must be non-negative. */
+  @inline def planeSign(seed: Long, b: Int, d: Int): Double = {
+    var h = (seed * 48271L + 11L) % TextKernel.P
+    h = (h * (b * 131L + 1L) + b) % TextKernel.P
+    h = (h * (d * 2L + 1L) + d) % TextKernel.P
+    if ((h & 1L) == 0L) 1.0 else -1.0
+  }
 
   /** Deterministic Rademacher (+-1) hyperplane LSH signature (`bits` sign
     * bits) of a float vector. The dot product accumulates in index order in

@@ -118,3 +118,24 @@ class GeoSpec extends AnyFunSuite {
     assert(inParent.toDouble / res9.length > 0.9)
   }
 }
+
+/** Full-world coverage: the two HalfWorld covers partition the entire cell
+  * space at each resolution (reference tests/api/geom/tiler.rs:252-293). */
+class WorldCoverageSpec extends org.scalatest.funsuite.AnyFunSuite {
+  import graft.h3.{Geo, Tables}
+
+  private def shape(name: String) = {
+    val url = getClass.getResource(s"/h3/shapes/$name.geojson")
+    Geo.parseGeoJson(scala.io.Source.fromURL(url).mkString)
+  }
+
+  test("HalfWorld_1 + HalfWorld_2 tile to exactly cell_count(res), disjoint") {
+    for (res <- 0 to 2) {
+      val c1 = Geo.polygonToCells(shape("HalfWorld_1"), res, 0).toSet
+      val c2 = Geo.polygonToCells(shape("HalfWorld_2"), res, 0).toSet
+      assert((c1 & c2).isEmpty, s"overlap at res $res")
+      assert(c1.size + c2.size == Tables.CellCount(res),
+        s"res=$res got ${c1.size}+${c2.size} want ${Tables.CellCount(res)}")
+    }
+  }
+}
