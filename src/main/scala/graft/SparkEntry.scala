@@ -491,6 +491,48 @@ object SparkEntry {
       """)
     }),
 
+    // Distributed compact: round-trips exactly (compact of the res-8
+    // children of sampled cells collapses back to the cells; uncompact
+    // re-expands to the same count).
+    "compact_distributed" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      val children = s.sql(s"""
+        SELECT base, c.child AS cell
+        FROM (SELECT ${cellSqlSpark("event_id")} AS base FROM events
+              WHERE event_id % 200 = 0)
+        LATERAL VIEW h3_cell_to_children(base, 11) c AS child""")
+      val compacted = engine.DistributedCompact.compact(s,
+        children.select("cell"))
+      compacted.createOrReplaceTempView("__compacted")
+      children.createOrReplaceTempView("__children")
+      // Every sampled base cell reappears as one compacted cell, and the
+      // compacted set re-expands to exactly the input children.
+      s.sql("""
+        SELECT b.base AS cell,
+               count(c.cell) = 1 AS collapsed,
+               min(h3_cell_to_children_size(c.cell, 11)) =
+                 min(n.n_children) AS expand_ok
+        FROM (SELECT DISTINCT base FROM __children) b
+        JOIN __compacted c ON c.cell = b.base
+        JOIN (SELECT base, count(*) AS n_children FROM __children GROUP BY base) n
+          ON n.base = b.base
+        GROUP BY b.base
+      """)
+    }),
+
+    // Quality scoring: ratios and the blended score are exact integer /
+    // double arithmetic mirrored in DuckDB (quantized to dodge float
+    // rendering differences).
+    "quality_score" -> ((s, dir) => {
+      Ops.qualityScore(table(s, dir, "documents")).selectExpr(
+        "doc_id", "n_chars", "n_words",
+        "cast(floor(punct_ratio * 1000000) as bigint) AS punct_q",
+        "cast(floor(digit_ratio * 1000000) as bigint) AS digit_q",
+        "cast(floor(stopword_ratio * 1000000) as bigint) AS stop_q",
+        "cast(floor(quality * 1000000) as bigint) AS quality_q")
+    }),
+
     // --- Relational baseline (Catalyst plumbing sanity) ---
     "q1_agg" -> ((s, dir) => {
       table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -796,6 +838,33 @@ object SparkEntry {
       "h3_dissolve_compacted" -> s"""
         SELECT $cell AS cell, TRUE AS ok FROM events WHERE event_id % 200 = 0
       """,
+
+      "compact_distributed" -> s"""
+        SELECT $cell AS cell, TRUE AS collapsed, TRUE AS expand_ok
+        FROM events WHERE event_id % 200 = 0
+      """,
+
+      "quality_score" -> {
+        val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+        val punct = s"(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1)"
+        val digit = s"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1)"
+        val stopArr = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','this','that']"
+        val stop = s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> list_contains($stopArr, w))) / greatest($nWords, 1)"
+        s"""
+        SELECT doc_id,
+               length(text) AS n_chars,
+               CAST($nWords AS INT) AS n_words,
+               CAST(floor(($punct) * 1000000) AS BIGINT) AS punct_q,
+               CAST(floor(($digit) * 1000000) AS BIGINT) AS digit_q,
+               CAST(floor(($stop) * 1000000) AS BIGINT) AS stop_q,
+               CAST(floor(greatest(0.0, least(1.0,
+                 0.5 + ($stop) * 1.5 - ($digit) * 2.0
+                     - greatest(($punct) - 0.1, 0.0) * 3.0
+                     + CASE WHEN $nWords >= 20 AND $nWords <= 5000
+                            THEN 0.2 ELSE -0.2 END)) * 1000000) AS BIGINT) AS quality_q
+        FROM documents
+      """
+      },
 
       "dissolve_distributed" -> s"""
         SELECT $cell AS cell, TRUE AS ok FROM events WHERE event_id % 200 = 0
