@@ -2,7 +2,6 @@ package graft.engine
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 import graft.spark.H3Functions
 
@@ -85,13 +84,18 @@ object Knn {
       .select(col("qid"), col("lat").as("qlat"), col("lng").as("qlng"), col("__qcell"))
       .cache()
 
-    val w = Window.partitionBy("qid").orderBy(col("dist_m"), col("id"))
-
-    def rank(cand: DataFrame): DataFrame = cand
-      .withColumn("dist_m", expr("h3_great_circle_distance_m(qlat, qlng, plat, plng)"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("qid"), col("id"), col("dist_m"), col("rank"))
+    // Per-query top-k via the typed aggregator: partial top-k runs
+    // map-side, so each round's shuffle carries at most k rows per query
+    // per partition instead of every candidate (a Window would shuffle the
+    // full candidate set). Score = -distance so "largest" = nearest, with
+    // ties broken by smaller id exactly like ORDER BY dist, id.
+    def rank(cand: DataFrame): DataFrame = {
+      val scored = cand
+        .withColumn("dist_m", expr("h3_great_circle_distance_m(qlat, qlng, plat, plng)"))
+        .withColumn("negd", -col("dist_m"))
+      graft.ops.TopK.topKPerGroup(spark, scored, "qid", "negd", "id", k)
+        .select(col("qid"), col("id"), (-col("negd")).as("dist_m"), col("rank"))
+    }
 
     var result: DataFrame = null
     var done = false

@@ -47,7 +47,7 @@ class EngineSpec extends AnyFunSuite {
 
     val engine = Knn.knnJoin(spark, points, queries, k = k, res = 7)
       .select("qid", "id", "rank")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
 
     val raw = pages.select("page_id", "lat", "lng").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
@@ -77,7 +77,7 @@ class EngineSpec extends AnyFunSuite {
     val k = 3
     val engine = Knn.knnJoin(spark, points, queries, k = k, res = 7)
       .select("qid", "id", "rank").collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
     val raw = pages.select("page_id", "lat", "lng").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     val brute = Seq((9001L, 48.86, 2.34), (9002L, -43.2, -140.5),
@@ -250,7 +250,7 @@ class KnnBoundSpec extends org.scalatest.funsuite.AnyFunSuite {
       graft.engine.Knn.knnJoin(spark, points, queries, k = 3, res = 7,
           broadcastMaxDisks = cap)
         .select("qid", "id", "rank").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
     val viaShuffle = run(1) // cap below any query set -> shuffle join path
     val viaBroadcast = run(Long.MaxValue)
     assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
