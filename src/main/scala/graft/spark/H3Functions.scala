@@ -190,7 +190,7 @@ object H3Functions {
   * H3-aware optimizer rewrites. */
 class H3Extensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
-    H3Functions.all.foreach { case (name, builder) =>
+    (H3Functions.all ++ graft.ops.OpsFunctions.all).foreach { case (name, builder) =>
       extensions.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft.spark.H3Expressions", name),

@@ -250,3 +250,55 @@ class DistributedDissolveSpec extends AnyFunSuite {
     assert(polys.length == 1 && polys(0).holes.length == 1)
   }
 }
+
+/** Randomized mixed-resolution dissolve: any blob with a random subset of
+  * cells replaced by their children must dissolve ring-identically to the
+  * fully-uncompacted set — including blobs anchored at pentagons. */
+class MixedDissolvePropertySpec extends AnyFunSuite {
+  private def ringSet(rings: Array[Array[Double]]): Set[Set[(Double, Double)]] =
+    rings.map(r => (0 until r.length / 2).map(i => (r(2 * i), r(2 * i + 1))).toSet).toSet
+
+  private def checkBlob(anchor: Long, rng: scala.util.Random): Unit = {
+    val res = H3.getResolution(anchor)
+    val fineRes = res + 2
+    // Random connected-ish blob: disk(2) minus a random subset.
+    val blob = H3.gridDisk(anchor, 2).filter(_ => rng.nextDouble() > 0.25)
+    if (blob.isEmpty) return
+    // Randomly explode some cells one or two levels down. The first cell
+    // always goes to fineRes so the mixed set's max resolution (which
+    // fixes the outline granularity) matches the flat set's.
+    val mixed = blob.zipWithIndex.flatMap { case (c, idx) =>
+      if (idx == 0) H3.cellToChildren(c, fineRes)
+      else rng.nextInt(3) match {
+        case 0 => Array(c)
+        case 1 => H3.cellToChildren(c, res + 1)
+        case _ => H3.cellToChildren(c, fineRes)
+      }
+    }
+    val flat = blob.flatMap(c => H3.cellToChildren(c, fineRes))
+    val (r1, o1) = Dissolve.dissolveToRings(mixed)
+    val (r2, o2) = Dissolve.dissolveToRings(flat)
+    assert(o1.count(identity) == o2.count(identity),
+      s"anchor=${anchor.toHexString} outer rings differ")
+    assert(ringSet(r1) == ringSet(r2), s"anchor=${anchor.toHexString}")
+  }
+
+  test("random mixed-res blobs dissolve like their uncompacted equivalents") {
+    val rng = new scala.util.Random(4242)
+    for (_ <- 0 until 30) {
+      val res = 4 + rng.nextInt(5)
+      val anchor = H3.latLngToCell(
+        rng.nextDouble() * 170 - 85, rng.nextDouble() * 360 - 180, res)
+      checkBlob(anchor, rng)
+    }
+  }
+
+  test("pentagon-anchored mixed-res blobs dissolve identically") {
+    val rng = new scala.util.Random(7)
+    for (res <- 4 to 7; bc <- Seq(4, 38, 97, 117)) {
+      val pent = H3.cellToCenterChild(
+        graft.h3.H3.setBaseCell(graft.h3.H3.DefaultCellIndex, bc), res)
+      checkBlob(pent, rng)
+    }
+  }
+}
