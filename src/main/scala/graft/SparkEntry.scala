@@ -533,6 +533,26 @@ object SparkEntry {
         "cast(floor(quality * 1000000) as bigint) AS quality_q")
     }),
 
+    // End-to-end curation composition: quality filter -> exact dedup
+    // (min_by survivor) -> per-language corpus stats. Exercises operator
+    // composition across the pages synthesis, quality scoring, and dedup
+    // families with one fully-mirrored DuckDB oracle.
+    "curation_pipeline" -> ((s, dir) => {
+      val docs = Pages.pages(s, dir)
+        .select(col("page_id").as("doc_id"), col("text"), col("lang"))
+      val quality = Ops.qualityScore(docs.select("doc_id", "text"))
+      val curated = docs.join(
+        quality.filter(col("quality") >= 0.5).select("doc_id"), "doc_id")
+      val kept = curated.groupBy("text").agg(
+        min("doc_id").as("keep_id"),
+        expr("min_by(lang, doc_id)").as("lang"),
+        count(lit(1)).as("dups"))
+      kept.groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum(expr("cast(ceil(length(text) / 4.0) as bigint)")).as("tokens"),
+        sum("dups").as("n_dups"))
+    }),
+
     // --- Relational baseline (Catalyst plumbing sanity) ---
     "q1_agg" -> ((s, dir) => {
       table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
@@ -869,6 +889,32 @@ object SparkEntry {
       "dissolve_distributed" -> s"""
         SELECT $cell AS cell, TRUE AS ok FROM events WHERE event_id % 200 = 0
       """,
+
+      "curation_pipeline" -> {
+        val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+        val punct = s"(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1)"
+        val digit = s"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1)"
+        val stopArr = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','this','that']"
+        val stop = s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> list_contains($stopArr, w))) / greatest($nWords, 1)"
+        val quality = s"""greatest(0.0, least(1.0,
+               0.5 + ($stop) * 1.5 - ($digit) * 2.0
+                   - greatest(($punct) - 0.1, 0.0) * 3.0
+                   + CASE WHEN $nWords >= 20 AND $nWords <= 5000
+                          THEN 0.2 ELSE -0.2 END))"""
+        s"""
+        WITH ${Pages.duckPagesCte},
+        docs AS (SELECT page_id AS doc_id, text, lang FROM pages),
+        curated AS (SELECT * FROM docs WHERE $quality >= 0.5),
+        kept AS (SELECT text, min(doc_id) AS keep_id,
+                        arg_min(lang, doc_id) AS lang,
+                        count(*) AS dups
+                 FROM curated GROUP BY text)
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS tokens,
+               CAST(sum(dups) AS BIGINT) AS n_dups
+        FROM kept GROUP BY lang
+      """
+      },
 
       "q1_agg" -> """
         SELECT l_returnflag, l_linestatus,

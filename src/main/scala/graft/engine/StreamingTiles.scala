@@ -31,6 +31,19 @@ object StreamingTiles {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming near-duplicate suppression for a document stream: the first
+    * arrival of each normalized-text fingerprint within the watermark
+    * survives, later duplicates are dropped; state is evicted past the
+    * watermark so it stays bounded on an unbounded stream. */
+  def streamingDedup(spark: SparkSession, docs: DataFrame,
+                     watermark: String = "10 minutes"): DataFrame = {
+    graft.ops.OpsFunctions.register(spark)
+    docs
+      .withColumn("fingerprint", expr("doc_fingerprint(text)"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+  }
+
   /** Per-tile state is BOUNDED: a fixed 256-register HyperLogLog sketch
     * (256 bytes) instead of a distinct-cell set — a long-running stream over
     * fine-resolution cells would otherwise grow state without limit and

@@ -55,6 +55,25 @@ object EdgeKernel {
   def isResClass3(res: Int): Boolean = (res & 1) == 1
   def maxGridDiskSize(k: Int): Long = H3.maxGridDiskSize(k)
   def maxGridRingSize(k: Int): Long = if (k <= 0) 1L else 6L * k
+  def pentagonCount(res: Int): Long = if (res < 0 || res > 15) 0L else 12L
+
+  /** Grid path length = grid distance + 1; -1 sentinel on failure. */
+  def gridPathSize(a: Long, b: Long): Long = {
+    val d = graft.h3.H3.gridDistance(a, b)
+    if (d < 0L) -1L else d + 1L
+  }
+
+  /** Total child count of an array of cells at `res` (uncompactCellsSize). */
+  def uncompactSize(arr: org.apache.spark.sql.catalyst.util.ArrayData, res: Int): Long = {
+    var total = 0L
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      total += H3.cellToChildrenSize(arr.getLong(i), res)
+      i += 1
+    }
+    total
+  }
 
   /** Origin and destination cells of a directed edge (reference
     * src/index/edge.rs:169-180 `cells()`). */
@@ -158,12 +177,47 @@ case class H3ResCall(fn: String, child: Expression, dataType: DataType)
       case "isResClass3" => EdgeKernel.isResClass3(v)
       case "maxGridDiskSize" => EdgeKernel.maxGridDiskSize(v)
       case "maxGridRingSize" => EdgeKernel.maxGridRingSize(v)
+      case "pentagonCount" => EdgeKernel.pentagonCount(v)
     }
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.spark.EdgeKernel.$fn($c)")
   override protected def withNewChildInternal(nc: Expression): Expression =
     copy(child = nc)
+}
+
+/** Grid path length (gridPathCellsSize): distance + 1, null on failure. */
+case class GridPathSizeExpr(a: Expression, b: Expression) extends BinaryExpression {
+  override def left: Expression = a
+  override def right: Expression = b
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_grid_path_cells_size"
+  override protected def nullSafeEval(x: Any, y: Any): Any = {
+    val r = EdgeKernel.gridPathSize(x.asInstanceOf[Long], y.asInstanceOf[Long])
+    if (r < 0L) null else r
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) => s"""
+      ${ev.value} = graft.spark.EdgeKernel.gridPathSize($x, $y);
+      if (${ev.value} < 0L) { ${ev.isNull} = true; }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(a = l, b = r)
+}
+
+/** Total uncompacted cell count (uncompactCellsSize). */
+case class UncompactSizeExpr(cells: Expression, res: Expression) extends BinaryExpression {
+  override def left: Expression = cells
+  override def right: Expression = res
+  override def dataType: DataType = LongType
+  override def prettyName: String = "h3_uncompact_size"
+  override protected def nullSafeEval(x: Any, y: Any): Any =
+    EdgeKernel.uncompactSize(
+      x.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], y.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (x, y) => s"graft.spark.EdgeKernel.uncompactSize($x, $y)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(cells = l, res = r)
 }
 
 case class CellsToEdge(a: Expression, b: Expression) extends BinaryExpression {

@@ -90,6 +90,9 @@ object H3Functions {
     "h3_is_res_class_iii" -> (es => H3ResCall("isResClass3", int(es(0)), BooleanType)),
     "h3_max_grid_disk_size" -> (es => H3ResCall("maxGridDiskSize", int(es(0)), LongType)),
     "h3_max_grid_ring_size" -> (es => H3ResCall("maxGridRingSize", int(es(0)), LongType)),
+    "h3_pentagon_count" -> (es => H3ResCall("pentagonCount", int(es(0)), LongType)),
+    "h3_grid_path_cells_size" -> (es => GridPathSizeExpr(lng(es(0)), lng(es(1)))),
+    "h3_uncompact_size" -> (es => UncompactSizeExpr(lngArr(es(0)), int(es(1)))),
     "h3_get_res0_cells" -> (_ => Res0CellsGen()),
     "h3_get_pentagons" -> (es => PentagonsGen(int(es(0)))),
     "h3_cell_to_local_ij" -> (es => CellToLocalIjExpr(lng(es(0)), lng(es(1)))),

@@ -109,3 +109,30 @@ class EdgeVertexSpec extends AnyFunSuite {
     assert(!Edges.isValidIndex(-1L))
   }
 }
+
+/** Size-hint helpers (gridPathCellsSize, uncompactSize, pentagonCount). */
+class SizeHintSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("SQL size hints match their expansions") {
+    val spark = SparkTestBase.spark
+    graft.spark.H3Functions.register(spark)
+    val a = graft.h3.H3.latLngToCell(48.85, 2.35, 8)
+    val b = graft.h3.H3.gridDisk(a, 3)(17)
+    val row = spark.sql(s"""
+      SELECT h3_grid_path_cells_size(${a}L, ${b}L) AS ps,
+             h3_grid_distance(${a}L, ${b}L) + 1 AS want_ps,
+             h3_uncompact_size(array(${graft.h3.H3.cellToParent(a, 5)}L), 8) AS us,
+             h3_cell_to_children_size(${graft.h3.H3.cellToParent(a, 5)}L, 8) AS want_us,
+             h3_pentagon_count(7) AS pc,
+             size(h3_uncompact_cells(array(${graft.h3.H3.cellToParent(a, 5)}L), 8)) AS expand
+    """).collect()(0)
+    assert(row.getLong(0) == row.getLong(1))
+    assert(row.getLong(2) == row.getLong(3) && row.getLong(2) == row.getInt(5).toLong)
+    assert(row.getLong(4) == 12L)
+    // Cross-pentagon path failure -> null size.
+    val pent = graft.h3.H3.cellToCenterChild(
+      graft.h3.H3.setBaseCell(graft.h3.H3.DefaultCellIndex, 4), 8)
+    val far = graft.h3.H3.latLngToCell(-48.0, 122.0, 8)
+    val r2 = spark.sql(s"SELECT h3_grid_path_cells_size(${pent}L, ${far}L) AS ps").collect()(0)
+    assert(r2.isNullAt(0) || r2.getLong(0) > 0) // null allowed, never negative
+  }
+}

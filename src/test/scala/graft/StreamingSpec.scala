@@ -150,3 +150,28 @@ class HllStateSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(est >= 5 && est <= 9, s"est=$est")
   }
 }
+
+/** Streaming dedup: first fingerprint within the watermark wins. */
+class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("duplicate texts are suppressed across triggers within the watermark") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val out = graft.engine.StreamingTiles.streamingDedup(spark, docs)
+    val q = out.writeStream.format("memory")
+      .queryName("dedup_stream").outputMode("append").start()
+    val t = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData((t, 1L, "alpha beta gamma"), (t, 2L, "alpha  BETA gamma"))
+    q.processAllAvailable()
+    input.addData((t, 3L, "alpha beta gamma"), (t, 4L, "something else"))
+    q.processAllAvailable()
+    val rows = spark.sql("SELECT doc_id FROM dedup_stream ORDER BY doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    // doc 2 is a normalization-equal dup of 1; doc 3 a later exact dup.
+    assert(rows == Seq(1L, 4L), rows.toString)
+    q.stop()
+  }
+}
