@@ -283,6 +283,13 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk").select("qid", "vec_id", "rnk")
     }),
 
+    "ann_ivf" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      Ops.annIvf(s, emb, queries, k = 5, nCentroids = 32, nProbe = 8)
+        .withColumnRenamed("rank", "rnk").select("qid", "vec_id", "rnk")
+    }),
+
     // --- Text analysis ---
     "text_stats" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -789,6 +796,35 @@ object SparkEntry {
                    FROM cand c
                    JOIN embeddings e ON e.vec_id = c.vec_id
                    JOIN embeddings q ON q.vec_id = c.qid)
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
+        FROM scored QUALIFY rnk <= 5
+      """
+      },
+
+      "ann_ivf" -> {
+        import OracleDialect._
+        s"""
+        WITH cent AS (
+          SELECT vec_id AS cid, embedding AS c_vec FROM embeddings
+          ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 32),
+        asg AS (
+          SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY ${cosine("e.embedding", "c.c_vec")} DESC, c.cid) AS rn
+            FROM embeddings e, cent c) WHERE rn = 1),
+        probes AS (
+          SELECT qid, cid FROM (
+            SELECT q.vec_id AS qid, c.cid,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY ${cosine("q.embedding", "c.c_vec")} DESC, c.cid) AS rn
+            FROM embeddings q, cent c WHERE q.vec_id % 25 = 0) WHERE rn <= 8),
+        scored AS (
+          SELECT p.qid, a.vec_id, ${cosine("e.embedding", "q.embedding")} AS sim
+          FROM probes p JOIN asg a USING (cid)
+          JOIN embeddings e ON e.vec_id = a.vec_id
+          JOIN embeddings q ON q.vec_id = p.qid)
         SELECT qid, vec_id,
                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
         FROM scored QUALIFY rnk <= 5

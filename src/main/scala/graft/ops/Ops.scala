@@ -175,6 +175,48 @@ object Ops {
     TopK.topKPerGroup(spark, scored, "qid", "sim", "vec_id", k)
   }
 
+  /** IVF (inverted-file) ANN: the corpus is partitioned into `nCentroids`
+    * cells around medoid centroids (a deterministic pseudo-random corpus
+    * sample — no iterative training, so the index build is one broadcast
+    * pass and the whole structure is re-derivable by the DuckDB oracle);
+    * each query probes its `nProbe` nearest centroids and re-ranks only
+    * those cells' vectors.
+    *
+    * Scale shape: centroids broadcast (nCentroids ~ sqrt(corpus)), the
+    * assignment is one map-side pass over the corpus, candidates shuffle
+    * on centroid id, and the final top-k uses the map-side aggregator. */
+  def annIvf(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+             k: Int, nCentroids: Int = 32, nProbe: Int = 4): DataFrame = {
+    OpsFunctions.register(spark)
+    // Deterministic pseudo-random medoid pick (mirrored by the oracle).
+    val centroids = broadcast(
+      corpus.orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
+        .limit(nCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("c_vec")))
+
+    def assign(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
+      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
+      df.crossJoin(centroids)
+        .withColumn("csim", expr(s"cosine_similarity($vecCol, c_vec)"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= n)
+        .select(col(idCol), col("cid"))
+    }
+
+    val assigned = assign(corpus.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", 1)
+    val probes = assign(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("q_vec")), "qid", "q_vec", nProbe)
+
+    val scored = probes.join(assigned, "cid")
+      .select("qid", "vec_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("q_vec"))), "qid")
+      .withColumn("sim", expr("cosine_similarity(embedding, q_vec)"))
+    TopK.topKPerGroup(spark, scored, "qid", "sim", "vec_id", k)
+  }
+
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "for", "on", "with", "as", "at", "by", "from", "this", "that")
 

@@ -85,7 +85,7 @@ class OpsSpec extends AnyFunSuite {
     val lsh = Ops.annLsh(spark, embeddings, queries, k = 5, bits = 8, tables = 6)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = lsh.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.5, s"recall $recall")
+    assert(recall >= 0.6, s"recall $recall")
   }
 
   test("language ID recovers the majority of labels") {
@@ -250,5 +250,21 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
     assert(shuffles.exists(_.exists(_ == "bucket")))
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
+
+/** IVF ANN: recall vs brute force at test scale. */
+class AnnIvfSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("IVF achieves reasonable recall and never exceeds brute results") {
+    val spark = SparkTestBase.spark
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val brute = Ops.annBruteForce(spark, emb, queries, k = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ops.annIvf(spark, emb, queries, k = 5, nCentroids = 32, nProbe = 8)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.6, s"recall $recall")
+    println(s"IVF_RECALL=$recall")
   }
 }
