@@ -440,11 +440,21 @@ object H3 {
     2.0 * Math.atan2(Math.sqrt(a), Math.sqrt(1.0 - a))
   }
 
+  /** Haversine distance in radians between two points in degrees. */
+  def greatCircleDistanceRads(lat1Deg: Double, lng1Deg: Double,
+                              lat2Deg: Double, lng2Deg: Double): Double =
+    distanceRads(Math.toRadians(lat1Deg), Math.toRadians(lng1Deg),
+      Math.toRadians(lat2Deg), Math.toRadians(lng2Deg))
+
+  /** Haversine distance in kilometers between two points in degrees. */
+  def greatCircleDistanceKm(lat1Deg: Double, lng1Deg: Double,
+                            lat2Deg: Double, lng2Deg: Double): Double =
+    greatCircleDistanceRads(lat1Deg, lng1Deg, lat2Deg, lng2Deg) * EarthRadiusKm
+
   /** Haversine distance in meters between two points in degrees. */
   def greatCircleDistanceM(lat1Deg: Double, lng1Deg: Double,
                            lat2Deg: Double, lng2Deg: Double): Double =
-    distanceRads(Math.toRadians(lat1Deg), Math.toRadians(lng1Deg),
-      Math.toRadians(lat2Deg), Math.toRadians(lng2Deg)) * EarthRadiusKm * 1000.0
+    greatCircleDistanceRads(lat1Deg, lng1Deg, lat2Deg, lng2Deg) * EarthRadiusKm * 1000.0
 
   // ---------------------------------------------------------------------
   // Projection facade (implemented in Proj).

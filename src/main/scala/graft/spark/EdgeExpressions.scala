@@ -56,6 +56,9 @@ object EdgeKernel {
   def maxGridDiskSize(k: Int): Long = H3.maxGridDiskSize(k)
   def maxGridRingSize(k: Int): Long = if (k <= 0) 1L else 6L * k
   def pentagonCount(res: Int): Long = if (res < 0 || res > 15) 0L else 12L
+  def res0CellCount(res: Int): Long = 122L
+  def hexAreaAvgRads2(res: Int): Double =
+    if (res < 0 || res > 15) Double.NaN else Tables.AreaRads2(res)
 
   /** Grid path length = grid distance + 1; -1 sentinel on failure. */
   def gridPathSize(a: Long, b: Long): Long = {
@@ -178,6 +181,8 @@ case class H3ResCall(fn: String, child: Expression, dataType: DataType)
       case "maxGridDiskSize" => EdgeKernel.maxGridDiskSize(v)
       case "maxGridRingSize" => EdgeKernel.maxGridRingSize(v)
       case "pentagonCount" => EdgeKernel.pentagonCount(v)
+      case "res0CellCount" => EdgeKernel.res0CellCount(v)
+      case "hexAreaAvgRads2" => EdgeKernel.hexAreaAvgRads2(v)
     }
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

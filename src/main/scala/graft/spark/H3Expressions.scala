@@ -326,18 +326,30 @@ case class AreNeighborCells(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-case class GreatCircleDistanceM(children: Seq[Expression]) extends Expression {
+case class GreatCircleDistanceM(children: Seq[Expression],
+                                fn: String = "greatCircleDistanceM")
+    extends Expression {
   require(children.length == 4, "h3_distance_m(lat1, lng1, lat2, lng2)")
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = children.exists(_.nullable)
   override def foldable: Boolean = children.forall(_.foldable)
-  override def prettyName: String = "h3_great_circle_distance_m"
+  override def prettyName: String = fn match {
+    case "greatCircleDistanceKm" => "h3_great_circle_distance_km"
+    case "greatCircleDistanceRads" => "h3_great_circle_distance_rads"
+    case _ => "h3_great_circle_distance_m"
+  }
   override def eval(input: InternalRow): Any = {
     val vs = children.map(_.eval(input))
     if (vs.contains(null)) null
-    else H3.greatCircleDistanceM(
-      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
-      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+    else {
+      val (a, b, c, d) = (vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+        vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double])
+      fn match {
+        case "greatCircleDistanceKm" => H3.greatCircleDistanceKm(a, b, c, d)
+        case "greatCircleDistanceRads" => H3.greatCircleDistanceRads(a, b, c, d)
+        case _ => H3.greatCircleDistanceM(a, b, c, d)
+      }
+    }
   }
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val evs = children.map(_.genCode(ctx))
@@ -347,7 +359,7 @@ case class GreatCircleDistanceM(children: Seq[Expression]) extends Expression {
       boolean ${ev.isNull} = $anyNull;
       double ${ev.value} = 0.0;
       if (!${ev.isNull}) {
-        ${ev.value} = graft.h3.H3.greatCircleDistanceM(
+        ${ev.value} = graft.h3.H3.$fn(
           ${evs(0).value}, ${evs(1).value}, ${evs(2).value}, ${evs(3).value});
       }
     """)

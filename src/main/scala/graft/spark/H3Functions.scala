@@ -48,6 +48,10 @@ object H3Functions {
     "h3_grid_distance" -> (es => GridDistanceExpr(lng(es(0)), lng(es(1)))),
     "h3_are_neighbor_cells" -> (es => AreNeighborCells(lng(es(0)), lng(es(1)))),
     "h3_great_circle_distance_m" -> (es => GreatCircleDistanceM(es.map(dbl))),
+    "h3_great_circle_distance_km" -> (es => GreatCircleDistanceM(es.map(dbl), "greatCircleDistanceKm")),
+    "h3_great_circle_distance_rads" -> (es => GreatCircleDistanceM(es.map(dbl), "greatCircleDistanceRads")),
+    "h3_get_hexagon_area_avg_rads2" -> (es => H3ResCall("hexAreaAvgRads2", int(es(0)), DoubleType)),
+    "h3_res0_cell_count" -> (es => H3ResCall("res0CellCount", int(es(0)), LongType)),
     "h3_to_string" -> (es => CellToStringExpr(lng(es(0)))),
     "h3_from_string" -> (es => StringToCellExpr(str(es(0)))),
     "h3_compact_cells" -> (es => CompactCellsExpr(lngArr(es(0)))),

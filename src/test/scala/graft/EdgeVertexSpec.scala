@@ -128,6 +128,20 @@ class SizeHintSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(row.getLong(0) == row.getLong(1))
     assert(row.getLong(2) == row.getLong(3) && row.getLong(2) == row.getInt(5).toLong)
     assert(row.getLong(4) == 12L)
+    val units = spark.sql(s"""
+      SELECT h3_great_circle_distance_m(48.85, 2.35, 40.71, -74.0) AS m,
+             h3_great_circle_distance_km(48.85, 2.35, 40.71, -74.0) AS km,
+             h3_great_circle_distance_rads(48.85, 2.35, 40.71, -74.0) AS rads,
+             h3_get_hexagon_area_avg_rads2(5) AS ar,
+             h3_get_hexagon_area_avg_km2(5) AS akm,
+             h3_res0_cell_count(0) AS n0
+    """).collect()(0)
+    assert(math.abs(units.getDouble(0) - units.getDouble(1) * 1000.0) < 1e-6)
+    assert(math.abs(units.getDouble(1) -
+      units.getDouble(2) * graft.h3.H3.EarthRadiusKm) < 1e-9)
+    assert(math.abs(units.getDouble(4) - units.getDouble(3)
+      * graft.h3.H3.EarthRadiusKm * graft.h3.H3.EarthRadiusKm) < 1e-6)
+    assert(units.getLong(5) == 122L)
     // Cross-pentagon path failure -> null size.
     val pent = graft.h3.H3.cellToCenterChild(
       graft.h3.H3.setBaseCell(graft.h3.H3.DefaultCellIndex, 4), 8)
