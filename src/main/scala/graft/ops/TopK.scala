@@ -1,8 +1,13 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.Encoders
 
@@ -18,37 +23,160 @@ object TopK {
 
   final case class Buf(var items: List[Entry])
 
-  /** K largest by score (ties broken by smaller id). */
+  /** K largest by score (ties broken by smaller id). The buffer list is
+    * kept sorted best-first, so the hot path is an O(1) reject against the
+    * current k-th entry — no per-row sort or allocation for the vast
+    * majority of candidate rows. */
   class TopKAgg(k: Int) extends Aggregator[Entry, Buf, Seq[Entry]] {
-    private def insert(items: List[Entry], e: Entry): List[Entry] = {
-      val merged = (e :: items).sortBy { case (s, id) => (-s, id) }
-      if (merged.length > k) merged.take(k) else merged
+    // true when a ranks strictly better than b (higher score, then lower id)
+    @inline private def better(a: Entry, b: Entry): Boolean =
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+
+    private def insert(items: List[Entry], size: Int, e: Entry): List[Entry] = {
+      if (size >= k && !better(e, items.last)) return items
+      val (front, rest) = items.span(better(_, e))
+      val merged = front ::: (e :: rest)
+      if (size + 1 > k) merged.take(k) else merged
     }
+
     override def zero: Buf = Buf(Nil)
-    override def reduce(b: Buf, a: Entry): Buf = { b.items = insert(b.items, a); b }
-    override def merge(b1: Buf, b2: Buf): Buf = {
-      val merged = (b1.items ++ b2.items).sortBy { case (s, id) => (-s, id) }
-      Buf(merged.take(k))
+    override def reduce(b: Buf, a: Entry): Buf = {
+      b.items = insert(b.items, b.items.length, a)
+      b
     }
-    override def finish(b: Buf): Seq[Entry] =
-      b.items.sortBy { case (s, id) => (-s, id) }
+    override def merge(b1: Buf, b2: Buf): Buf = {
+      // Merge two best-first-sorted lists, keeping the first k.
+      val out = List.newBuilder[Entry]
+      var x = b1.items
+      var y = b2.items
+      var n = 0
+      while (n < k && (x.nonEmpty || y.nonEmpty)) {
+        if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) {
+          out += x.head; x = x.tail
+        } else {
+          out += y.head; y = y.tail
+        }
+        n += 1
+      }
+      Buf(out.result())
+    }
+    override def finish(b: Buf): Seq[Entry] = b.items
     override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
     override def outputEncoder: Encoder[Seq[Entry]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
   }
 
-  /** Registers `top_k(score, id)` as a session UDAF and returns a helper
-    * that aggregates (group, score, id) rows into top-k rows per group. */
+  /** Aggregates (group, score, id) rows into top-k rows per group via the
+    * native primitive-buffer aggregate (map-side partial top-k; no per-row
+    * boxing). */
   def topKPerGroup(spark: SparkSession, df: DataFrame, groupCol: String,
                    scoreCol: String, idCol: String, k: Int): DataFrame = {
-    val agg = udaf(new TopKAgg(k))
-    df.select(col(groupCol).as("grp"),
-        struct(col(scoreCol).cast("double").as("_1"),
-          col(idCol).cast("long").as("_2")).as("entry"))
-      .groupBy("grp")
-      .agg(agg(col("entry._1"), col("entry._2")).as("top"))
+    val aggCol = org.apache.spark.sql.GraftBridge.column(TopKPrimitiveAgg(
+      org.apache.spark.sql.GraftBridge.expression(col(scoreCol).cast("double")),
+      org.apache.spark.sql.GraftBridge.expression(col(idCol).cast("long")), k)
+      .toAggregateExpression())
+    df.groupBy(col(groupCol).as("grp"))
+      .agg(aggCol.as("top"))
       .select(col("grp"), posexplode(col("top")).as(Seq("pos", "e")))
       .select(col("grp").as(groupCol), (col("pos") + 1).cast("long").as("rank"),
-        col("e._1").as(scoreCol), col("e._2").as(idCol))
+        col("e.score").as(scoreCol), col("e.id").as(idCol))
   }
+}
+
+/** Mutable primitive top-k buffer: parallel arrays sorted best-first
+  * (higher score first, ties by lower id). */
+final class TopKBuf(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var size = 0
+
+  @inline private def better(s: Double, id: Long, i: Int): Boolean =
+    s > scores(i) || (s == scores(i) && id < ids(i))
+
+  def add(s: Double, id: Long): Unit = {
+    if (size >= k && !better(s, id, size - 1)) return
+    var pos = if (size < k) size else k - 1
+    while (pos > 0 && better(s, id, pos - 1)) {
+      scores(pos) = scores(pos - 1)
+      ids(pos) = ids(pos - 1)
+      pos -= 1
+    }
+    scores(pos) = s
+    ids(pos) = id
+    if (size < k) size += 1
+  }
+
+  def mergeFrom(o: TopKBuf): Unit = {
+    var i = 0
+    while (i < o.size) { add(o.scores(i), o.ids(i)); i += 1 }
+  }
+}
+
+/** Native top-k aggregate: partial top-k runs map-side over primitive
+  * buffers (no encoder boxing per row), so the shuffle carries at most k
+  * (score, id) pairs per group per partition. Output: array of
+  * struct(score, id), best first. */
+case class TopKPrimitiveAgg(score: Expression, id: Expression, k: Int,
+                            mutableAggBufferOffset: Int = 0,
+                            inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKBuf] {
+  require(k > 0, s"k must be positive, got $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", DoubleType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "top_k"
+
+  override def createAggregationBuffer(): TopKBuf = new TopKBuf(k)
+
+  override def update(b: TopKBuf, input: InternalRow): TopKBuf = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      b.add(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    b
+  }
+
+  override def merge(b: TopKBuf, o: TopKBuf): TopKBuf = { b.mergeFrom(o); b }
+
+  override def eval(b: TopKBuf): Any = {
+    val out = new Array[Any](b.size)
+    var i = 0
+    while (i < b.size) {
+      out(i) = new GenericInternalRow(Array[Any](b.scores(i), b.ids(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(b: TopKBuf): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(4 + b.size * 16)
+    bb.putInt(b.size)
+    var i = 0
+    while (i < b.size) { bb.putDouble(b.scores(i)); bb.putLong(b.ids(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val b = new TopKBuf(k)
+    var i = 0
+    while (i < n) {
+      b.scores(i) = bb.getDouble
+      b.ids(i) = bb.getLong
+      i += 1
+    }
+    b.size = n
+    b
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): TopKPrimitiveAgg =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): TopKPrimitiveAgg =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(score = cs(0), id = cs(1))
 }
