@@ -5,11 +5,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, GenericInternalRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.Encoder
-import org.apache.spark.sql.Encoders
 
 /** Typed top-K aggregator: keeps the K best (score, id) pairs in a bounded
   * heap per group. Unlike a window + row_number, the partial aggregation
@@ -18,53 +15,6 @@ import org.apache.spark.sql.Encoders
   * over very wide candidate sets at 100 TB.
   */
 object TopK {
-
-  type Entry = (Double, Long) // (score, id); max-score first
-
-  final case class Buf(var items: List[Entry])
-
-  /** K largest by score (ties broken by smaller id). The buffer list is
-    * kept sorted best-first, so the hot path is an O(1) reject against the
-    * current k-th entry — no per-row sort or allocation for the vast
-    * majority of candidate rows. */
-  class TopKAgg(k: Int) extends Aggregator[Entry, Buf, Seq[Entry]] {
-    // true when a ranks strictly better than b (higher score, then lower id)
-    @inline private def better(a: Entry, b: Entry): Boolean =
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
-
-    private def insert(items: List[Entry], size: Int, e: Entry): List[Entry] = {
-      if (size >= k && !better(e, items.last)) return items
-      val (front, rest) = items.span(better(_, e))
-      val merged = front ::: (e :: rest)
-      if (size + 1 > k) merged.take(k) else merged
-    }
-
-    override def zero: Buf = Buf(Nil)
-    override def reduce(b: Buf, a: Entry): Buf = {
-      b.items = insert(b.items, b.items.length, a)
-      b
-    }
-    override def merge(b1: Buf, b2: Buf): Buf = {
-      // Merge two best-first-sorted lists, keeping the first k.
-      val out = List.newBuilder[Entry]
-      var x = b1.items
-      var y = b2.items
-      var n = 0
-      while (n < k && (x.nonEmpty || y.nonEmpty)) {
-        if (y.isEmpty || (x.nonEmpty && better(x.head, y.head))) {
-          out += x.head; x = x.tail
-        } else {
-          out += y.head; y = y.tail
-        }
-        n += 1
-      }
-      Buf(out.result())
-    }
-    override def finish(b: Buf): Seq[Entry] = b.items
-    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
-    override def outputEncoder: Encoder[Seq[Entry]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
-  }
 
   /** Aggregates (group, score, id) rows into top-k rows per group via the
     * native primitive-buffer aggregate (map-side partial top-k; no per-row
