@@ -137,8 +137,13 @@ object Knn {
           .select("qid")
         val settled = ranked.join(okQids, "qid")
         result = if (result == null) settled else result.unionByName(settled)
+        val prevRemaining = remaining
         remaining = remaining.join(okQids, Seq("qid"), "left_anti").cache()
-        remainingCount = remaining.count()
+        remainingCount = remaining.count() // materializes the new cache
+        // The superseded query set is no longer referenced by any lazy
+        // lineage that isn't itself cached — release it so long escalation
+        // ladders don't pin one cached generation per round.
+        prevRemaining.unpersist(blocking = false)
         if (remainingCount == 0) done = true
       }
       round += 1
