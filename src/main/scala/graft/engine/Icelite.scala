@@ -13,12 +13,18 @@ import scala.jdk.CollectionConverters._
   * manifests with per-partition lineage + metrics, atomic commits via
   * temp-file rename, and manifest-driven resumable writes.
   *
-  * Layout:
+  * Layout (Iceberg-style manifest list + append-only manifest segments):
   * {{{
   *   <root>/data/<part>=<value>/part-*.parquet
-  *   <root>/manifest/snapshot-<n>.json      (atomic rename commit)
+  *   <root>/manifest/seg-<n>.json           (immutable entry batch)
+  *   <root>/manifest/snapshot-<n>.json      (lists its segment files)
   *   <root>/manifest/CURRENT                (points at latest snapshot)
   * }}}
+  *
+  * Commits append a NEW segment and write a snapshot that lists all
+  * segment names — entry data is never rewritten, so total manifest I/O
+  * is O(buckets), not O(buckets^2) as an inline-entries snapshot would be
+  * at ~41k buckets.
   *
   * A resumable job processes one bucket (partition value) at a time; each
   * completed bucket is recorded in the manifest with row counts and a
@@ -35,16 +41,36 @@ object Icelite {
   final case class Snapshot(id: Long, partitionCol: String,
                             entries: Seq[PartitionEntry])
 
+  /** Snapshot header only: id + segment list (entries not loaded). */
+  private final case class SnapshotMeta(id: Long, partitionCol: String,
+                                        segments: Seq[String])
+
   private def manifestDir(root: String): Path = Paths.get(root, "manifest")
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
-  def currentSnapshot(root: String): Option[Snapshot] = {
+  private def readFile(p: Path): String =
+    new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
+
+  private def currentMeta(root: String): Option[SnapshotMeta] = {
     val cur = manifestDir(root).resolve("CURRENT")
     if (!Files.exists(cur)) return None
-    val name = new String(Files.readAllBytes(cur), StandardCharsets.UTF_8).trim
-    val p = manifestDir(root).resolve(name)
-    if (!Files.exists(p)) None else Some(parseSnapshot(
-      new String(Files.readAllBytes(p), StandardCharsets.UTF_8)))
+    val p = manifestDir(root).resolve(readFile(cur).trim)
+    if (!Files.exists(p)) None else Some(parseMeta(readFile(p)))
+  }
+
+  private def loadSnapshot(root: String, meta: SnapshotMeta): Snapshot =
+    Snapshot(meta.id, meta.partitionCol,
+      meta.segments.flatMap(seg =>
+        parseEntries(readFile(manifestDir(root).resolve(seg)))))
+
+  def currentSnapshot(root: String): Option[Snapshot] =
+    currentMeta(root).map(loadSnapshot(root, _))
+
+  /** Loads a historical snapshot by id (for incremental reads). */
+  def snapshotById(root: String, id: Long): Option[Snapshot] = {
+    val p = manifestDir(root).resolve(f"snapshot-$id%06d.json")
+    if (!Files.exists(p)) None
+    else Some(loadSnapshot(root, parseMeta(readFile(p))))
   }
 
   /** Completed partition values in the latest snapshot. */
@@ -98,12 +124,25 @@ object Icelite {
       .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
       .sortBy(_._1)
 
-    // Promote loop: atomic rename per bucket + incremental manifest commit
-    // (driver-side only — no further Spark jobs).
-    var entries = currentSnapshot(root).map(_.entries.toVector).getOrElse(Vector.empty)
+    // Promote loop: atomic rename per bucket + batched manifest commits
+    // (driver-side only — no further Spark jobs). Each commit appends one
+    // immutable segment file; the batch size adapts so a run makes at most
+    // ~64 commits regardless of bucket count (per-bucket at test scale).
+    // A crash between a promote and its commit only re-stages the
+    // uncommitted buckets of the open batch on resume (idempotent
+    // overwrite on promote).
+    val batchSize = math.max(1, stats.length / 64)
+    val pending = mutable.ArrayBuffer.empty[PartitionEntry]
     var computed = 0
+    def flush(): Unit = if (pending.nonEmpty) {
+      commitSegment(root, partitionCol, pending.toSeq)
+      pending.clear()
+    }
     for ((v, (rows, checksum)) <- stats) {
       if (computed >= failAfter)
+        // Simulated crash: pending (promoted-but-uncommitted) buckets are
+        // deliberately NOT flushed — resume re-stages and re-promotes them
+        // idempotently, exactly as after a real crash.
         throw new RuntimeException(s"icelite: injected failure after $failAfter buckets")
       val staged = staging.resolve(s"__part=$v")
       val target = dataDir(root).resolve(s"$partitionCol=$v")
@@ -111,13 +150,24 @@ object Icelite {
       Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
       val files = Files.list(target).iterator().asScala
         .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
-      entries :+= PartitionEntry(v, rows, checksum, files,
+      pending += PartitionEntry(v, rows, checksum, files,
         durationMs = (System.nanoTime() - t0) / 1000000, lineage = lineage)
-      commitSnapshot(root, partitionCol, entries)
+      if (pending.length >= batchSize) flush()
       computed += 1
     }
+    flush()
     deleteRecursively(staging)
     computed
+  }
+
+  /** Partitions committed after snapshot `sinceId` (exclusive) — the
+    * incremental-scan primitive: reading only what a downstream consumer
+    * has not yet seen. */
+  def readIncremental(spark: SparkSession, root: String,
+                      sinceId: Long): DataFrame = {
+    val old = snapshotById(root, sinceId)
+      .map(_.entries.map(_.value).toSet).getOrElse(Set.empty)
+    readWhere(spark, root, v => !old(v))
   }
 
   /** Reads the table back (all committed partitions). */
@@ -138,21 +188,27 @@ object Icelite {
     spark.read.parquet(paths: _*)
   }
 
-  private def commitSnapshot(root: String, partitionCol: String,
-                             entries: Seq[PartitionEntry]): Unit = {
-    val id = currentSnapshot(root).map(_.id + 1).getOrElse(0L)
-    val json = renderSnapshot(Snapshot(id, partitionCol, entries))
-    val name = f"snapshot-$id%06d.json"
+  /** Appends one immutable segment of new entries and commits a snapshot
+    * listing every segment (CURRENT update is the commit point; orphans
+    * from crashes between renames are overwritten on the next commit). */
+  private def commitSegment(root: String, partitionCol: String,
+                            newEntries: Seq[PartitionEntry]): Unit = {
+    val meta = currentMeta(root)
+    val id = meta.map(_.id + 1).getOrElse(0L)
+    val segName = f"seg-$id%06d.json"
+    atomicWrite(root, segName, s"""{"entries":[${renderEntries(newEntries)}]}""")
+    val segments = meta.map(_.segments).getOrElse(Nil) :+ segName
+    val snapJson = s"""{"id":$id,"partitionCol":"${esc(partitionCol)}","segments":[${
+      segments.map(n => "\"" + esc(n) + "\"").mkString(",")}]}"""
+    val snapName = f"snapshot-$id%06d.json"
+    atomicWrite(root, snapName, snapJson)
+    atomicWrite(root, "CURRENT", snapName)
+  }
+
+  private def atomicWrite(root: String, name: String, content: String): Unit = {
     val tmp = manifestDir(root).resolve(s".$name.tmp")
-    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
-    // REPLACE_EXISTING: a crash between this rename and the CURRENT update
-    // leaves an orphaned snapshot file with the same next-id; the orphan is
-    // dead data (CURRENT is the commit point), so overwrite it on resume.
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestDir(root).resolve(name),
-      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-    val curTmp = manifestDir(root).resolve(".CURRENT.tmp")
-    Files.write(curTmp, name.getBytes(StandardCharsets.UTF_8))
-    Files.move(curTmp, manifestDir(root).resolve("CURRENT"),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
@@ -167,16 +223,14 @@ object Icelite {
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
-  private def renderSnapshot(s: Snapshot): String = {
-    val es = s.entries.map { e =>
+  private def renderEntries(entries: Seq[PartitionEntry]): String =
+    entries.map { e =>
       s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"durationMs":${e.durationMs},"lineage":"${esc(e.lineage)}","files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
     }.mkString(",")
-    s"""{"id":${s.id},"partitionCol":"${esc(s.partitionCol)}","entries":[$es]}"""
-  }
 
-  private def parseSnapshot(json: String): Snapshot = {
+  private def parseEntries(json: String): Seq[PartitionEntry] = {
     val v = graft.h3.Geo.Json.parse(json).asInstanceOf[Map[String, Any]]
-    val entries = v("entries").asInstanceOf[List[Any]].map { e =>
+    v("entries").asInstanceOf[List[Any]].map { e =>
       val m = e.asInstanceOf[Map[String, Any]]
       PartitionEntry(
         m("value").toString,
@@ -188,8 +242,13 @@ object Icelite {
         }.getOrElse(0L),
         m.get("lineage").map(_.toString).getOrElse(""))
     }
-    Snapshot(
+  }
+
+  private def parseMeta(json: String): SnapshotMeta = {
+    val v = graft.h3.Geo.Json.parse(json).asInstanceOf[Map[String, Any]]
+    SnapshotMeta(
       v("id") match { case l: Long => l; case d: Double => d.toLong },
-      v("partitionCol").toString, entries)
+      v("partitionCol").toString,
+      v("segments").asInstanceOf[List[Any]].map(_.toString))
   }
 }

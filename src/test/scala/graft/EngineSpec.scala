@@ -271,3 +271,50 @@ class TransmeridianDissolveSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(recovered.toSet == disk.toSet)
   }
 }
+
+/** Append-only manifest segments + incremental reads. */
+class IceliteManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("manifest entries are written exactly once across segments (O(n) I/O)") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-seg").toString
+    val df = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+      .withColumn("bucket", pmod(col("page_id"), lit(23)))
+    graft.engine.Icelite.writeResumable(spark, df, root, "bucket")
+    val segs = java.nio.file.Files.list(java.nio.file.Paths.get(root, "manifest"))
+      .iterator()
+    val segFiles = scala.jdk.CollectionConverters.IteratorHasAsScala(segs).asScala
+      .filter(_.getFileName.toString.startsWith("seg-")).toSeq
+    // Total entries across ALL segment files equals the bucket count: no
+    // entry is ever rewritten (inline-entry snapshots would hold n*(n+1)/2).
+    val totalEntries = segFiles.map { p =>
+      val s = new String(java.nio.file.Files.readAllBytes(p))
+      "\"value\"".r.findAllIn(s).size
+    }.sum
+    assert(totalEntries == 23, s"entries across segments = $totalEntries")
+    assert(graft.engine.Icelite.completedPartitions(root).size == 23)
+  }
+
+  test("readIncremental returns only partitions committed after a snapshot") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-incr").toString
+    val df = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+      .withColumn("bucket", pmod(col("page_id"), lit(6)))
+    // First run dies after 3 buckets -> snapshot with 3 partitions.
+    intercept[RuntimeException] {
+      graft.engine.Icelite.writeResumable(spark, df, root, "bucket", failAfter = 3)
+    }
+    val firstId = graft.engine.Icelite.currentSnapshot(root).get.id
+    val firstVals = graft.engine.Icelite.completedPartitions(root)
+    assert(firstVals.size == 3)
+    // Resume completes the remaining 3.
+    graft.engine.Icelite.writeResumable(spark, df, root, "bucket")
+    val incr = graft.engine.Icelite.readIncremental(spark, root, firstId)
+      .select("bucket").distinct().collect().map(_.get(0).toString).toSet
+    assert(incr.size == 3 && incr.intersect(firstVals).isEmpty, incr.toString)
+    // Incremental + old = full table.
+    val full = graft.engine.Icelite.read(spark, root).count()
+    val old = graft.engine.Icelite.readWhere(spark, root, firstVals).count()
+    val inc = graft.engine.Icelite.readIncremental(spark, root, firstId).count()
+    assert(old + inc == full)
+  }
+}
