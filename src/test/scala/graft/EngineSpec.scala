@@ -318,3 +318,26 @@ class IceliteManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(old + inc == full)
   }
 }
+
+/** Crash inside an uncommitted manifest batch: resume must re-stage the
+  * promoted-but-uncommitted buckets and converge to the full table. */
+class IceliteBatchCrashSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("mid-batch crash (batchSize > 1) resumes to an identical table") {
+    val spark = SparkTestBase.spark
+    val root = java.nio.file.Files.createTempDirectory("icelite-crash").toString
+    val df = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+      .withColumn("bucket", pmod(col("page_id"), lit(200)))
+    // 200 buckets -> batchSize = 3: failing at 100 leaves 1-2 promoted
+    // buckets uncommitted (the open batch).
+    intercept[RuntimeException] {
+      graft.engine.Icelite.writeResumable(spark, df, root, "bucket", failAfter = 100)
+    }
+    val committed = graft.engine.Icelite.completedPartitions(root).size
+    assert(committed <= 100 && committed >= 98, s"committed=$committed")
+    val resumed = graft.engine.Icelite.writeResumable(spark, df, root, "bucket")
+    assert(committed + resumed == 200)
+    val back = graft.engine.Icelite.read(spark, root).select("page_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(back.toSeq == df.select("page_id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
+}
