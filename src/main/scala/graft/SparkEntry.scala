@@ -225,6 +225,21 @@ object SparkEntry {
         .select(col("poly_id"), col("page_id"))
     }),
 
+    // --- PIP join against a polygon TABLE (distributed covers) ---
+    "pip_join_table" -> ((s, dir) => {
+      registerAll(s)
+      import s.implicits._
+      val pts = Pages.indexedPages(s, dir)
+      val polyTable = Rects.map { case (id, latMin, latMax, lngMin, lngMax) =>
+        val ring = Seq((lngMin, latMin), (lngMax, latMin), (lngMax, latMax),
+            (lngMin, latMax), (lngMin, latMin))
+          .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
+        (id, s"""{"type":"Polygon","coordinates":[$ring]}""")
+      }.toDF("poly_id", "geojson")
+      SpatialJoin.pipJoinPolygonTable(s, pts, polyTable, res = 9, coverRes = 8)
+        .select("poly_id", "page_id")
+    }),
+
     // --- kNN join vs brute-force haversine oracle ---
     "knn_join" -> ((s, dir) => {
       registerAll(s)
@@ -629,6 +644,13 @@ object SparkEntry {
       """,
 
       "pip_join_rects" -> {
+        val branches = Rects.map { r =>
+          s"SELECT ${r._1} AS poly_id, page_id FROM pages WHERE ${rectCondDuck(r)}"
+        }.mkString(" UNION ALL ")
+        s"WITH ${Pages.duckPagesCte} $branches"
+      },
+
+      "pip_join_table" -> {
         val branches = Rects.map { r =>
           s"SELECT ${r._1} AS poly_id, page_id FROM pages WHERE ${rectCondDuck(r)}"
         }.mkString(" UNION ALL ")

@@ -131,6 +131,38 @@ object SpatialJoin {
   /** Loads the reference shape fixtures as polygons (degrees GeoJSON). */
   def loadShape(path: String): Array[Geo.GeoPolygon] =
     Geo.parseGeoJson(scala.io.Source.fromFile(path).mkString)
+
+  /** PIP join against a polygon TABLE — the shape for thousands/millions
+    * of geofences, where a driver-side Seq[Poly] cannot hold them.
+    *
+    * Scale design: covers are computed ON EXECUTORS by the annotated
+    * generator (one row per cover cell, full/boundary flagged); the
+    * candidate join carries (poly_id, cell, full) ids only; rows on fully
+    * contained cells are accepted outright, and the geometry string joins
+    * back exactly once — only for boundary-cell rows — before the exact
+    * ray-cast filter (memoized parse per executor).
+    *
+    * @param polygons columns: poly_id (long), geojson (string)
+    * @param coverRes cover resolution (<= the probe cell resolution);
+    *                 choose so the largest polygon's cover stays bounded. */
+  def pipJoinPolygonTable(spark: SparkSession, points: DataFrame,
+                          polygons: DataFrame, res: Int, coverRes: Int,
+                          cellCol: String = "cell9"): DataFrame = {
+    H3Functions.register(spark)
+    require(coverRes <= res, s"coverRes=$coverRes must be <= res=$res")
+    val covers = polygons
+      .select(col("poly_id"), expr(s"h3_polygon_to_cells_annotated(geojson, $coverRes)"))
+      .select("poly_id", "cell", "full")
+    val cand = points
+      .withColumn("__anc", expr(s"h3_cell_to_parent($cellCol, $coverRes)"))
+      .join(covers, col("__anc") === covers("cell"))
+    val fullHits = cand.filter(col("full")).drop("__anc", "cell", "full")
+    val boundary = cand.filter(!col("full"))
+      .join(polygons.select(col("poly_id"), col("geojson")), "poly_id")
+      .filter(expr("h3_point_in_polygon(lat, lng, geojson)"))
+      .drop("__anc", "cell", "full", "geojson")
+    fullHits.unionByName(boundary)
+  }
 }
 
 /** Serializable PIP tester shipped into generated code via a plan

@@ -356,6 +356,89 @@ case class EdgesToMultiPolygonExpr(child: Expression) extends UnaryExpression {
     copy(child = nc)
 }
 
+/** Per-executor memoized GeoJSON parsing for row-level polygon predicates
+  * (a polygon-table join evaluates the same geometry against many points;
+  * parsing once per executor per polygon keeps the predicate cheap). */
+object GeoCache {
+  private final val MaxEntries = 256
+  private val cache =
+    java.util.Collections.synchronizedMap(
+      new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String,
+                                  Array[graft.h3.Geo.GeoPolygon]](64, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[org.apache.spark.unsafe.types.UTF8String,
+                                   Array[graft.h3.Geo.GeoPolygon]]): Boolean =
+          size() > MaxEntries
+      })
+
+  def parse(geojson: org.apache.spark.unsafe.types.UTF8String): Array[graft.h3.Geo.GeoPolygon] = {
+    val hit = cache.get(geojson)
+    if (hit != null) return hit
+    val parsed = graft.h3.Geo.parseGeoJson(geojson.toString)
+    cache.put(geojson.clone(), parsed)
+    parsed
+  }
+
+  /** Exact ray-cast point-in-polygon over the (cached) geometry. */
+  def contains(latDeg: Double, lngDeg: Double,
+               geojson: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    val polys = parse(geojson)
+    val lat = Math.toRadians(latDeg)
+    val lng = Math.toRadians(lngDeg)
+    var i = 0
+    while (i < polys.length) {
+      if (polys(i).containsCentroid(lat, lng)) return true
+      i += 1
+    }
+    false
+  }
+}
+
+/** Exact point-in-polygon predicate over a GeoJSON column (ray cast with
+  * the engine's transmeridian handling; geometry parse memoized per
+  * executor). */
+case class PointInPolygonExpr(lat: Expression, lng: Expression, geojson: Expression)
+    extends TernaryExpression {
+  override def first: Expression = lat
+  override def second: Expression = lng
+  override def third: Expression = geojson
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "h3_point_in_polygon"
+  override protected def nullSafeEval(a: Any, b: Any, g: Any): Any =
+    GeoCache.contains(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      g.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, g) => s"graft.spark.GeoCache.contains($a, $b, $g)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(lat = f, lng = s, geojson = t)
+}
+
+/** Generator: annotated polygon cover — (cell, full) rows where `full`
+  * cells are strictly inside the geometry (no per-point test needed) and
+  * partial cells intersect its boundary. Runs on executors, so covers for
+  * a polygon TABLE are computed fully distributed. */
+case class PolygonToCellsAnnotatedGen(geojson: Expression, res: Expression)
+    extends Generator with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(geojson, res)
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("cell", LongType, nullable = false),
+      StructField("full", BooleanType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val g = geojson.eval(input)
+    val r = res.eval(input)
+    if (g == null || r == null) Iterator.empty
+    else {
+      val polys = GeoCache.parse(g.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      val (cells, full) = graft.h3.Geo.polygonToCellsAnnotated(
+        polys, r.asInstanceOf[Int], graft.h3.Geo.IntersectsBoundary)
+      cells.indices.iterator.map(i => InternalRow(cells(i), full(i)))
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(geojson = cs(0), res = cs(1))
+  override def prettyName: String = "h3_polygon_to_cells_annotated"
+}
+
 /** Generator: directed edges of the origin cell. */
 case class OriginToEdgesGen(cell: Expression) extends Generator
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

@@ -341,3 +341,60 @@ class IceliteBatchCrashSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(back.toSeq == df.select("page_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 }
+
+/** Polygon-TABLE PIP join (distributed covers + memoized exact PIP). */
+class PolygonTableJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def shapeJson(name: String): String = {
+    val url = getClass.getResource(s"/h3/shapes/$name.geojson")
+    scala.io.Source.fromURL(url).mkString
+  }
+
+  test("polygon-table join equals the broadcast Seq[Poly] join") {
+    import spark.implicits._
+    val pts = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+    val names = Seq("Paris", "SanFranciscoHole", "Rabi")
+    val polyTable = names.zipWithIndex
+      .map { case (n, i) => ((i + 1).toLong, shapeJson(n)) }
+      .toDF("poly_id", "geojson")
+    val viaTable = graft.engine.SpatialJoin
+      .pipJoinPolygonTable(spark, pts, polyTable, res = 9, coverRes = 7)
+      .select("poly_id", "page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val polys = names.zipWithIndex.map { case (n, i) =>
+      graft.engine.SpatialJoin.Poly((i + 1).toLong,
+        graft.h3.Geo.parseGeoJson(shapeJson(n))(0)) }
+    val viaSeq = graft.engine.SpatialJoin.pipJoin(spark, pts, polys, res = 9)
+      .select("poly_id", "page_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaTable == viaSeq && viaTable.nonEmpty)
+  }
+
+  test("candidate join carries ids only; geometry joins back for boundary rows") {
+    import spark.implicits._
+    val pts = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+    val polyTable = Seq((1L, shapeJson("Paris"))).toDF("poly_id", "geojson")
+    val df = graft.engine.SpatialJoin
+      .pipJoinPolygonTable(spark, pts, polyTable, res = 9, coverRes = 7)
+    // No shuffle exchange may carry the geojson payload (the geometry side
+    // is broadcast or joined after candidate dedup).
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: ShuffleExchangeExec => buf += s.output.map(_.name).toSeq
+        case _ =>
+      }
+      p.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    buf.filter(_.exists(_ == "cell")).foreach { cols =>
+      assert(!cols.contains("geojson"), cols.toString)
+    }
+  }
+}
