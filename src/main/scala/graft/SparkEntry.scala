@@ -301,7 +301,9 @@ object SparkEntry {
     "ann_ivf" -> ((s, dir) => {
       val emb = table(s, dir, "embeddings")
       val queries = emb.filter(col("vec_id") % 25 === 0)
-      Ops.annIvf(s, emb, queries, k = 5, nCentroids = 32, nProbe = 8)
+      // Soft assignment (each vector indexed under its 2 nearest cells):
+      // recall 0.85 vs brute at sf0.01 (0.96 at nAssign=3); see BASELINE.md.
+      Ops.annIvf(s, emb, queries, k = 5, nCentroids = 32, nProbe = 8, nAssign = 2)
         .withColumnRenamed("rank", "rnk").select("qid", "vec_id", "rnk")
     }),
 
@@ -835,18 +837,20 @@ object SparkEntry {
             SELECT e.vec_id, c.cid,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosine("e.embedding", "c.c_vec")} DESC, c.cid) AS rn
-            FROM embeddings e, cent c) WHERE rn = 1),
+            FROM embeddings e, cent c) WHERE rn <= 2),
         probes AS (
           SELECT qid, cid FROM (
             SELECT q.vec_id AS qid, c.cid,
                    row_number() OVER (PARTITION BY q.vec_id
                      ORDER BY ${cosine("q.embedding", "c.c_vec")} DESC, c.cid) AS rn
             FROM embeddings q, cent c WHERE q.vec_id % 25 = 0) WHERE rn <= 8),
+        cand AS (SELECT DISTINCT p.qid, a.vec_id
+                 FROM probes p JOIN asg a USING (cid)),
         scored AS (
-          SELECT p.qid, a.vec_id, ${cosine("e.embedding", "q.embedding")} AS sim
-          FROM probes p JOIN asg a USING (cid)
-          JOIN embeddings e ON e.vec_id = a.vec_id
-          JOIN embeddings q ON q.vec_id = p.qid)
+          SELECT c.qid, c.vec_id, ${cosine("e.embedding", "q.embedding")} AS sim
+          FROM cand c
+          JOIN embeddings e ON e.vec_id = c.vec_id
+          JOIN embeddings q ON q.vec_id = c.qid)
         SELECT qid, vec_id,
                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rnk
         FROM scored QUALIFY rnk <= 5

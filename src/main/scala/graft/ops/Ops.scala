@@ -186,7 +186,8 @@ object Ops {
     * assignment is one map-side pass over the corpus, candidates shuffle
     * on centroid id, and the final top-k uses the map-side aggregator. */
   def annIvf(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
-             k: Int, nCentroids: Int = 32, nProbe: Int = 4): DataFrame = {
+             k: Int, nCentroids: Int = 32, nProbe: Int = 4,
+             nAssign: Int = 1): DataFrame = {
     OpsFunctions.register(spark)
     // Deterministic pseudo-random medoid pick (mirrored by the oracle).
     val centroids = broadcast(
@@ -203,13 +204,16 @@ object Ops {
         .select(col(idCol), col("cid"))
     }
 
+    // Soft assignment (nAssign > 1): a vector near a Voronoi border is
+    // indexed under its nAssign nearest cells, trading index size for
+    // recall without any training step.
     val assigned = assign(corpus.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", 1)
+      "vec_id", "embedding", nAssign)
     val probes = assign(queries.select(col("vec_id").as("qid"),
       col("embedding").as("q_vec")), "qid", "q_vec", nProbe)
 
     val scored = probes.join(assigned, "cid")
-      .select("qid", "vec_id")
+      .select("qid", "vec_id").distinct()
       .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
       .join(broadcast(queries.select(col("vec_id").as("qid"),
         col("embedding").as("q_vec"))), "qid")

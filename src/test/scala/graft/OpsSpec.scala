@@ -85,7 +85,7 @@ class OpsSpec extends AnyFunSuite {
     val lsh = Ops.annLsh(spark, embeddings, queries, k = 5, bits = 8, tables = 6)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = lsh.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.6, s"recall $recall")
+    assert(recall >= 0.75, s"recall $recall")
   }
 
   test("language ID recovers the majority of labels") {
@@ -261,10 +261,10 @@ class AnnIvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     val queries = emb.filter(col("vec_id") % 25 === 0)
     val brute = Ops.annBruteForce(spark, emb, queries, k = 5)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Ops.annIvf(spark, emb, queries, k = 5, nCentroids = 32, nProbe = 8)
+    val ivf = Ops.annIvf(spark, emb, queries, k = 5, nCentroids = 32, nProbe = 8, nAssign = 2)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.6, s"recall $recall")
+    assert(recall >= 0.75, s"recall $recall")
     println(s"IVF_RECALL=$recall")
   }
 }
