@@ -26,7 +26,13 @@ object Ops {
     *
     * Scale shape: candidate generation is id-only — the band join and the
     * pair-dedup shuffle carry (band, hash, id) rows, never document text;
-    * texts are joined back exactly once per verified-candidate side. */
+    * texts are joined back exactly once per verified-candidate side.
+    *
+    * Scale composition note: a cluster of m EXACT duplicates collides in
+    * every band and yields m^2/2 pairs — on web corpora run [[dedupExact]]
+    * first and feed one representative per identical text into this
+    * operator, so pair volume is quadratic only in near-duplicate (not
+    * exact-duplicate) cluster sizes. */
   def dedupMinHash(spark: SparkSession, docs: DataFrame,
                    threshold: Double = 0.7, shingle: Int = 3,
                    numHashes: Int = 64, bands: Int = 16): DataFrame = {
