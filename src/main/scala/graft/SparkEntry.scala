@@ -236,7 +236,7 @@ object SparkEntry {
           .map { case (x, y) => s"[$x,$y]" }.mkString("[", ",", "]")
         (id, s"""{"type":"Polygon","coordinates":[$ring]}""")
       }.toDF("poly_id", "geojson")
-      SpatialJoin.pipJoinPolygonTable(s, pts, polyTable, res = 9, coverRes = 8)
+      SpatialJoin.pipJoinPolygonTable(s, pts, polyTable, res = 9)
         .select("poly_id", "page_id")
     }),
 

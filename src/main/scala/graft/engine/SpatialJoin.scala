@@ -89,9 +89,22 @@ object SpatialJoin {
 
     val coverDf = coverRows.toDF("poly_id", "cover_cell", "cover_res", "full")
 
-    // Probe ancestors, one per distinct cover resolution (typically <= 8).
+    // Probe cells, one per distinct cover resolution (typically <= 8).
+    //
+    // CORRECTNESS: the key must be the GEOMETRIC cell at the cover
+    // resolution (h3_latlng_to_cell), NOT the bit-ancestor of `cellCol`:
+    // H3 children protrude beyond their parents, so a point near a cell
+    // edge can lie geographically outside its bit-ancestor. With the
+    // bit-ancestor key a coarse cover both loses inside points (ancestor
+    // not in the cover) and falsely accepts outside points (ancestor
+    // marked full while the point sticks out of it) — observed at ~1 per
+    // 10^6 matched rows. With the geometric key, a full cover cell
+    // provably contains the point, and every inside point's cell
+    // intersects the polygon, so the join is exact. When the cover res
+    // equals the probe res the existing cell column is that cell already.
     val ancestors = array(coverResolutions.map { r =>
-      expr(s"h3_cell_to_parent($cellCol, $r)")
+      if (r == res) col(cellCol)
+      else expr(s"h3_latlng_to_cell(lat, lng, $r)")
     }: _*)
 
     val probe = points.withColumn("__anc", explode(ancestors))
@@ -143,25 +156,56 @@ object SpatialJoin {
     * ray-cast filter (memoized parse per executor).
     *
     * @param polygons columns: poly_id (long), geojson (string)
-    * @param coverRes cover resolution (<= the probe cell resolution);
-    *                 choose so the largest polygon's cover stays bounded. */
+    * @param broadcastPolygons true (default) broadcasts covers + geometry
+    *                 (single-pass plan); false takes the shuffle path for
+    *                 polygon tables too large to broadcast. */
   def pipJoinPolygonTable(spark: SparkSession, points: DataFrame,
-                          polygons: DataFrame, res: Int, coverRes: Int,
-                          cellCol: String = "cell9"): DataFrame = {
+                          polygons: DataFrame, res: Int,
+                          cellCol: String = "cell9",
+                          broadcastPolygons: Boolean = true): DataFrame = {
     H3Functions.register(spark)
-    require(coverRes <= res, s"coverRes=$coverRes must be <= res=$res")
+    // Each polygon adapts its cover resolution down Geo.coverLadder(res)
+    // inside the generator (a continental polygon must not tile at the
+    // point resolution); the probe explodes its GEOMETRIC cell at every
+    // ladder resolution — NOT bit-ancestors of the cell column: children
+    // protrude beyond parents, so a point near a cell edge can lie
+    // geographically outside its bit-ancestor, which both loses inside
+    // points and falsely accepts outside points on full cells (observed
+    // ~1 per 10^6 matched rows before the fix). Cell values at different
+    // resolutions never collide (the res nibble differs), so one join key
+    // column serves the whole ladder.
+    val ladder = Geo.coverLadder(res)
     val covers = polygons
-      .select(col("poly_id"), expr(s"h3_polygon_to_cells_annotated(geojson, $coverRes)"))
+      .select(col("poly_id"), expr(s"h3_polygon_to_cells_annotated(geojson, $res)"))
       .select("poly_id", "cell", "full")
-    val cand = points
-      .withColumn("__anc", expr(s"h3_cell_to_parent($cellCol, $coverRes)"))
-      .join(covers, col("__anc") === covers("cell"))
-    val fullHits = cand.filter(col("full")).drop("__anc", "cell", "full")
-    val boundary = cand.filter(!col("full"))
-      .join(polygons.select(col("poly_id"), col("geojson")), "poly_id")
-      .filter(expr("h3_point_in_polygon(lat, lng, geojson)"))
-      .drop("__anc", "cell", "full", "geojson")
-    fullHits.unionByName(boundary)
+    val probeCells = array(ladder.map { r =>
+      if (r == res) col(cellCol) else expr(s"h3_latlng_to_cell(lat, lng, $r)")
+    }: _*)
+    val geo = polygons.select(col("poly_id"), col("geojson"))
+    if (broadcastPolygons) {
+      // Single pass: the candidate join and the geometry lookup are both
+      // broadcasts, so points are scanned once and the || short-circuits
+      // the ray cast on fully-contained cells.
+      points
+        .withColumn("__anc", explode(probeCells))
+        .join(broadcast(covers), col("__anc") === covers("cell"))
+        .join(broadcast(geo), "poly_id")
+        .filter(col("full") || expr("h3_point_in_polygon(lat, lng, geojson)"))
+        .drop("__anc", "cell", "full", "geojson")
+    } else {
+      // Huge polygon tables: shuffle the id-only candidate join, accept
+      // full cells outright, and shuffle the geometry onto boundary rows
+      // only (the candidate exchange is reused across both branches).
+      val cand = points
+        .withColumn("__anc", explode(probeCells))
+        .join(covers, col("__anc") === covers("cell"))
+      val fullHits = cand.filter(col("full")).drop("__anc", "cell", "full")
+      val boundary = cand.filter(!col("full"))
+        .join(geo, "poly_id")
+        .filter(expr("h3_point_in_polygon(lat, lng, geojson)"))
+        .drop("__anc", "cell", "full", "geojson")
+      fullHits.unionByName(boundary)
+    }
   }
 }
 

@@ -270,6 +270,25 @@ object Geo {
 
   /** Upper-bound estimate of a polygon's cover size at `res` (pentagon-area
     * heuristic over the bbox, mirroring the reference's size hint). */
+  /** Cap used by adaptive covers (see [[adaptiveCoverRes]]). */
+  final val DefaultMaxCoverCells = 16384L
+
+  /** Resolutions a distributed polygon-table join probes: a fixed ladder
+    * (step 3 down from the point res) bounds the probe-side explosion to
+    * <= 4 candidate cells per point while letting each polygon pick a
+    * cover resolution that keeps its cover under the cap. */
+  def coverLadder(res: Int): Seq[Int] =
+    (res to 0 by -3).toSeq
+
+  /** Finest ladder resolution whose size hint stays under `maxCells`
+    * (falls back to the coarsest step). */
+  def adaptiveCoverRes(polys: Array[GeoPolygon], res: Int,
+                       maxCells: Long = DefaultMaxCoverCells): Int = {
+    val ladder = coverLadder(res)
+    ladder.find(r => polys.map(coverageSizeHint(_, r)).sum <= maxCells)
+      .getOrElse(ladder.last)
+  }
+
   def coverageSizeHint(poly: GeoPolygon, res: Int): Long = {
     val r = poly.exterior
     val d1 = math.abs(r.maxLng - r.minLng)

@@ -360,22 +360,26 @@ case class EdgesToMultiPolygonExpr(child: Expression) extends UnaryExpression {
   * (a polygon-table join evaluates the same geometry against many points;
   * parsing once per executor per polygon keeps the predicate cheap). */
 object GeoCache {
-  private final val MaxEntries = 256
-  private val cache =
-    java.util.Collections.synchronizedMap(
-      new java.util.LinkedHashMap[org.apache.spark.unsafe.types.UTF8String,
-                                  Array[graft.h3.Geo.GeoPolygon]](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: java.util.Map.Entry[org.apache.spark.unsafe.types.UTF8String,
-                                   Array[graft.h3.Geo.GeoPolygon]]): Boolean =
-          size() > MaxEntries
-      })
+  private final val MaxEntries = 1024
+  // Lock-free shared cache (no LRU bookkeeping: a get must not take a
+  // global lock — the predicate runs per candidate row on every core).
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    org.apache.spark.unsafe.types.UTF8String, Array[graft.h3.Geo.GeoPolygon]]()
+  // Per-thread last-entry memo: candidate rows arrive runs-of-same-polygon,
+  // so most lookups resolve with one equals() and no shared-map access.
+  private val last = new ThreadLocal[
+    (org.apache.spark.unsafe.types.UTF8String, Array[graft.h3.Geo.GeoPolygon])]()
 
   def parse(geojson: org.apache.spark.unsafe.types.UTF8String): Array[graft.h3.Geo.GeoPolygon] = {
-    val hit = cache.get(geojson)
-    if (hit != null) return hit
-    val parsed = graft.h3.Geo.parseGeoJson(geojson.toString)
-    cache.put(geojson.clone(), parsed)
+    val memo = last.get()
+    if (memo != null && memo._1.equals(geojson)) return memo._2
+    var parsed = cache.get(geojson)
+    if (parsed == null) {
+      parsed = graft.h3.Geo.parseGeoJson(geojson.toString)
+      if (cache.size() > MaxEntries) cache.clear()
+      cache.put(geojson.clone(), parsed)
+    }
+    last.set((geojson.clone(), parsed))
     parsed
   }
 
@@ -416,7 +420,10 @@ case class PointInPolygonExpr(lat: Expression, lng: Expression, geojson: Express
 /** Generator: annotated polygon cover — (cell, full) rows where `full`
   * cells are strictly inside the geometry (no per-point test needed) and
   * partial cells intersect its boundary. Runs on executors, so covers for
-  * a polygon TABLE are computed fully distributed. */
+  * a polygon TABLE are computed fully distributed; each polygon adapts its
+  * cover resolution down Geo.coverLadder(res) so one continental geometry
+  * cannot blow the cover up (the probe side joins on the geometric cell
+  * at every ladder resolution). */
 case class PolygonToCellsAnnotatedGen(geojson: Expression, res: Expression)
     extends Generator with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def children: Seq[Expression] = Seq(geojson, res)
@@ -429,8 +436,9 @@ case class PolygonToCellsAnnotatedGen(geojson: Expression, res: Expression)
     if (g == null || r == null) Iterator.empty
     else {
       val polys = GeoCache.parse(g.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      val coverRes = graft.h3.Geo.adaptiveCoverRes(polys, r.asInstanceOf[Int])
       val (cells, full) = graft.h3.Geo.polygonToCellsAnnotated(
-        polys, r.asInstanceOf[Int], graft.h3.Geo.IntersectsBoundary)
+        polys, coverRes, graft.h3.Geo.IntersectsBoundary)
       cells.indices.iterator.map(i => InternalRow(cells(i), full(i)))
     }
   }

@@ -359,7 +359,7 @@ class PolygonTableJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
       .map { case (n, i) => ((i + 1).toLong, shapeJson(n)) }
       .toDF("poly_id", "geojson")
     val viaTable = graft.engine.SpatialJoin
-      .pipJoinPolygonTable(spark, pts, polyTable, res = 9, coverRes = 7)
+      .pipJoinPolygonTable(spark, pts, polyTable, res = 9)
       .select("poly_id", "page_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     val polys = names.zipWithIndex.map { case (n, i) =>
@@ -376,7 +376,7 @@ class PolygonTableJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     val pts = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
     val polyTable = Seq((1L, shapeJson("Paris"))).toDF("poly_id", "geojson")
     val df = graft.engine.SpatialJoin
-      .pipJoinPolygonTable(spark, pts, polyTable, res = 9, coverRes = 7)
+      .pipJoinPolygonTable(spark, pts, polyTable, res = 9)
     // No shuffle exchange may carry the geojson payload (the geometry side
     // is broadcast or joined after candidate dedup).
     import org.apache.spark.sql.execution.SparkPlan
