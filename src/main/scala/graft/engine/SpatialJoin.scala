@@ -58,8 +58,12 @@ object SpatialJoin {
             compactFull: Boolean = false): Seq[(Long, Long, Int, Boolean)] =
     polys.flatMap { p =>
       val coverRes = coverResFor(p.geo, res)
-      val (cells, flags) = Geo.polygonToCellsAnnotated(
-        Array(p.geo), coverRes, Geo.IntersectsBoundary)
+      // Buffered + eroded cover so the cheap bit-parent probe key stays
+      // exact under child protrusion (see Geo.bufferedAnnotatedCover).
+      val (cells, flags) =
+        if (coverRes == res)
+          Geo.polygonToCellsAnnotated(Array(p.geo), coverRes, Geo.IntersectsBoundary)
+        else Geo.bufferedAnnotatedCover(Array(p.geo), coverRes)
       if (compactFull) {
         val full = cells.indices.filter(flags).map(cells).toArray.sortBy(H3.orderKey)
         val partial = cells.indices.filterNot(flags).map(cells)
@@ -89,22 +93,19 @@ object SpatialJoin {
 
     val coverDf = coverRows.toDF("poly_id", "cover_cell", "cover_res", "full")
 
-    // Probe cells, one per distinct cover resolution (typically <= 8).
+    // Probe ancestors, one cheap bit-parent per distinct cover resolution.
     //
-    // CORRECTNESS: the key must be the GEOMETRIC cell at the cover
-    // resolution (h3_latlng_to_cell), NOT the bit-ancestor of `cellCol`:
-    // H3 children protrude beyond their parents, so a point near a cell
-    // edge can lie geographically outside its bit-ancestor. With the
-    // bit-ancestor key a coarse cover both loses inside points (ancestor
-    // not in the cover) and falsely accepts outside points (ancestor
-    // marked full while the point sticks out of it) — observed at ~1 per
-    // 10^6 matched rows. With the geometric key, a full cover cell
-    // provably contains the point, and every inside point's cell
-    // intersects the polygon, so the join is exact. When the cover res
-    // equals the probe res the existing cell column is that cell already.
+    // CORRECTNESS: H3 children protrude beyond their parents, so a point's
+    // bit-ancestor can differ from its geometric cell at a coarse cover
+    // resolution (observed ~1 per 10^6 matched rows as a lost inside point
+    // and a falsely full-accepted outside point). Rather than computing
+    // geometric cells per point (a full latLngToCell per cover resolution
+    // on the hot path), coarse covers are BUFFERED by one ring for
+    // completeness and their full flags ERODED by one ring for sound
+    // acceptance (Geo.bufferedAnnotatedCover) — the probe stays a 3-bit-op
+    // parent truncation.
     val ancestors = array(coverResolutions.map { r =>
-      if (r == res) col(cellCol)
-      else expr(s"h3_latlng_to_cell(lat, lng, $r)")
+      expr(s"h3_cell_to_parent($cellCol, $r)")
     }: _*)
 
     val probe = points.withColumn("__anc", explode(ancestors))
@@ -166,12 +167,9 @@ object SpatialJoin {
     H3Functions.register(spark)
     // Each polygon adapts its cover resolution down Geo.coverLadder(res)
     // inside the generator (a continental polygon must not tile at the
-    // point resolution); the probe explodes its GEOMETRIC cell at every
-    // ladder resolution — NOT bit-ancestors of the cell column: children
-    // protrude beyond parents, so a point near a cell edge can lie
-    // geographically outside its bit-ancestor, which both loses inside
-    // points and falsely accepts outside points on full cells (observed
-    // ~1 per 10^6 matched rows before the fix). Cell values at different
+    // point resolution), emitting a protrusion-robust cover
+    // (Geo.bufferedAnnotatedCover) so the probe can use cheap bit-parent
+    // keys at every ladder resolution. Cell values at different
     // resolutions never collide (the res nibble differs), so one join key
     // column serves the whole ladder.
     val ladder = Geo.coverLadder(res)
@@ -179,7 +177,7 @@ object SpatialJoin {
       .select(col("poly_id"), expr(s"h3_polygon_to_cells_annotated(geojson, $res)"))
       .select("poly_id", "cell", "full")
     val probeCells = array(ladder.map { r =>
-      if (r == res) col(cellCol) else expr(s"h3_latlng_to_cell(lat, lng, $r)")
+      if (r == res) col(cellCol) else expr(s"h3_cell_to_parent($cellCol, $r)")
     }: _*)
     val geo = polygons.select(col("poly_id"), col("geojson"))
     if (broadcastPolygons) {

@@ -289,6 +289,65 @@ object Geo {
       .getOrElse(ladder.last)
   }
 
+  /** Protrusion-robust annotated cover for joins keyed on BIT-ancestors of
+    * finer cells: H3 children protrude beyond their parents, so a point's
+    * bit-ancestor can differ (by at most one ring) from its geometric cell
+    * at this resolution. To keep the cheap bit-parent probe exact:
+    *
+    *  - the cover is BUFFERED by one ring (any inside point's bit-ancestor
+    *    is the geometric cell or one of its neighbors, so it lands in the
+    *    buffered cover — completeness);
+    *  - `full` flags are ERODED by one ring (a cell is accept-without-PIP
+    *    only if its entire neighborhood is fully inside, so even a point
+    *    protruding out of the cell stays inside the polygon — soundness);
+    *    every other cell is verified by the exact ray cast.
+    */
+  def bufferedAnnotatedCover(polys: Array[GeoPolygon], res: Int)
+      : (Array[Long], Array[Boolean]) = {
+    val (cells, flags) = polygonToCellsAnnotated(polys, res, IntersectsBoundary)
+    val fullSet = new java.util.HashSet[Long](cells.length * 2)
+    var i = 0
+    while (i < cells.length) { if (flags(i)) fullSet.add(cells(i)); i += 1 }
+    val out = new java.util.LinkedHashMap[Long, Boolean](cells.length * 3)
+    i = 0
+    while (i < cells.length) {
+      val c = cells(i)
+      var safe = flags(i)
+      if (safe) {
+        val nb = H3.gridDisk(c, 1)
+        var j = 0
+        while (safe && j < nb.length) {
+          if (!fullSet.contains(nb(j))) safe = false
+          j += 1
+        }
+      }
+      out.put(c, safe)
+      i += 1
+    }
+    // Buffer ring: neighbors of every cover cell join as partial entries.
+    i = 0
+    while (i < cells.length) {
+      val nb = H3.gridDisk(cells(i), 1)
+      var j = 0
+      while (j < nb.length) {
+        if (!out.containsKey(nb(j))) out.put(nb(j), false)
+        j += 1
+      }
+      i += 1
+    }
+    val outCells = new Array[Long](out.size)
+    val outFlags = new Array[Boolean](out.size)
+    val it = out.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      outCells(i) = e.getKey
+      outFlags(i) = e.getValue
+      i += 1
+    }
+    (outCells, outFlags)
+  }
+
   def coverageSizeHint(poly: GeoPolygon, res: Int): Long = {
     val r = poly.exterior
     val d1 = math.abs(r.maxLng - r.minLng)

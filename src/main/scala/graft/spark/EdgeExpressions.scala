@@ -436,9 +436,16 @@ case class PolygonToCellsAnnotatedGen(geojson: Expression, res: Expression)
     if (g == null || r == null) Iterator.empty
     else {
       val polys = GeoCache.parse(g.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-      val coverRes = graft.h3.Geo.adaptiveCoverRes(polys, r.asInstanceOf[Int])
-      val (cells, full) = graft.h3.Geo.polygonToCellsAnnotated(
-        polys, coverRes, graft.h3.Geo.IntersectsBoundary)
+      val res = r.asInstanceOf[Int]
+      val coverRes = graft.h3.Geo.adaptiveCoverRes(polys, res)
+      // Coarse covers are protrusion-robust (buffered + eroded flags) so
+      // bit-parent probe keys stay exact; at the point resolution the
+      // plain annotated cover is already exact.
+      val (cells, full) =
+        if (coverRes == res)
+          graft.h3.Geo.polygonToCellsAnnotated(
+            polys, coverRes, graft.h3.Geo.IntersectsBoundary)
+        else graft.h3.Geo.bufferedAnnotatedCover(polys, coverRes)
       cells.indices.iterator.map(i => InternalRow(cells(i), full(i)))
     }
   }

@@ -398,3 +398,35 @@ class PolygonTableJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 }
+
+/** Regression: coarse covers must join on GEOMETRIC cells. Two points
+  * found by differencing join paths over 48M rows — one lost, one falsely
+  * accepted under the old bit-ancestor key (children protrude beyond
+  * parents). Holes gets a coarse adaptive cover (res 5), exercising the
+  * hazard. */
+class CoarseCoverExactnessSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("pipJoin with a coarse-cover polygon matches brute PIP around the failing points") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    graft.spark.H3Functions.register(spark)
+    val holes = graft.h3.Geo.parseGeoJson(scala.io.Source.fromFile(
+      "/root/reference/dataset/shapes/Holes.geojson").mkString)
+    val polys = Seq(graft.engine.SpatialJoin.Poly(3L, holes(0)))
+    assert(graft.engine.SpatialJoin.coverResFor(holes(0), 9) < 9) // coarse cover engaged
+    // Dense grid around the historical false-positive, plus the point itself.
+    val base = (-15.078076617705328, -46.52550704777241)
+    val grid = for {
+      i <- -40 to 40; j <- -40 to 40
+    } yield (i.toLong * 81 + j + 10000, base._1 + i * 0.004, base._2 + j * 0.004)
+    val pts = grid.toDF("page_id", "lat", "lng")
+      .withColumn("cell9", org.apache.spark.sql.functions.expr(
+        "h3_latlng_to_cell(lat, lng, 9)"))
+    val joined = graft.engine.SpatialJoin.pipJoin(spark, pts, polys, res = 9)
+      .select("page_id").collect().map(_.getLong(0)).toSet
+    val brute = grid.filter { case (_, lat, lng) =>
+      holes(0).containsCentroid(Math.toRadians(lat), Math.toRadians(lng))
+    }.map(_._1).toSet
+    assert(joined == brute, s"diff=${(joined diff brute) ++ (brute diff joined)}")
+    assert(brute.nonEmpty && brute.size < grid.size)
+  }
+}
