@@ -24,8 +24,16 @@ object OracleDialect {
       s"list_transform(range(1, length($x)+1), ci -> CAST(unicode($x[ci:ci]) AS BIGINT))), " +
       s"(h,c) -> (31*h + c) % $P)"
 
-  /** Whitespace word list of a text expression. */
-  def words(x: String): String = s"string_split_regex(trim($x), '\\s+')"
+  /** Whitespace word list of a text expression — equals
+    * TextKernel.wordBounds: empty/whitespace-only text yields ZERO words
+    * (DuckDB's string_split_regex would return [''], len 1, so the empty
+    * case is guarded explicitly). Parity contract is BMP-only: the engine
+    * iterates UTF-16 units (charAt) while `unicode()` sees codepoints, so
+    * texts with surrogate pairs are outside the mirrored domain (the sf
+    * corpora contain none). */
+  def words(x: String): String =
+    s"(CASE WHEN trim($x) = '' THEN CAST([] AS VARCHAR[]) " +
+      s"ELSE string_split_regex(trim($x), '\\s+') END)"
 
   /** Word k-shingle fingerprints from a word-list expression `w` — equals
     * TextKernel.shingleFps (shingle = words joined by one space; fewer than

@@ -48,6 +48,13 @@ object Icelite {
   private def manifestDir(root: String): Path = Paths.get(root, "manifest")
   private def dataDir(root: String): Path = Paths.get(root, "data")
 
+  /** Partition values appear in directory names escaped exactly the way
+    * Spark's partitionBy escapes them (':', '%', '=', ... are
+    * percent-encoded), so staged-dir resolution and read-back work for
+    * arbitrary string values, not just alphanumerics. */
+  private def escapePart(v: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName(v)
+
   private def readFile(p: Path): String =
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
 
@@ -110,7 +117,6 @@ object Icelite {
       if (done.isEmpty) remaining0
       else remaining0.filter(!col("__part").isInCollection(done))
 
-    val t0 = System.nanoTime()
     // Job 1: stage every remaining bucket at once.
     val staging = Paths.get(root, s".staging-${System.nanoTime()}")
     remaining.write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
@@ -121,7 +127,14 @@ object Icelite {
       .agg(count(lit(1)).as("rows"),
         expr(s"bit_xor(xxhash64(struct(${dataCols.mkString(",")})))").as("checksum"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .map { r =>
+        // A null partition value would stage as __HIVE_DEFAULT_PARTITION__
+        // and break resume identity — reject it before any promote.
+        if (r.isNullAt(0)) throw new IllegalArgumentException(
+          s"icelite: partition column '$partitionCol' contains NULL values; " +
+            "map nulls to an explicit sentinel before writeResumable")
+        r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+      }
       .sortBy(_._1)
 
     // Promote loop: atomic rename per bucket + batched manifest commits
@@ -144,14 +157,17 @@ object Icelite {
         // deliberately NOT flushed — resume re-stages and re-promotes them
         // idempotently, exactly as after a real crash.
         throw new RuntimeException(s"icelite: injected failure after $failAfter buckets")
-      val staged = staging.resolve(s"__part=$v")
-      val target = dataDir(root).resolve(s"$partitionCol=$v")
+      val tBucket = System.nanoTime()
+      val staged = staging.resolve(s"__part=${escapePart(v)}")
+      val target = dataDir(root).resolve(s"$partitionCol=${escapePart(v)}")
       if (Files.exists(target)) deleteRecursively(target)
       Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
       val files = Files.list(target).iterator().asScala
         .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      // durationMs is the per-bucket promote time (staging is one shared
+      // job and is not attributable to a single bucket).
       pending += PartitionEntry(v, rows, checksum, files,
-        durationMs = (System.nanoTime() - t0) / 1000000, lineage = lineage)
+        durationMs = (System.nanoTime() - tBucket) / 1000000, lineage = lineage)
       if (pending.length >= batchSize) flush()
       computed += 1
     }
@@ -182,7 +198,7 @@ object Icelite {
     val snap = currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
     val paths = snap.entries.filter(e => predicate(e.value)).map(e =>
-      dataDir(root).resolve(s"${snap.partitionCol}=${e.value}").toString)
+      dataDir(root).resolve(s"${snap.partitionCol}=${escapePart(e.value)}").toString)
     if (paths.isEmpty)
       throw new IllegalArgumentException("no partitions match the predicate")
     spark.read.parquet(paths: _*)

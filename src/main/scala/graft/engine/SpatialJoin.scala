@@ -30,20 +30,20 @@ object SpatialJoin {
   /** One polygon with an id; rings in radians. */
   final case class Poly(id: Long, geo: Geo.GeoPolygon)
 
-  /** Maximum cells we allow in one polygon's (uncompacted) cover; the cover
-    * resolution per polygon adapts so this bound holds, keeping the
-    * broadcast small regardless of polygon size. Boundary cells at a
-    * coarser cover resolution simply shift more rows to the exact-PIP
-    * filter, which stays correct. */
-  val MaxCoverCells = 16384L
+  /** Maximum cells we allow in one polygon's (uncompacted) cover — the
+    * single sizing policy shared with the polygon-TABLE path
+    * ([[Geo.DefaultMaxCoverCells]]): the cover resolution per polygon
+    * adapts so this bound holds, keeping the broadcast small regardless of
+    * polygon size. Boundary cells at a coarser cover resolution simply
+    * shift more rows to the exact-PIP filter, which stays correct. */
+  def MaxCoverCells: Long = Geo.DefaultMaxCoverCells
 
-  /** Cover resolution for one polygon: the finest res <= pointRes whose
-    * size estimate stays under [[MaxCoverCells]]. */
-  def coverResFor(poly: Geo.GeoPolygon, pointRes: Int): Int = {
-    var r = pointRes
-    while (r > 0 && Geo.coverageSizeHint(poly, r) > MaxCoverCells) r -= 1
-    r
-  }
+  /** Cover resolution for one polygon: the finest ladder res <= pointRes
+    * whose size estimate stays under [[MaxCoverCells]] — the same policy
+    * ([[Geo.adaptiveCoverRes]]) the distributed polygon-table generator
+    * applies, so broadcast and table paths pick identical covers. */
+  def coverResFor(poly: Geo.GeoPolygon, pointRes: Int): Int =
+    Geo.adaptiveCoverRes(Array(poly), pointRes)
 
   /** Annotated cover rows (polyId, cell, cellRes, full) for a set of
     * polygons.

@@ -75,10 +75,12 @@ object Ops {
     // Chunk i covers [off(i), off(i+1)): first `rem` chunks get base+1 bits.
     val offsets = (0 to chunks).map(i => i * base + math.min(i, rem))
     val sigs = docs.select(col("doc_id"), expr("simhash(text)").as("sig"))
+    // Chunk values stay BIGINT: at maxHamming <= 1 a chunk spans >= 32
+    // bits, where an int cast would raise CAST_OVERFLOW under ANSI mode.
     val chunked = sigs.select(col("doc_id"), col("sig"),
       posexplode(array((0 until chunks).map { i =>
         val width = offsets(i + 1) - offsets(i)
-        expr(s"cast((sig >> ${offsets(i)}) & ${(1L << width) - 1} as int)")
+        expr(s"cast((sig >> ${offsets(i)}) & ${(1L << width) - 1} as bigint)")
       }: _*)).as(Seq("chunk", "chunk_val")))
     val a = chunked.select(col("chunk"), col("chunk_val"),
       col("doc_id").as("a_id"), col("sig").as("a_sig"))

@@ -159,11 +159,15 @@ class EngineSpec extends AnyFunSuite {
     spark.sparkContext.addSparkListener(listener)
     try {
       Icelite.writeResumable(spark, df, root, "bucket")
-      Thread.sleep(500) // listener bus drains asynchronously
+      // Deterministic drain of the async listener bus (a sleep was flaky
+      // on loaded machines).
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark.sparkContext)
     } finally spark.sparkContext.removeSparkListener(listener)
-    // One staged write + one stats aggregation (+ small constant overhead),
-    // never O(buckets): the old per-bucket loop would run 46+ jobs here.
-    assert(jobs.get <= 6, s"jobs=${jobs.get}")
+    // One staged write + one stats aggregation (+ small constant overhead,
+    // incl. possible AQE stage jobs), never O(buckets): the old per-bucket
+    // loop would run 46+ jobs here. Observed baseline is 2-4; 8 is ample
+    // headroom while still catching any O(buckets) regression.
+    assert(jobs.get <= 8, s"jobs=${jobs.get}")
     assert(Icelite.completedPartitions(root).size == 23)
     val back = Icelite.read(spark, root).select("page_id").collect()
       .map(_.getLong(0)).sorted
