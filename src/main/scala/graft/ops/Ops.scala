@@ -197,28 +197,27 @@ object Ops {
              k: Int, nCentroids: Int = 32, nProbe: Int = 4,
              nAssign: Int = 1): DataFrame = {
     OpsFunctions.register(spark)
-    // Deterministic pseudo-random medoid pick (mirrored by the oracle).
-    val centroids = broadcast(
-      corpus.orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
-        .limit(nCentroids)
-        .select(col("vec_id").as("cid"), col("embedding").as("c_vec")))
-
-    def assign(df: DataFrame, idCol: String, vecCol: String, n: Int): DataFrame = {
-      val w = Window.partitionBy(idCol).orderBy(col("csim").desc, col("cid"))
-      df.crossJoin(centroids)
-        .withColumn("csim", expr(s"cosine_similarity($vecCol, c_vec)"))
-        .withColumn("crank", row_number().over(w))
-        .filter(col("crank") <= n)
-        .select(col(idCol), col("cid"))
-    }
+    // Deterministic pseudo-random medoid pick (mirrored by the oracle);
+    // nCentroids ~ sqrt(corpus) rows come to the driver once and ship to
+    // executors as a broadcast.
+    val centRows = corpus
+      .orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+    val centroids = spark.sparkContext.broadcast(new CentroidSet(
+      centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Float](1).toArray)))
 
     // Soft assignment (nAssign > 1): a vector near a Voronoi border is
     // indexed under its nAssign nearest cells, trading index size for
     // recall without any training step.
-    val assigned = assign(corpus.select(col("vec_id"), col("embedding")),
-      "vec_id", "embedding", nAssign)
-    val probes = assign(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("q_vec")), "qid", "q_vec", nProbe)
+    val assigned = assignToCentroids(
+      corpus.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", nAssign, centroids)
+    val probes = assignToCentroids(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("q_vec")),
+      "qid", "q_vec", nProbe, centroids)
 
     val scored = probes.join(assigned, "cid")
       .select("qid", "vec_id").distinct()
@@ -227,6 +226,19 @@ object Ops {
         col("embedding").as("q_vec"))), "qid")
       .withColumn("sim", expr("cosine_similarity(embedding, q_vec)"))
     TopK.topKPerGroup(spark, scored, "qid", "sim", "vec_id", k)
+  }
+
+  /** Map-side IVF centroid assignment: (id, cid) for each row's `n`
+    * nearest broadcast centroids. ZERO-shuffle by construction — the old
+    * crossJoin + Window formulation shuffled corpus x nCentroids rows
+    * keyed by id (~3x10^13 rows at 10^12 vectors); this is one narrow
+    * pass (OpsSpec pins the exchange-free plan). */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String, n: Int,
+                        centroids: org.apache.spark.broadcast.Broadcast[CentroidSet])
+      : DataFrame = {
+    val nearest = org.apache.spark.sql.GraftBridge.column(NearestCentroidsExpr(
+      org.apache.spark.sql.GraftBridge.expression(col(vecCol)), n, centroids))
+    df.select(col(idCol), explode(nearest).as("cid"))
   }
 
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",

@@ -216,6 +216,76 @@ case class HyperplaneSigExpr(v: Expression, bits: Expression, seed: Expression)
     copy(v = f, bits = s, seed = t)
 }
 
+/** Broadcast-able centroid index for the IVF assignment: holds the cell
+  * centroids (cid ascending) and answers "n nearest centroids by cosine"
+  * in one map-side pass — the arithmetic (index-order left-fold dot
+  * products, ties broken by smaller cid) mirrors CosineSimExpr +
+  * `ORDER BY csim DESC, cid` exactly, so replacing the old
+  * crossJoin+Window assignment keeps the DuckDB oracle bit-identical. */
+final class CentroidSet(val cids: Array[Long],
+                        val vecs: Array[Array[Float]]) extends Serializable {
+  require(cids.length == vecs.length)
+
+  private def cosine(v: ArrayData, c: Array[Float]): Double = {
+    val n = Math.min(v.numElements(), c.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = v.getFloat(i).toDouble
+      val y = c(i).toDouble
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / Math.sqrt(na * nb)
+  }
+
+  /** The `n` nearest centroid ids (cosine desc, cid asc). O(n * C) argmax
+    * sweeps — n is tiny (nProbe/nAssign), C ~ sqrt(corpus). */
+  def nearest(v: ArrayData, n: Int): ArrayData = {
+    val c = cids.length
+    val sims = new Array[Double](c)
+    var j = 0
+    while (j < c) { sims(j) = cosine(v, vecs(j)); j += 1 }
+    val k = Math.min(n, c)
+    val out = new Array[Long](k)
+    val taken = new Array[Boolean](c)
+    var r = 0
+    while (r < k) {
+      var best = -1
+      j = 0
+      while (j < c) {
+        // cids ascend, so strict > keeps the smaller cid on sim ties.
+        if (!taken(j) && (best < 0 || sims(j) > sims(best))) best = j
+        j += 1
+      }
+      taken(best) = true
+      out(r) = cids(best)
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+/** `n` nearest centroid ids of a vector against a broadcast [[CentroidSet]]
+  * — the zero-shuffle IVF assignment (nothing moves but the result ids). */
+case class NearestCentroidsExpr(vec: Expression, n: Int,
+                                centroids: org.apache.spark.broadcast.Broadcast[CentroidSet])
+    extends UnaryExpression {
+  override def child: Expression = vec
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_centroids"
+  override protected def nullSafeEval(v: Any): Any =
+    centroids.value.nearest(v.asInstanceOf[ArrayData], n)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("centroidsBc", centroids,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev,
+      v => s"((graft.ops.CentroidSet) $ref.value()).nearest($v, $n)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(vec = c)
+}
+
 /** Character n-gram generator (language-ID profiles). */
 case class CharNgramsGen(text: Expression, n: Expression, max: Expression)
     extends Generator with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

@@ -270,4 +270,35 @@ class AnnIvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(recall >= 0.75, s"recall $recall")
     println(s"IVF_RECALL=$recall")
   }
+
+  test("IVF centroid assignment is exchange-free (map-side broadcast argmax)") {
+    val spark = SparkTestBase.spark
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val centRows = emb
+      .orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
+      .limit(32).select("vec_id", "embedding").collect()
+    val bc = spark.sparkContext.broadcast(new graft.ops.CentroidSet(
+      centRows.map(_.getLong(0)), centRows.map(_.getSeq[Float](1).toArray)))
+    val assigned = Ops.assignToCentroids(emb, "vec_id", "embedding", 2, bc)
+    assigned.collect() // force execution so the final plan is the real one
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"IVF assignment must not shuffle; plan:\n$plan")
+    // Same values as the reference crossJoin+Window argmax formulation.
+    val viaWindow = {
+      import org.apache.spark.sql.expressions.Window
+      val cent = broadcast(emb
+        .orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
+        .limit(32).select(col("vec_id").as("cid"), col("embedding").as("c_vec")))
+      graft.ops.OpsFunctions.register(spark)
+      val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cid"))
+      emb.select(col("vec_id"), col("embedding")).crossJoin(cent)
+        .withColumn("csim", expr("cosine_similarity(embedding, c_vec)"))
+        .withColumn("crank", row_number().over(w))
+        .filter(col("crank") <= 2).select("vec_id", "cid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    val viaExpr = assigned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaExpr == viaWindow)
+  }
 }
