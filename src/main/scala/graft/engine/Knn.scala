@@ -74,10 +74,15 @@ object Knn {
     for (l <- levels.tail)
       pts = pts.withColumn(s"__pcell$l",
         expr(s"h3_cell_to_parent(__pcell${levels.head}, $l)"))
-    val ptsC = pts
+    // NOT cached upfront: when round 0 settles every query (the common
+    // case), caching would materialize the full projected corpus (~50 TB
+    // at 10^12 rows) for nothing. The cache is installed lazily the first
+    // time a round leaves unsettled queries, so escalation rounds still
+    // reuse one materialization.
+    var ptsC = pts
       .select((Seq(col("id"), col("lat").as("plat"), col("lng").as("plng")) ++
         levelCols.map(col)): _*)
-      .cache()
+    var ptsCached = false
 
     var remaining = queries
       .withColumn("__qcell", expr(s"h3_latlng_to_cell(lat, lng, ${levels.head})"))
@@ -131,24 +136,30 @@ object Knn {
         done = true
       } else {
         val safe = safeRadiusM(levels(round), rings(round))
+        // okQids is tiny (<= one row per remaining query); caching it and
+        // counting it replaces the old second materialization
+        // (remaining.count() after a left_anti join) — one small job per
+        // round instead of two.
         val okQids = ranked.groupBy("qid")
           .agg(count(lit(1)).as("n"), max("dist_m").as("kth"))
           .filter(col("n") === k && col("kth") <= lit(safe))
           .select("qid")
+          .cache()
+        val nOk = okQids.count()
         val settled = ranked.join(okQids, "qid")
         result = if (result == null) settled else result.unionByName(settled)
-        val prevRemaining = remaining
-        remaining = remaining.join(okQids, Seq("qid"), "left_anti").cache()
-        remainingCount = remaining.count() // materializes the new cache
-        // The superseded query set is no longer referenced by any lazy
-        // lineage that isn't itself cached — release it so long escalation
-        // ladders don't pin one cached generation per round.
-        prevRemaining.unpersist(blocking = false)
-        if (remainingCount == 0) done = true
+        if (nOk == remainingCount) done = true
+        else {
+          remainingCount -= nOk
+          remaining = remaining.join(okQids, Seq("qid"), "left_anti")
+          // Entering an escalation round: every later round rescans the
+          // full point set, so NOW the one-time cache pays for itself.
+          if (!ptsCached) { ptsC = ptsC.cache(); ptsCached = true }
+        }
       }
       round += 1
     }
-    ptsC.unpersist(blocking = false)
+    if (ptsCached) ptsC.unpersist(blocking = false)
     result
   }
 }
