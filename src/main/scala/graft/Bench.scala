@@ -56,6 +56,13 @@ object Bench {
     val nEvents = spark.read.parquet(s"$sfDir/events.parquet").count()
     val nDocs = nEvents * mult
     var phases = Vector.empty[(String, Double)]
+    // Per-rep wall times per phase: emitted in the JSON so a loaded-machine
+    // artifact is self-diagnosing (a noisy run shows median >> min; a real
+    // regression shifts min itself). BENCH_r02's headline was a bad run
+    // that nothing in the artifact could reveal — never again.
+    var repTimes = Vector.empty[(String, Seq[Double])]
+    val loadAvgStart =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
 
     // Warm-up: JIT the kernel + codegen paths on a small slice.
     synthPoints(spark, 50000)
@@ -63,24 +70,25 @@ object Bench {
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
 
-    def best(body: => Unit): Double =
-      (0 until reps).map { _ => time(body)._2 }.min
+    def measure(name: String, n: Int)(body: => Unit): Double = {
+      val ts = (0 until n).map { _ => time(body)._2 }
+      phases :+= name -> ts.min
+      repTimes :+= name -> ts
+      ts.min
+    }
 
     // Phase 1: raw indexing throughput (latLngToCell at res 9).
-    val tIndex = best {
+    measure("index", reps) {
       synthPoints(spark, nDocs)
         .selectExpr("h3_latlng_to_cell(lat, lng, 9) AS c")
         .agg(count(lit(1)), min("c")).collect()
     }
-    phases :+= "index" -> tIndex
 
     // Phase 2 (headline): index + PIP join + tile assignment end-to-end.
     // Extra reps here: this phase alone sets the headline metric, and the
     // shared machine shows ~15% run-to-run noise, so min-of-5 is the
     // stable estimator of engine speed.
     val headlineReps = math.max(reps, 5)
-    def bestHeadline(body: => Unit): Double =
-      (0 until headlineReps).map { _ => time(body)._2 }.min
     val polys = Seq(
       SpatialJoin.Poly(1, SpatialJoin.loadShape(
         "/root/reference/dataset/shapes/Paris.geojson")(0)),
@@ -89,7 +97,7 @@ object Bench {
       SpatialJoin.Poly(3, SpatialJoin.loadShape(
         "/root/reference/dataset/shapes/Holes.geojson")(0)))
     var joinedDocs = 0L
-    val tJoin = bestHeadline {
+    val tJoin = measure("pip_join_tiles", headlineReps) {
       val pts = synthPoints(spark, nDocs)
         .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))
       val rows = SpatialJoin.pipJoin(spark, pts, polys, res = 9)
@@ -98,29 +106,26 @@ object Bench {
         .agg(count(lit(1)).as("tiles"), sum("count(1)").as("docs_joined")).collect()
       joinedDocs = rows(0).getLong(1)
     }
-    phases :+= "pip_join_tiles" -> tJoin
 
     // Phase 3: tile roll-up pyramid 9 -> 7 -> 5 -> 3 (nDocs/4 rows).
-    val tRollup = best {
+    measure("tile_rollup", reps) {
       val pts = synthPoints(spark, nDocs / 4)
         .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))
         .withColumn("v", col("page_id") % 97)
       val levels = TileRollup.pyramid(spark, pts, "cell9", 9, Seq(7, 5, 3), Seq("v"))
       levels(3).agg(count(lit(1)), sum("cnt")).collect()
     }
-    phases :+= "tile_rollup" -> tRollup
 
     // Phase 4: gridDisk explosion (kNN fuel), k=1 on nDocs/20.
-    val tDisk = best {
+    measure("grid_disk", reps) {
       synthPoints(spark, nDocs / 20)
         .selectExpr("h3_latlng_to_cell(lat, lng, 9) AS c")
         .selectExpr("h3_grid_disk(c, 1) AS n")
         .agg(count(lit(1))).collect()
     }
-    phases :+= "grid_disk" -> tDisk
 
     // Phase 5: kNN join (200 queries against nDocs/10 points).
-    val tKnn = best {
+    measure("knn_join", reps) {
       val pts = synthPoints(spark, nDocs / 10)
         .select(col("page_id").as("id"), col("lat"), col("lng"))
       val qs = synthPoints(spark, 200)
@@ -128,27 +133,24 @@ object Bench {
       Knn.knnJoin(spark, pts, qs, k = 10, res = 8, initialRing = 2, maxRounds = 3)
         .agg(count(lit(1))).collect()
     }
-    phases :+= "knn_join" -> tKnn
 
     // Phase 6: dedup + ANN over the driver tables.
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    val tDedup = best {
+    measure("dedup_minhash", reps) {
       Ops.dedupMinHash(spark, docs, threshold = 0.5).agg(count(lit(1))).collect()
     }
-    phases :+= "dedup_minhash" -> tDedup
 
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
-    val tAnn = best {
+    measure("ann_brute", reps) {
       // Production path: map-side top-K aggregator (shuffle carries at
       // most k rows per query per partition).
       Ops.annBruteForceAgg(spark, emb, emb.limit(50), k = 10)
         .agg(count(lit(1))).collect()
     }
-    phases :+= "ann_brute" -> tAnn
 
     // Phase 8: compacted (mixed-res) dissolve via the boundary-refinement
     // fast path, through the SQL surface.
-    val tDissolve = best {
+    measure("dissolve_compacted", reps) {
       spark.sql(s"""
         WITH base AS (SELECT h3_latlng_to_cell(lat, lng, 6) AS cell
                       FROM (SELECT ${Pages.latSql("id", duck = false)} AS lat,
@@ -161,11 +163,78 @@ object Bench {
           FROM base GROUP BY cell % 64)
       """).collect()
     }
-    phases :+= "dissolve_compacted" -> tDissolve
+
+    // Phase 9: Icelite table layer on the data path — write a partitioned
+    // snapshot once, then compare a manifest-pruned scan (Paris res-1
+    // prefix cells only) against the full-table scan. This is the
+    // north-rule "over Iceberg tables" scan-planning claim, measured.
+    val iceRoot = java.nio.file.Files.createTempDirectory("graft-bench-icelite").toString
+    val icePts = synthPoints(spark, nDocs / 20).selectExpr(
+      "page_id", "lat", "lng",
+      "h3_latlng_to_cell(lat, lng, 9) AS cell9",
+      "h3_cell_to_parent(h3_latlng_to_cell(lat, lng, 9), 1) AS cell_p")
+    measure("icelite_write", 1) {
+      graft.engine.Icelite.writeResumable(spark, icePts, iceRoot, "cell_p")
+    }
+    val parisP = graft.h3.H3.latLngToCell(
+      Math.toRadians(48.8566), Math.toRadians(2.3522), 1)
+    val parisCover = graft.h3.H3.gridDisk(parisP, 1).map(_.toString).toSet
+    measure("icelite_scan_full", reps) {
+      graft.engine.Icelite.read(spark, iceRoot)
+        .agg(count(lit(1)), sum("page_id")).collect()
+    }
+    measure("icelite_scan_pruned", reps) {
+      graft.engine.Icelite.readWhere(spark, iceRoot, parisCover.contains)
+        .agg(count(lit(1)), sum("page_id")).collect()
+    }
+    deleteDir(java.nio.file.Paths.get(iceRoot))
+
+    // Phase 10: hot-cell salting under measurement — the shuffle-path PIP
+    // join on the Paris-skewed synthesis with and without probe-side
+    // salting; reducer-time spread (max task ms) shows what the salt buys.
+    val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val taskListener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (te.taskInfo != null) taskMs.add(te.taskInfo.duration)
+    }
+    spark.sparkContext.addSparkListener(taskListener)
+    def maxTaskOf(body: => Unit): Long = {
+      taskMs.clear()
+      body
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark.sparkContext)
+      import scala.jdk.CollectionConverters._
+      taskMs.asScala.foldLeft(0L)(math.max)
+    }
+    var maxTaskUnsalted = 0L
+    var maxTaskSalted = 0L
+    def saltRun(buckets: Int): Long = maxTaskOf {
+      val pts = synthPoints(spark, nDocs / 10)
+        .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))
+      SpatialJoin.pipJoin(spark, pts, polys, res = 9,
+          broadcastCover = false, saltBuckets = buckets)
+        .agg(count(lit(1))).collect()
+    }
+    measure("pip_shuffle_unsalted", reps) { maxTaskUnsalted = saltRun(1) }
+    measure("pip_shuffle_salted", reps) { maxTaskSalted = saltRun(8) }
+    spark.sparkContext.removeSparkListener(taskListener)
 
     val docsPerSec = nDocs / tJoin
+    val headlineMedian = {
+      val ts = repTimes.find(_._1 == "pip_join_tiles").get._2.sorted
+      nDocs / ts(ts.length / 2)
+    }
     val qs = phases.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
-    println(s"""{"metric":"spatial_join_docs_per_sec","value":$docsPerSec,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"joined":$joinedDocs}""")
+    val repsJson = repTimes.map { case (k, ts) =>
+      s""""$k":[${ts.map(t => f"$t%.3f").mkString(",")}]"""
+    }.mkString("{", ",", "}")
+    println(s"""{"metric":"spatial_join_docs_per_sec","value":$docsPerSec,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"joined":$joinedDocs,"reps":$repsJson,"headline_median_docs_per_sec":$headlineMedian,"load_avg_at_start":$loadAvgStart,"salting_max_task_ms":{"unsalted":$maxTaskUnsalted,"salted":$maxTaskSalted}}""")
     spark.stop()
+  }
+
+  private def deleteDir(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala.foreach(deleteDir)
+    java.nio.file.Files.deleteIfExists(p)
   }
 }

@@ -205,6 +205,34 @@ object SparkEntry {
         "h3_latlng_to_cell(h3_cell_to_lat(cell9), h3_cell_to_lng(cell9), 9) = cell9 AS rt_ok")
     }),
 
+    // Icelite ON the data path (north rule: "over Iceberg tables"): the
+    // indexed pages table is written through the resumable manifest layer
+    // partitioned by the res-3 cell prefix, then read back via
+    // MANIFEST-PRUNED scan planning — only partitions in the Paris rect's
+    // buffered res-3 cover are opened (protrusion-safe for bit-parent
+    // prefixes) — and filtered exactly. The oracle re-derives the rect
+    // rows from scratch, so write -> manifest -> pruned read -> result is
+    // hash-checked end-to-end.
+    "pages_index_icelite" -> ((s, dir) => {
+      registerAll(s)
+      val root = s"/tmp/graft_icelite_verify_${Integer.toHexString(dir.hashCode)}"
+      engine.Icelite.drop(root)
+      engine.Icelite.writeResumable(s, Pages.indexedPages(s, dir), root, "cell_p")
+      val rect = Rects.head
+      val (_, latMin, latMax, lngMin, lngMax) = rect
+      val allowed = Geo.bufferedAnnotatedCover(
+        Array(rectPolys.head.geo), 3)._1.map(_.toString).toSet
+      engine.Icelite.readWhere(s, root, allowed.contains)
+        .filter(col("lat") > latMin && col("lat") < latMax &&
+          col("lng") > lngMin && col("lng") < lngMax)
+        .selectExpr(
+          "page_id", "url",
+          "cast(floor(lat * 1000) as bigint) AS lat_q",
+          "cast(floor(lng * 1000) as bigint) AS lng_q",
+          "h3_is_valid_cell(cell9) AS valid",
+          "h3_cell_to_parent(cell9, 3) = cell_p AS parent_ok")
+    }),
+
     // Tile pyramid over bit-level synthetic cells: DuckDB re-aggregates the
     // base level directly to res 5 with parent bit-math, so the stepwise
     // 9 -> 7 -> 5 re-aggregation is fully oracle-checked.
@@ -735,6 +763,15 @@ object SparkEntry {
                CAST(floor(lng * 1000) AS BIGINT) AS lng_q,
                TRUE AS valid, 9 AS res, TRUE AS parent_ok, TRUE AS rt_ok
         FROM pages
+      """,
+
+      "pages_index_icelite" -> s"""
+        WITH ${Pages.duckPagesCte}
+        SELECT page_id, url,
+               CAST(floor(lat * 1000) AS BIGINT) AS lat_q,
+               CAST(floor(lng * 1000) AS BIGINT) AS lng_q,
+               TRUE AS valid, TRUE AS parent_ok
+        FROM pages WHERE ${rectCondDuck(Rects.head)}
       """,
 
       "tile_rollup" -> s"""

@@ -117,9 +117,15 @@ object Icelite {
       if (done.isEmpty) remaining0
       else remaining0.filter(!col("__part").isInCollection(done))
 
-    // Job 1: stage every remaining bucket at once.
+    // Job 1: stage every remaining bucket at once. Clustered by the
+    // partition value first: without it every task writes one file per
+    // bucket it happens to see (tasks x buckets small files — at 41k
+    // buckets and 10^4 tasks that is 10^8 files); clustered, file count
+    // equals bucket count. AQE's shuffle coalescing keeps tiny buckets
+    // from wasting tasks.
     val staging = Paths.get(root, s".staging-${System.nanoTime()}")
-    remaining.write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
+    remaining.repartition(col("__part"))
+      .write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
 
     // Job 2: per-bucket row counts + content checksums (same scan shape).
     val dataCols = df.columns.filterNot(_ == partitionCol).map(c => s"`$c`")
@@ -189,6 +195,9 @@ object Icelite {
   /** Reads the table back (all committed partitions). */
   def read(spark: SparkSession, root: String): DataFrame =
     readWhere(spark, root, _ => true)
+
+  /** Drops the table: data, manifests, any staging leftovers. */
+  def drop(root: String): Unit = deleteRecursively(Paths.get(root))
 
   /** Manifest-driven partition pruning: only partitions whose value passes
     * the predicate are ever listed or opened (Iceberg-style scan planning
