@@ -543,6 +543,46 @@ object SparkEntry {
       """)
     }),
 
+    // Distributed dissolve over MIXED-resolution (compacted) input — the
+    // heterogeneous Solvent, distributed: ring-1 at res 9 + the center at
+    // res 9 + the center's res-10 children (the latter ancestor-covered,
+    // exercising the dedup) must dissolve to the disk outline, verified by
+    // exact re-tiling at res 10.
+    "dissolve_distributed_mixed" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      val mixed = s.sql(s"""
+        WITH base AS (
+          SELECT ${cellSqlSpark("event_id")} AS bcell FROM events
+          WHERE event_id % 200 = 0)
+        SELECT bcell AS grp, m AS cell FROM (
+          SELECT bcell, r.rcell AS m FROM base
+          LATERAL VIEW h3_grid_ring(bcell, 1) r AS rcell
+          UNION ALL
+          SELECT bcell, bcell AS m FROM base
+          UNION ALL
+          SELECT bcell, c.ccell AS m FROM base
+          LATERAL VIEW h3_cell_to_children(bcell, 10) c AS ccell
+        )""")
+      val dissolved = engine.DistributedDissolve.dissolve(s, mixed, "grp", "cell")
+      dissolved.createOrReplaceTempView("__dissolved_mixed")
+      s.sql(s"""
+        WITH want AS (
+          SELECT cell AS grp, sort_array(collect_set(u.ucell)) AS cells
+          FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events
+                WHERE event_id % 200 = 0)
+          LATERAL VIEW h3_grid_disk(cell, 1) d AS dcell
+          LATERAL VIEW h3_cell_to_children(d.dcell, 10) u AS ucell
+          GROUP BY cell),
+        got AS (SELECT d.grp, sort_array(collect_set(p.pcell)) AS cells
+                FROM __dissolved_mixed d
+                LATERAL VIEW h3_polygon_to_cells(d.geojson, 10, 0) p AS pcell
+                GROUP BY d.grp)
+        SELECT w.grp AS cell, w.cells = g.cells AS ok
+        FROM want w JOIN got g ON w.grp = g.grp
+      """)
+    }),
+
     // Distributed compact: round-trips exactly (compact of the res-8
     // children of sampled cells collapses back to the cells; uncompact
     // re-expands to the same count).
@@ -986,6 +1026,10 @@ object SparkEntry {
       },
 
       "dissolve_distributed" -> s"""
+        SELECT $cell AS cell, TRUE AS ok FROM events WHERE event_id % 200 = 0
+      """,
+
+      "dissolve_distributed_mixed" -> s"""
         SELECT $cell AS cell, TRUE AS ok FROM events WHERE event_id % 200 = 0
       """,
 

@@ -24,14 +24,54 @@ import graft.spark.H3Functions
 object DistributedDissolve {
 
   /** @param df       input with a group column and a cell column
-    *                  (same resolution within each group; duplicates OK)
+    *                  (MIXED resolutions per group are accepted —
+    *                  compacted covers dissolve directly; duplicates and
+    *                  ancestor-covered cells OK)
     * @return (groupCol, geojson) — one MultiPolygon per group. */
   def dissolve(spark: SparkSession, df: DataFrame,
                groupCol: String, cellCol: String): DataFrame = {
     H3Functions.register(spark)
-    val edges = df.select(col(groupCol).as("grp"), col(cellCol).as("cell"))
+    val cells = df.select(col(groupCol).as("grp"), col(cellCol).as("cell"))
       .distinct()
-      .select(col("grp"), expr("h3_origin_to_directed_edges(cell)").as("edge"))
+
+    // One cheap agg decides the path: homogeneous input (the common case)
+    // skips the ancestor dedup and the per-group max-res join entirely.
+    val Array(minRes, maxRes) = cells
+      .agg(min(expr("h3_get_resolution(cell)")), max(expr("h3_get_resolution(cell)")))
+      .collect()(0) match { case r => Array(r.getInt(0), r.getInt(1)) }
+
+    val edges =
+      if (minRes == maxRes)
+        cells.select(col("grp"), expr("h3_origin_to_directed_edges(cell)").as("edge"))
+      else {
+        // Mixed resolutions (heterogeneous Solvent, reference
+        // arc_set.rs:38-56). Twin-parity needs each position covered
+        // exactly once, so drop cells that an ancestor in the same group
+        // already covers (id-only semi-join over the <= res-minRes
+        // ancestor chain; complete-sibling groups need no collapse —
+        // sibling twins cancel like any covered neighbors).
+        val ancLevels = (minRes until maxRes).map(r =>
+          expr(s"CASE WHEN h3_get_resolution(cell) > $r " +
+            s"THEN h3_cell_to_parent(cell, $r) ELSE NULL END"))
+        val covered = cells
+          .select(col("grp"), col("cell"),
+            explode(array(ancLevels: _*)).as("anc"))
+          .filter(col("anc").isNotNull)
+          .join(cells.select(col("grp"), col("cell").as("anc")),
+            Seq("grp", "anc"), "left_semi")
+          .select("grp", "cell").distinct()
+        val canon = cells.join(covered, Seq("grp", "cell"), "left_anti")
+
+        // Per-group finest resolution; every cell refines its boundary to
+        // it (O(perimeter x depth) per cell) so all emitted edges share
+        // one resolution and twin-cancel exactly.
+        val grpRes = canon.groupBy("grp")
+          .agg(max(expr("h3_get_resolution(cell)")).as("target_res"))
+        canon.join(grpRes, "grp")
+          .select(col("grp"),
+            expr("h3_cell_boundary_edges(cell, target_res)").as("edge"))
+      }
+
     val survivors = edges
       .withColumn("cedge", expr("least(edge, h3_directed_edge_reverse(edge))"))
       .groupBy("grp", "cedge")

@@ -156,6 +156,53 @@ object Dissolve {
     out.toArray
   }
 
+  /** Directed boundary edges of ONE cell's region at `targetRes`: the
+    * outward edges of the cell's targetRes descendants that lie on its
+    * boundary. This is the per-cell generator behind the mixed-resolution
+    * DISTRIBUTED dissolve (the heterogeneous Solvent role, reference
+    * arc_set.rs:38-56): every input cell emits O(perimeter x depth) edges
+    * independently of the rest of its group, and edges between two
+    * covered cells twin-cancel in the shuffle exactly as in the
+    * homogeneous formulation. Interior descendants are pruned without
+    * refinement (same argument as [[boundaryCellsOfCompacted]]: a finer
+    * cell's neighbors have parents in {cell} U neighbors(cell), so a cell
+    * whose same-res neighborhood is inside the root has no boundary
+    * descendants). */
+  def cellBoundaryEdges(root: Long, targetRes: Int): Array[Long] = {
+    val rootRes = H3.getResolution(root)
+    require(targetRes >= rootRes && targetRes <= 15,
+      s"targetRes=$targetRes out of [$rootRes, 15]")
+    if (targetRes == rootRes) return Edges.originToDirectedEdges(root)
+
+    @inline def isDesc(c: Long): Boolean = H3.cellToParent(c, rootRes) == root
+
+    val out = new mutable.ArrayBuilder.ofLong
+    def process(c: Long): Unit = {
+      val r = H3.getResolution(c)
+      val dirs = neighborDirs(c)
+      if (r == targetRes) {
+        var d = 0
+        while (d < dirs.length) {
+          val packed = Traverse.neighborRotations(c, dirs(d), 0)
+          if (packed != 0 && !isDesc(Traverse.packedCell(packed)))
+            out += Edges.directedEdge(c, dirs(d))
+          d += 1
+        }
+      } else {
+        var interior = true
+        var d = 0
+        while (interior && d < dirs.length) {
+          val packed = Traverse.neighborRotations(c, dirs(d), 0)
+          if (packed == 0 || !isDesc(Traverse.packedCell(packed))) interior = false
+          d += 1
+        }
+        if (!interior) H3.cellToChildren(c, r + 1).foreach(process)
+      }
+    }
+    process(root)
+    out.result()
+  }
+
   /** Dissolve to rings: returns (rings, isOuter) where each ring is
     * [lat0,lng0,lat1,lng1,...] in degrees (unclosed). Accepts mixed
     * (compacted) input — see the class doc for the fast path. */

@@ -89,6 +89,11 @@ object Edges {
     else setModeBits(origin, ModeEdge) | (dir.toLong << 56)
   }
 
+  /** Directed edge from `origin` toward neighbor direction `dir` (1-6;
+    * caller guarantees the direction exists — pentagons have no dir 1). */
+  def directedEdge(origin: Long, dir: Int): Long =
+    setModeBits(origin, ModeEdge) | (dir.toLong << 56)
+
   /** All directed edges from the origin (6 for hexagons, 5 for pentagons),
     * in canonical CCW order. */
   def originToDirectedEdges(origin: Long): Array[Long] = {

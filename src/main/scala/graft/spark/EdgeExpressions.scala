@@ -471,6 +471,28 @@ case class OriginToEdgesGen(cell: Expression) extends Generator
   override def prettyName: String = "h3_origin_to_directed_edges"
 }
 
+/** Generator: directed boundary edges of one cell's region at a target
+  * resolution (mixed-res distributed dissolve — each cell of a compacted
+  * set emits O(perimeter x depth) finest-res edges; twins cancel in the
+  * shuffle). */
+case class CellBoundaryEdgesGen(cell: Expression, res: Expression)
+    extends Generator
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(cell, res)
+  override def elementSchema: StructType =
+    StructType(Seq(StructField("edge", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val c = cell.eval(input)
+    val r = res.eval(input)
+    if (c == null || r == null) Iterator.empty
+    else graft.h3.Dissolve.cellBoundaryEdges(c.asInstanceOf[Long],
+      r.asInstanceOf[Int]).iterator.map(e => InternalRow(e))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(cell = cs(0), res = cs(1))
+  override def prettyName: String = "h3_cell_boundary_edges"
+}
+
 /** Generator: canonical vertexes of a cell. */
 case class CellToVertexesGen(cell: Expression) extends Generator
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {

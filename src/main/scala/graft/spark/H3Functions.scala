@@ -67,6 +67,7 @@ object H3Functions {
     // Directed edges.
     "h3_cells_to_directed_edge" -> (es => CellsToEdge(lng(es(0)), lng(es(1)))),
     "h3_origin_to_directed_edges" -> (es => OriginToEdgesGen(lng(es(0)))),
+    "h3_cell_boundary_edges" -> (es => CellBoundaryEdgesGen(lng(es(0)), int(es(1)))),
     "h3_get_directed_edge_origin" -> (es => H3EdgeCall1("edgeOrigin", lng(es(0)), LongType, sentinelNull = true)),
     "h3_get_directed_edge_destination" -> (es => H3EdgeCall1("edgeDestination", lng(es(0)), LongType, sentinelNull = true)),
     "h3_directed_edge_reverse" -> (es => H3EdgeCall1("edgeReverse", lng(es(0)), LongType, sentinelNull = true)),

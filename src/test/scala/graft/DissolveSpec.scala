@@ -238,6 +238,49 @@ class DistributedDissolveSpec extends AnyFunSuite {
     }
   }
 
+  test("cellBoundaryEdges: single-cell region re-links to the refined cell outline") {
+    for (res <- Seq(3, 7); depth <- Seq(0, 1, 2)) {
+      val c = H3.latLngToCell(48.85, 2.35, res)
+      val edges = Dissolve.cellBoundaryEdges(c, res + depth)
+      // Perimeter shape: ~6 * 3^depth edges, never the 7^depth area.
+      assert(edges.nonEmpty && edges.length <= 6 * math.pow(3, depth).toInt + 6)
+      val retiled = Geo.polygonToCells(
+        Geo.parseGeoJson(Dissolve.edgesToGeoJson(edges)), res + depth, 0).toSet
+      assert(retiled == H3.cellToChildren(c, res + depth).toSet, s"res=$res depth=$depth")
+    }
+    // Pentagon root.
+    val pent = H3.cellToCenterChild(
+      graft.h3.H3.setBaseCell(graft.h3.H3.DefaultCellIndex, 4), 5)
+    val pe = Dissolve.cellBoundaryEdges(pent, 7)
+    val retiled = Geo.polygonToCells(
+      Geo.parseGeoJson(Dissolve.edgesToGeoJson(pe)), 7, 0).toSet
+    assert(retiled == H3.cellToChildren(pent, 7).toSet)
+  }
+
+  test("distributed dissolve accepts mixed-res (compacted) input incl. ancestor dups") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val centers = Seq(
+      H3.latLngToCell(48.85, 2.35, 8),
+      H3.latLngToCell(-16.9, 179.9995, 8)) // transmeridian
+    val rows = centers.zipWithIndex.flatMap { case (c, g) =>
+      val ring = H3.gridDisk(c, 1).filterNot(_ == c)
+      // ring at res 8 + center at res 8 + the center's res-9 children
+      // (ancestor-covered -> must be deduped, not double-counted).
+      (ring :+ c).map(cell => (g.toLong, cell)) ++
+        H3.cellToChildren(c, 9).map(cell => (g.toLong, cell))
+    }
+    val df = rows.toDF("grp", "cell").repartition(5)
+    val got = graft.engine.DistributedDissolve.dissolve(spark, df, "grp", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    centers.zipWithIndex.foreach { case (c, g) =>
+      val want = H3.gridDisk(c, 1).flatMap(H3.cellToChildren(_, 9)).toSet
+      val retiled = Geo.polygonToCells(
+        Geo.parseGeoJson(got(g.toLong)), 9, 0).toSet
+      assert(retiled == want, s"group $g")
+    }
+  }
+
   test("hollow region keeps its hole through the distributed path") {
     val spark = SparkTestBase.spark
     import spark.implicits._
