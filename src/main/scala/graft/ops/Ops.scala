@@ -286,23 +286,27 @@ object Ops {
   def langId(spark: SparkSession, docs: DataFrame,
              profileSize: Int = 200): DataFrame = {
     OpsFunctions.register(spark)
-    import spark.implicits._
 
-    val grams = docs.select(col("doc_id"), col("lang"),
-      expr("char_ngrams(text, 3, 500)").as("ngram"))
+    // ONE scan of documents: the per-doc trigram tf table is cached and
+    // both consumers (profile building, scoring) read the cache — the
+    // profile counts re-derive exactly as sum(tf). docGrams is bounded by
+    // <= 500 grams/doc, far smaller than the exploded gram stream.
+    val docGrams = docs.select(col("doc_id"), col("lang"),
+        expr("char_ngrams(text, 3, 500)").as("ngram"))
+      .groupBy("doc_id", "lang", "ngram")
+      .agg(count(lit(1)).as("tf"))
+      .cache()
 
     // Per-language top-N trigram profile, weighted by inverse rank.
     val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("ngram"))
-    val profiles = grams.groupBy("lang", "ngram")
-      .agg(count(lit(1)).as("cnt"))
+    val profiles = docGrams.groupBy("lang", "ngram")
+      .agg(sum("tf").as("cnt"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= profileSize)
       .select(col("lang").as("p_lang"), col("ngram"),
         (lit(profileSize + 1) - col("rk")).as("weight"))
 
     // Score each document against every profile; argmax wins.
-    val docGrams = grams.groupBy("doc_id", "lang", "ngram")
-      .agg(count(lit(1)).as("tf"))
     val scored = docGrams.join(broadcast(profiles), "ngram")
       .groupBy("doc_id", "lang", "p_lang")
       .agg(sum(col("weight") * col("tf")).as("score"))

@@ -100,6 +100,45 @@ class OpsSpec extends AnyFunSuite {
     assert(acc > 0.2, s"accuracy $acc")
   }
 
+  test("language ID scans the documents table exactly once (cached tf table)") {
+    val res = Ops.langId(spark, docs)
+    val nodeNames = res.queryExecution.optimizedPlan
+      .collect { case n => n.getClass.getSimpleName }
+    // Both consumers (profiles + scoring) must read the cached tf table;
+    // a direct file relation in the optimized plan means a second scan.
+    assert(nodeNames.count(_ == "InMemoryRelation") == 2,
+      s"expected 2 cache reads, plan nodes: $nodeNames")
+    assert(!nodeNames.contains("LogicalRelation"),
+      s"documents scanned directly, plan nodes: $nodeNames")
+  }
+
+  test("embedding LSH dedup recall floor vs brute force (driver params)") {
+    val rows = embeddings.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < math.min(a.length, b.length)) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+        i += 1
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+    }
+    val brute = (for {
+      (ia, va) <- rows; (ib, vb) <- rows
+      if ia < ib && cos(va, vb) >= 0.4
+    } yield (ia, ib)).toSet
+    val lsh = Ops.dedupEmbedding(spark, embeddings,
+        threshold = 0.4, bits = 4, tables = 20)
+      .select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute), "LSH must not produce false positives")
+    val recall = if (brute.isEmpty) 1.0 else lsh.intersect(brute).size.toDouble / brute.size
+    // Floor pins the parameterization: oracles mirror parameters, so only
+    // this guard catches a silent recall trade from parameter drift.
+    assert(recall >= 0.9, s"recall $recall, brute=${brute.size}, lsh=${lsh.size}")
+  }
+
   test("quality scores and token counts are sane") {
     val q = Ops.qualityScore(docs).collect()
     q.foreach { r =>
@@ -267,7 +306,8 @@ class AnnIvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     val ivf = Ops.annIvf(spark, emb, queries, k = 5, nCentroids = 32, nProbe = 8, nAssign = 2)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = ivf.intersect(brute).size.toDouble / brute.size
-    assert(recall >= 0.75, s"recall $recall")
+    // Floor at the driver parameterization (nAssign=2); observed 0.85.
+    assert(recall >= 0.8, s"recall $recall")
     println(s"IVF_RECALL=$recall")
   }
 
