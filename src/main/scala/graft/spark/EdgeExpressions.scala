@@ -383,6 +383,36 @@ object GeoCache {
     parsed
   }
 
+  // Memoized annotated covers keyed by (geometry, point res): computing a
+  // cover costs ~ms (tiling + buffering) and pipJoinPolygonTable's plans
+  // evaluate the generator once per polygon per EXECUTION — reused across
+  // the full/boundary branches and repeated runs, the memo amortizes it
+  // to once per executor. Bounded (64 entries x <= ~3 x cap cells).
+  private final val MaxCoverEntries = 64
+  private val coverCache = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.unsafe.types.UTF8String, Int), (Array[Long], Array[Boolean])]()
+
+  /** Adaptive protrusion-robust annotated cover of a geometry at `res`
+    * (see PolygonToCellsAnnotatedGen), memoized per executor. */
+  def annotatedCover(geojson: org.apache.spark.unsafe.types.UTF8String,
+                     res: Int): (Array[Long], Array[Boolean]) = {
+    var c = coverCache.get((geojson, res))
+    if (c == null) {
+      val polys = parse(geojson)
+      val coverRes = graft.h3.Geo.adaptiveCoverRes(polys, res)
+      // Coarse covers are protrusion-robust (buffered + eroded flags) so
+      // bit-parent probe keys stay exact; at the point resolution the
+      // plain annotated cover is already exact.
+      c = if (coverRes == res)
+        graft.h3.Geo.polygonToCellsAnnotated(
+          polys, coverRes, graft.h3.Geo.IntersectsBoundary)
+      else graft.h3.Geo.bufferedAnnotatedCover(polys, coverRes)
+      if (coverCache.size() > MaxCoverEntries) coverCache.clear()
+      coverCache.put((geojson.clone(), res), c)
+    }
+    c
+  }
+
   /** Exact ray-cast point-in-polygon over the (cached) geometry. */
   def contains(latDeg: Double, lngDeg: Double,
                geojson: org.apache.spark.unsafe.types.UTF8String): Boolean = {
@@ -435,17 +465,9 @@ case class PolygonToCellsAnnotatedGen(geojson: Expression, res: Expression)
     val r = res.eval(input)
     if (g == null || r == null) Iterator.empty
     else {
-      val polys = GeoCache.parse(g.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-      val res = r.asInstanceOf[Int]
-      val coverRes = graft.h3.Geo.adaptiveCoverRes(polys, res)
-      // Coarse covers are protrusion-robust (buffered + eroded flags) so
-      // bit-parent probe keys stay exact; at the point resolution the
-      // plain annotated cover is already exact.
-      val (cells, full) =
-        if (coverRes == res)
-          graft.h3.Geo.polygonToCellsAnnotated(
-            polys, coverRes, graft.h3.Geo.IntersectsBoundary)
-        else graft.h3.Geo.bufferedAnnotatedCover(polys, coverRes)
+      val (cells, full) = GeoCache.annotatedCover(
+        g.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+        r.asInstanceOf[Int])
       cells.indices.iterator.map(i => InternalRow(cells(i), full(i)))
     }
   }
