@@ -190,8 +190,13 @@ object Bench {
     deleteDir(java.nio.file.Paths.get(iceRoot))
 
     // Phase 10: hot-cell salting under measurement — the shuffle-path PIP
-    // join on the Paris-skewed synthesis with and without probe-side
-    // salting; reducer-time spread (max task ms) shows what the salt buys.
+    // join against a pathological hot cell (half the points inside ONE
+    // res-9 cell), with and without probe-side salting; reducer-time
+    // spread (max task ms) shows what the salt buys. Auto-broadcast is
+    // disabled for this phase only: below the broadcast threshold Spark
+    // picks BHJ and there is no probe shuffle to skew (measured — salting
+    // is pure overhead there); the salted shuffle path exists for covers
+    // too large to broadcast.
     val taskMs = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     val taskListener = new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
@@ -208,14 +213,22 @@ object Bench {
     var maxTaskUnsalted = 0L
     var maxTaskSalted = 0L
     def saltRun(buckets: Int): Long = maxTaskOf {
-      val pts = synthPoints(spark, nDocs / 10)
+      val hot = spark.range(0, nDocs / 20, 1,
+          spark.sparkContext.defaultParallelism * 4).selectExpr(
+        "id AS page_id",
+        "48.8566 + cast(id % 1000 as double) * 1e-7 AS lat", // ~11 m jitter:
+        "2.3522 + cast(id % 997 as double) * 1e-7 AS lng")   // one res-9 cell
+      val pts = synthPoints(spark, nDocs / 20).unionByName(hot)
         .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))
       SpatialJoin.pipJoin(spark, pts, polys, res = 9,
           broadcastCover = false, saltBuckets = buckets)
         .agg(count(lit(1))).collect()
     }
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     measure("pip_shuffle_unsalted", reps) { maxTaskUnsalted = saltRun(1) }
     measure("pip_shuffle_salted", reps) { maxTaskSalted = saltRun(8) }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
     spark.sparkContext.removeSparkListener(taskListener)
 
     val docsPerSec = nDocs / tJoin
