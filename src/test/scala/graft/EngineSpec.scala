@@ -147,6 +147,34 @@ class EngineSpec extends AnyFunSuite {
     assert(Icelite.writeResumable(spark, df, root, "bucket") == 0)
   }
 
+  test("icelite: special-character partition values escape like Spark and round-trip") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-esc").toString
+    val df = Pages.indexedPages(spark, sfDir).limit(40)
+      .withColumn("bucket",
+        concat(lit("a:b=c%"), (col("page_id") % 3).cast("string")))
+    val computed = Icelite.writeResumable(spark, df, root, "bucket")
+    assert(computed == 3)
+    val back = Icelite.read(spark, root)
+    assert(back.count() == 40)
+    assert(back.select("bucket").distinct().collect()
+      .map(_.getString(0)).toSet ==
+      Set("a:b=c%0", "a:b=c%1", "a:b=c%2"))
+    // Manifest pruning resolves the escaped dir for an exact raw value.
+    assert(Icelite.readWhere(spark, root, _ == "a:b=c%1").count() ==
+      df.filter(col("page_id") % 3 === 1).count())
+  }
+
+  test("icelite: NULL partition values are rejected up front") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-null").toString
+    val df = Pages.indexedPages(spark, sfDir).limit(10)
+      .withColumn("bucket",
+        when(col("page_id") % 2 === 0, col("page_id").cast("string")))
+    val e = intercept[IllegalArgumentException] {
+      Icelite.writeResumable(spark, df, root, "bucket")
+    }
+    assert(e.getMessage.contains("NULL"))
+  }
+
   test("icelite: staged write job count is bounded regardless of bucket count") {
     val root = java.nio.file.Files.createTempDirectory("icelite-jobs").toString
     val df = Pages.indexedPages(spark, sfDir)
