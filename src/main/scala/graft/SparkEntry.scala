@@ -437,7 +437,11 @@ object SparkEntry {
         SELECT cell,
                bool_and(h3_local_ij_to_cell(cell,
                  h3_cell_to_local_ij(cell, d.dcell).i,
-                 h3_cell_to_local_ij(cell, d.dcell).j) = d.dcell) AS ok
+                 h3_cell_to_local_ij(cell, d.dcell).j) = d.dcell) AS ok,
+               bool_and(h3_local_ij_to_cell(
+                 h3_cell_to_local_ij_anchored(cell, d.dcell).anchor,
+                 h3_cell_to_local_ij_anchored(cell, d.dcell).i,
+                 h3_cell_to_local_ij_anchored(cell, d.dcell).j) = d.dcell) AS ok_anchored
         FROM (SELECT ${cellSqlSpark("event_id")} AS cell FROM events)
         LATERAL VIEW h3_grid_disk(cell, 2) d AS dcell
         GROUP BY cell
@@ -982,7 +986,7 @@ object SparkEntry {
       """,
 
       "h3_local_ij_roundtrip" -> s"""
-        SELECT $cell AS cell, TRUE AS ok FROM events
+        SELECT $cell AS cell, TRUE AS ok, TRUE AS ok_anchored FROM events
       """,
 
       "h3_dissolve_roundtrip" -> s"""

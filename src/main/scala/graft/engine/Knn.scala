@@ -60,7 +60,11 @@ object Knn {
     // reach; res 0 cannot soundly settle — see safeRadiusM). Rings below 2
     // are rejected: the settlement bound is only calibrated for ring >= 2.
     require(res >= 1, s"knnJoin requires res >= 1, got $res")
-    val levels = (List(res) ++ List(math.max(res - 4, 1), 1)).distinct
+    require(maxRounds >= 1, s"knnJoin requires maxRounds >= 1, got $maxRounds")
+    // maxRounds caps the DISK rounds (the brute guard always remains):
+    // fewer rounds trade escalation for an earlier guard pass.
+    val levels = (List(res) ++ List(math.max(res - 4, 1), 1))
+      .distinct.take(maxRounds)
     val rings = levels.zipWithIndex.map { case (_, i) =>
       if (i == 0) math.max(initialRing, 2) else 2
     }

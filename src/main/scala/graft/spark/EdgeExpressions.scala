@@ -286,6 +286,36 @@ case class CellToLocalIjExpr(anchor: Expression, cell: Expression)
     copy(anchor = l, cell = r)
 }
 
+/** Anchored LocalIJ value — the reference's `LocalIJ` shape (anchor +
+  * coord, /root/reference/src/coord/localij.rs:31-36) as one struct, so a
+  * column of local coordinates stays self-describing (the bare (i,j)
+  * variant requires the caller to carry the anchor out of band). */
+case class CellToLocalIjAnchoredExpr(anchor: Expression, cell: Expression)
+    extends BinaryExpression {
+  override def left: Expression = anchor
+  override def right: Expression = cell
+  override def dataType: DataType =
+    StructType(Seq(StructField("anchor", LongType, false),
+      StructField("i", IntegerType, false), StructField("j", IntegerType, false)))
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_cell_to_local_ij_anchored"
+  override protected def nullSafeEval(o: Any, c: Any): Any = {
+    val packed = Edges.cellToLocalIj(o.asInstanceOf[Long], c.asInstanceOf[Long])
+    if (packed == Long.MinValue) null
+    else InternalRow(o.asInstanceOf[Long], (packed >> 32).toInt, packed.toInt)
+  }
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (o, c) => s"""
+      long packed = graft.h3.Edges.cellToLocalIj($o, $c);
+      if (packed == Long.MIN_VALUE) { ${ev.isNull} = true; }
+      else {
+        ${ev.value} = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          new Object[] { $o, (int)(packed >> 32), (int)packed });
+      }""")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(anchor = l, cell = r)
+}
+
 case class LocalIjToCellExpr(anchor: Expression, i: Expression, j: Expression)
     extends TernaryExpression {
   override def first: Expression = anchor

@@ -103,6 +103,7 @@ object H3Functions {
     "h3_get_res0_cells" -> (_ => Res0CellsGen()),
     "h3_get_pentagons" -> (es => PentagonsGen(int(es(0)))),
     "h3_cell_to_local_ij" -> (es => CellToLocalIjExpr(lng(es(0)), lng(es(1)))),
+    "h3_cell_to_local_ij_anchored" -> (es => CellToLocalIjAnchoredExpr(lng(es(0)), lng(es(1)))),
     "h3_local_ij_to_cell" -> (es => LocalIjToCellExpr(lng(es(0)), int(es(1)), int(es(2)))),
     "h3_get_icosahedron_faces" -> (es => H3EdgeCall1("icosahedronFacesArr", lng(es(0)),
       ArrayType(IntegerType, containsNull = false), sentinelNull = false)),
