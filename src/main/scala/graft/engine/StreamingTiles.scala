@@ -31,6 +31,22 @@ object StreamingTiles {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Streaming geofence (PIP) join: a stream of geotagged events against a
+    * static polygon set — the batch H3-bucketed join composes directly as
+    * a STREAM-STATIC inner join (the annotated cover is a static broadcast
+    * side; rows on fully-contained cover cells pass with zero per-row
+    * work, boundary rows run the codegen'd ray cast), so per-trigger cost
+    * is one narrow pass over the micro-batch and no streaming state at
+    * all. Emits the event columns + poly_id per containment hit. */
+  def streamingGeofenceJoin(spark: SparkSession, events: DataFrame,
+                            polys: Seq[SpatialJoin.Poly],
+                            res: Int = 9): DataFrame = {
+    H3Functions.register(spark)
+    val pts = events.withColumn("cell9",
+      expr(s"h3_latlng_to_cell(lat, lng, $res)"))
+    SpatialJoin.pipJoin(spark, pts, polys, res).drop("cell9")
+  }
+
   /** Streaming near-duplicate suppression for a document stream: the first
     * arrival of each normalized-text fingerprint within the watermark
     * survives, later duplicates are dropped; state is evicted past the

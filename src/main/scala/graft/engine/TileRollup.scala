@@ -47,4 +47,19 @@ object TileRollup {
     }
     out
   }
+
+  /** Merges two pyramid levels of the SAME resolution (decomposable aggs:
+    * counts and sums re-add by cell). This is the incremental roll-up
+    * primitive: roll up only the partitions an Icelite snapshot delta
+    * contains ([[Icelite.readIncremental]]), then merge into the standing
+    * tile table — at 100 TB the delta pyramid touches only new data and
+    * the merge shuffles O(|tiles|), never the fact table. */
+  def merge(a: DataFrame, b: DataFrame, sumCols: Seq[String]): DataFrame = {
+    val reSums = (Seq(sum(col("cnt")).as("cnt")) ++
+      sumCols.map(c => sum(col(c)).as(c)))
+    a.unionByName(b)
+      .groupBy("cell", "res")
+      .agg(reSums.head, reSums.tail: _*)
+      .select(a.columns.map(col): _*)
+  }
 }

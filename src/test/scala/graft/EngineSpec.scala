@@ -147,6 +147,34 @@ class EngineSpec extends AnyFunSuite {
     assert(Icelite.writeResumable(spark, df, root, "bucket") == 0)
   }
 
+  test("incremental roll-up via icelite snapshot delta equals full recompute") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-inc").toString
+    def indexed = Pages.indexedPages(spark, sfDir)
+      .withColumn("bucket", pmod(col("page_id"), lit(11)))
+      .withColumn("v", col("page_id") % 97)
+
+    // Phase 1: buckets 0..5 committed; remember the snapshot id.
+    Icelite.writeResumable(spark, indexed.filter(col("bucket") <= 5), root, "bucket")
+    val snapId = Icelite.currentSnapshot(root).get.id
+    val oldData = Icelite.read(spark, root) // resolves phase-1 paths now
+
+    // Phase 2: the remaining buckets arrive.
+    Icelite.writeResumable(spark, indexed, root, "bucket")
+
+    def level5(df: org.apache.spark.sql.DataFrame) =
+      TileRollup.pyramid(spark, df, "cell9", 9, Seq(7, 5), Seq("v"))(5)
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("cell", "cnt", "v").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // Delta pyramid over ONLY the new partitions, merged into the old
+    // standing pyramid == full recompute (decomposable aggs).
+    val delta = Icelite.readIncremental(spark, root, snapId)
+    val merged = TileRollup.merge(level5(oldData), level5(delta), Seq("v"))
+    assert(toSet(merged) == toSet(level5(Icelite.read(spark, root))))
+    assert(delta.select("bucket").distinct().count() == 5) // buckets 6..10 only
+  }
+
   test("icelite: special-character partition values escape like Spark and round-trip") {
     val root = java.nio.file.Files.createTempDirectory("icelite-esc").toString
     val df = Pages.indexedPages(spark, sfDir).limit(40)

@@ -42,6 +42,44 @@ class StreamingSpec extends AnyFunSuite {
     query.stop()
   }
 
+  test("streaming geofence join matches the batch join on the same rows") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Paris-ish rectangle (non-round bounds to dodge boundary hits).
+    val lats = Array(48.712345, 48.712345, 49.012345, 49.012345)
+    val lngs = Array(2.112345, 2.612345, 2.612345, 2.112345)
+    val polys = Seq(graft.engine.SpatialJoin.Poly(7,
+      new graft.h3.Geo.GeoPolygon(
+        graft.h3.Geo.ringFromDegrees(lats, lngs), Array.empty)))
+
+    val data = Seq( // (id, lat, lng): 3 inside, 2 outside
+      (1L, 48.8566, 2.3522), (2L, 48.9, 2.2), (3L, 48.75, 2.5),
+      (4L, 40.7128, -74.006), (5L, 49.5, 2.3))
+
+    val input = MemoryStream[(Long, Double, Double)]
+    val events = input.toDF().toDF("id", "lat", "lng")
+    val out = StreamingTiles.streamingGeofenceJoin(spark, events, polys)
+    val query = out.writeStream.format("memory").queryName("geo_hits")
+      .outputMode("append").start()
+    input.addData(data: _*)
+    query.processAllAvailable()
+    val streamed = spark.sql("SELECT id, poly_id FROM geo_hits").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    query.stop()
+
+    val batch = graft.engine.SpatialJoin.pipJoin(spark,
+        data.toDF("id", "lat", "lng")
+          .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)")),
+        polys, res = 9)
+      .select("id", "poly_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(streamed == batch)
+    assert(streamed.map(_._1) == Set(1L, 2L, 3L))
+  }
+
   test("shuffle-join path with salting matches broadcast path") {
     val spark = SparkTestBase.spark
     val sfDir = "/root/testdata/sf0.001"
