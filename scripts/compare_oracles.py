@@ -4,9 +4,13 @@
 # the graft.Verify parquet dumps. Usage: first run
 #   SPARK_GRAFT_CPUS=8 sbt -batch "runMain graft.Verify /root/testdata/sf0.01 /tmp/verify_out"
 # then: python3 scripts/compare_oracles.py
+# Optional args: [sf_dir] [out_dir]; SKIP=name1,name2 skips queries whose
+# DuckDB re-derivation is impractically slow at larger scale factors (the
+# Spark side still runs them; they are compared at sf0.01).
 import duckdb, json, sys, glob, os
-sf = "/root/testdata/sf0.01"
-out = "/tmp/verify_out"
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+skip = set(filter(None, os.environ.get("SKIP", "").split(",")))
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     p = f"{sf}/{t}.parquet"
@@ -20,6 +24,9 @@ for name in sorted(os.listdir(out)):
     spark_df = con.execute(f"SELECT * FROM read_parquet('{d}/*.parquet')").fetchdf()
     if name not in oracles:
         results[name] = "no_oracle"
+        continue
+    if name in skip:
+        results[name] = "skipped (slow oracle at this sf)"
         continue
     try:
         odf = con.execute(oracles[name]).fetchdf()

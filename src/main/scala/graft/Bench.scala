@@ -12,11 +12,17 @@ import graft.ops.Ops
   *
   * Emits ONE JSON line:
   * {"metric":"spatial_join_docs_per_sec","value":N,"unit":"docs/sec",
-  *  "queries":{phase:sec,...},"sf":...}
+  *  "queries":{phase:minSec,...},"reps":{phase:[sec,...]},
+  *  "headline_median_docs_per_sec":N,"load_avg_at_start":L,
+  *  "salting_max_task_ms":{...},"sf":...}
+  * — per-rep arrays + the load average make the artifact self-diagnosing:
+  * a loaded run shows median >> min and high load; a true regression
+  * shifts the min itself.
   *
-  * Point volume scales with BENCH_MULT x events rows (default 30 => 3M docs
-  * at sf0.1). All point synthesis is computed (no IO) so the measurement is
-  * engine time, not parquet scan time.
+  * Point volume scales with SPARK_GRAFT_BENCH_MULT x events rows (default
+  * min(2000, cpus*60) => 192M docs at sf0.1 / 32 cpus). All point
+  * synthesis is computed (no IO) so the measurement is engine time, not
+  * parquet scan time.
   */
 object Bench {
 
