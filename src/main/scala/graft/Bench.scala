@@ -252,8 +252,10 @@ object Bench {
 
   private def deleteDir(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator().asScala.foreach(deleteDir)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p) // close the stream: it holds an fd
+      try s.iterator().asScala.toList.foreach(deleteDir) finally s.close()
+    }
     java.nio.file.Files.deleteIfExists(p)
   }
 }

@@ -58,6 +58,14 @@ object Icelite {
   private def readFile(p: Path): String =
     new String(Files.readAllBytes(p), StandardCharsets.UTF_8)
 
+  /** Files.list holds an fd until the STREAM is closed — iterating without
+    * closing leaks one fd per call, which at 10^4+ buckets exhausts the
+    * process limit mid-promote (observed at sf0.1). */
+  private def listDir[A](p: Path)(f: Iterator[Path] => A): A = {
+    val s = Files.list(p)
+    try f(s.iterator().asScala) finally s.close()
+  }
+
   private def currentMeta(root: String): Option[SnapshotMeta] = {
     val cur = manifestDir(root).resolve("CURRENT")
     if (!Files.exists(cur)) return None
@@ -105,8 +113,8 @@ object Icelite {
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
     // Abandoned staging dirs from a crashed run are dead data.
-    Files.list(Paths.get(root)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith(".staging-"))
+    listDir(Paths.get(root))(_.filter(
+        _.getFileName.toString.startsWith(".staging-")).toList)
       .foreach(deleteRecursively)
 
     val done = completedPartitions(root)
@@ -168,8 +176,8 @@ object Icelite {
       val target = dataDir(root).resolve(s"$partitionCol=${escapePart(v)}")
       if (Files.exists(target)) deleteRecursively(target)
       Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
-      val files = Files.list(target).iterator().asScala
-        .map(_.getFileName.toString).filter(_.endsWith(".parquet")).toSeq
+      val files = listDir(target)(_.map(_.getFileName.toString)
+        .filter(_.endsWith(".parquet")).toSeq)
       // durationMs is the per-bucket promote time (staging is one shared
       // job and is not attributable to a single bucket).
       pending += PartitionEntry(v, rows, checksum, files,
@@ -239,7 +247,7 @@ object Icelite {
 
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.foreach(deleteRecursively)
+      listDir(p)(_.toList).foreach(deleteRecursively)
     Files.deleteIfExists(p)
   }
 
