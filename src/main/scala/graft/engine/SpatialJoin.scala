@@ -104,11 +104,19 @@ object SpatialJoin {
     // completeness and their full flags ERODED by one ring for sound
     // acceptance (Geo.bufferedAnnotatedCover) — the probe stays a 3-bit-op
     // parent truncation.
-    val ancestors = array(coverResolutions.map { r =>
-      expr(s"h3_cell_to_parent($cellCol, $r)")
-    }: _*)
-
-    val probe = points.withColumn("__anc", explode(ancestors))
+    // Single cover resolution (the common case — all polygons fit the cap
+    // at one ladder res): no Generate node, the probe key is one bit-op
+    // column and the join stage stays one straight codegen pipeline.
+    val probe =
+      if (coverResolutions.size == 1) {
+        points.withColumn("__anc",
+          expr(s"h3_cell_to_parent($cellCol, ${coverResolutions.head})"))
+      } else {
+        val ancestors = array(coverResolutions.map { r =>
+          expr(s"h3_cell_to_parent($cellCol, $r)")
+        }: _*)
+        points.withColumn("__anc", explode(ancestors))
+      }
 
     val joined =
       if (broadcastCover)

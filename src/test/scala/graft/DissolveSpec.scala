@@ -326,6 +326,39 @@ class MixedDissolvePropertySpec extends AnyFunSuite {
     assert(ringSet(r1) == ringSet(r2), s"anchor=${anchor.toHexString}")
   }
 
+  test("random mixed-res blobs: DISTRIBUTED dissolve re-tiles like the scalar kernel") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val rng = new scala.util.Random(90210)
+    val groups = (0 until 6).map { g =>
+      val res = 4 + rng.nextInt(4)
+      val anchor = H3.latLngToCell(
+        rng.nextDouble() * 170 - 85, rng.nextDouble() * 360 - 180, res)
+      val fineRes = res + 2
+      val blob = H3.gridDisk(anchor, 2).filter(_ => rng.nextDouble() > 0.25)
+      val mixed = blob.zipWithIndex.flatMap { case (c, idx) =>
+        if (idx == 0) H3.cellToChildren(c, fineRes)
+        else rng.nextInt(3) match {
+          case 0 => Array(c)
+          case 1 => H3.cellToChildren(c, res + 1)
+          case _ => H3.cellToChildren(c, fineRes)
+        }
+      }
+      (g.toLong, mixed, fineRes)
+    }.filter(_._2.nonEmpty)
+    val df = groups.flatMap { case (g, cells, _) => cells.map(c => (g, c)) }
+      .toDF("grp", "cell").repartition(7)
+    val got = graft.engine.DistributedDissolve.dissolve(spark, df, "grp", "cell")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    groups.foreach { case (g, cells, fineRes) =>
+      val wantGeo = Dissolve.dissolveToGeoJson(cells)
+      val want = Geo.polygonToCells(Geo.parseGeoJson(wantGeo), fineRes, 0).toSet
+      val retiled = Geo.polygonToCells(
+        Geo.parseGeoJson(got(g)), fineRes, 0).toSet
+      assert(retiled == want, s"group $g")
+    }
+  }
+
   test("random mixed-res blobs dissolve like their uncompacted equivalents") {
     val rng = new scala.util.Random(4242)
     for (_ <- 0 until 30) {
