@@ -301,6 +301,15 @@ object SparkEntry {
       Ops.dedupSimHash(s, table(s, dir, "documents"), maxHamming = 6)
     }),
 
+    // Duplicate clustering: connected components over the minhash pairs
+    // (smallest-label propagation; the oracle closes the same components
+    // with a recursive CTE).
+    "dedup_clusters" -> ((s, dir) => {
+      val pairs = Ops.dedupMinHash(s, table(s, dir, "documents"), threshold = 0.5)
+        .select("a_id", "b_id")
+      Ops.duplicateClusters(s, pairs)
+    }),
+
     "dedup_embedding" -> ((s, dir) => {
       // Low threshold (wide angle) needs few bits + many tables; recall
       // 0.97 vs brute at sf0.01 (see BASELINE.md).
@@ -678,6 +687,30 @@ object SparkEntry {
 
   // -------------------------------------------------------------------
 
+  /** The minhash candidate->verified-pairs CTE chain (shared by the
+    * dedup_minhash and dedup_clusters oracles). */
+  private def minhashPairsCtes: String = {
+    import OracleDialect._
+    s"""wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        shing AS (SELECT doc_id, ${shingleFps("w", 3)} AS fps FROM wrds),
+        sigs AS (SELECT doc_id, list_distinct(fps) AS dfps,
+                        ${minHashSig("fps", 64)} AS sig FROM shing),
+        bnds AS (SELECT doc_id, b.band AS band, ${bandHash("sig", "b.band", 4)} AS band_hash
+                 FROM sigs, (SELECT unnest(range(0, 16)) AS band) b),
+        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                 FROM bnds a JOIN bnds b USING (band, band_hash)
+                 WHERE a.doc_id < b.doc_id),
+        pairs AS (SELECT c.a_id, c.b_id,
+                 CASE WHEN len(sa.dfps) = 0 AND len(sb.dfps) = 0 THEN 1
+                      ELSE len(list_intersect(sa.dfps, sb.dfps)) END AS n_inter,
+                 CASE WHEN len(sa.dfps) = 0 AND len(sb.dfps) = 0 THEN 1
+                      ELSE len(sa.dfps) + len(sb.dfps)
+                           - len(list_intersect(sa.dfps, sb.dfps)) END AS n_union
+                 FROM cand c
+                 JOIN sigs sa ON sa.doc_id = c.a_id
+                 JOIN sigs sb ON sb.doc_id = c.b_id)"""
+  }
+
   def oracleSql: Map[String, String] = {
     val cell = cellSqlDuck("event_id")
     Map(
@@ -827,28 +860,28 @@ object SparkEntry {
       """,
 
       "dedup_minhash" -> {
-        import OracleDialect._
         s"""
-        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
-        shing AS (SELECT doc_id, ${shingleFps("w", 3)} AS fps FROM wrds),
-        sigs AS (SELECT doc_id, list_distinct(fps) AS dfps,
-                        ${minHashSig("fps", 64)} AS sig FROM shing),
-        bnds AS (SELECT doc_id, b.band AS band, ${bandHash("sig", "b.band", 4)} AS band_hash
-                 FROM sigs, (SELECT unnest(range(0, 16)) AS band) b),
-        cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-                 FROM bnds a JOIN bnds b USING (band, band_hash)
-                 WHERE a.doc_id < b.doc_id),
-        pairs AS (SELECT c.a_id, c.b_id,
-                 CASE WHEN len(sa.dfps) = 0 AND len(sb.dfps) = 0 THEN 1
-                      ELSE len(list_intersect(sa.dfps, sb.dfps)) END AS n_inter,
-                 CASE WHEN len(sa.dfps) = 0 AND len(sb.dfps) = 0 THEN 1
-                      ELSE len(sa.dfps) + len(sb.dfps)
-                           - len(list_intersect(sa.dfps, sb.dfps)) END AS n_union
-                 FROM cand c
-                 JOIN sigs sa ON sa.doc_id = c.a_id
-                 JOIN sigs sb ON sb.doc_id = c.b_id)
+        WITH $minhashPairsCtes
         SELECT a_id, b_id, CAST(n_inter AS INT) AS n_inter, CAST(n_union AS INT) AS n_union
         FROM pairs WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5
+      """
+      },
+
+      // Connected components over the verified minhash pairs: min
+      // reachable id per node via a recursive CTE (clusters are tiny, so
+      // the closure stays small).
+      "dedup_clusters" -> {
+        s"""
+        WITH RECURSIVE $minhashPairsCtes,
+        dup AS (SELECT a_id, b_id FROM pairs
+                WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+        edges AS (SELECT a_id AS src, b_id AS dst FROM dup
+                  UNION SELECT b_id, a_id FROM dup),
+        reach(id, lbl) AS (
+          SELECT DISTINCT src, src FROM edges
+          UNION
+          SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.id = e.dst)
+        SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id
       """
       },
 

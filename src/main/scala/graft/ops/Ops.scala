@@ -241,6 +241,36 @@ object Ops {
     df.select(col(idCol), explode(nearest).as("cid"))
   }
 
+  /** Connected components over duplicate PAIRS -> cluster ids (min doc_id
+    * of the component), the step every production dedup needs after pair
+    * generation: smallest-label propagation, one shuffle-on-id round per
+    * iteration, converging in O(component diameter) rounds — near-dup
+    * clusters have tiny diameters (pairs are near-cliques), so 2-4 rounds
+    * in practice; a driver-side changed-count gates termination. Input
+    * columns: a_id, b_id. Output: (doc_id, cluster_id) for every doc that
+    * appears in a pair. */
+  def duplicateClusters(spark: SparkSession, pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("a_id").as("src"), col("b_id").as("dst"))
+      .unionByName(pairs.select(col("b_id").as("src"), col("a_id").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).cache()
+    var changed = 1L
+    while (changed > 0) {
+      // Each node adopts the smallest label among itself and neighbors.
+      val prop = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("lbl"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl")).cache()
+      changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
+        .filter(col("lbl") < col("prev")).count()
+      labels.unpersist(blocking = false)
+      labels = next
+    }
+    edges.unpersist(blocking = false)
+    labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
+  }
+
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "for", "on", "with", "as", "at", "by", "from", "this", "that")
 

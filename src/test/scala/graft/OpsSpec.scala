@@ -112,6 +112,33 @@ class OpsSpec extends AnyFunSuite {
       s"documents scanned directly, plan nodes: $nodeNames")
   }
 
+  test("duplicate clustering equals brute-force union-find on the pair graph") {
+    import spark.implicits._
+    val pairs = Ops.dedupMinHash(spark, docs, threshold = 0.4)
+      .select("a_id", "b_id")
+    val got = Ops.duplicateClusters(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // Brute union-find on the collected pairs.
+    val edges = pairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val ids = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // Canonical label = min id per component.
+    val want = ids.groupBy(find).iterator.flatMap { case (_, members) =>
+      val lbl = members.min; members.iterator.map(_ -> lbl)
+    }.toMap
+    assert(got == want)
+    assert(edges.nonEmpty && got.nonEmpty)
+  }
+
   test("embedding LSH dedup recall floor vs brute force (driver params)") {
     val rows = embeddings.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
