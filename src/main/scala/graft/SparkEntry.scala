@@ -301,6 +301,13 @@ object SparkEntry {
       Ops.dedupSimHash(s, table(s, dir, "documents"), maxHamming = 6)
     }),
 
+    // EXACT n-gram Jaccard join (prefix filtering): the oracle is a brute
+    // all-pairs sweep, so a green row directly proves the exact-recall
+    // claim of the blocking.
+    "dedup_ngram" -> ((s, dir) => {
+      Ops.dedupNgramExact(s, table(s, dir, "documents"), threshold = 0.4)
+    }),
+
     // Duplicate clustering: connected components over the minhash pairs
     // (smallest-label propagation; the oracle closes the same components
     // with a recursive CTE).
@@ -864,6 +871,26 @@ object SparkEntry {
         WITH $minhashPairsCtes
         SELECT a_id, b_id, CAST(n_inter AS INT) AS n_inter, CAST(n_union AS INT) AS n_union
         FROM pairs WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5
+      """
+      },
+
+      // Brute-force all-pairs distinct-shingle Jaccard — NOT the prefix
+      // blocking: a hash-match here proves the engine's prefix filter
+      // found every pair above the threshold.
+      "dedup_ngram" -> {
+        import OracleDialect._
+        s"""
+        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        shing AS (SELECT doc_id, list_distinct(${shingleFps("w", 3)}) AS dfps FROM wrds),
+        pairs AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                 len(list_intersect(a.dfps, b.dfps)) AS n_inter,
+                 len(a.dfps) + len(b.dfps)
+                   - len(list_intersect(a.dfps, b.dfps)) AS n_union
+                 FROM shing a, shing b
+                 WHERE a.doc_id < b.doc_id
+                   AND len(a.dfps) > 0 AND len(b.dfps) > 0)
+        SELECT a_id, b_id, CAST(n_inter AS INT) AS n_inter, CAST(n_union AS INT) AS n_union
+        FROM pairs WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.4
       """
       },
 

@@ -61,6 +61,52 @@ object Ops {
       .filter(col("n_inter").cast("double") / col("n_union") >= threshold)
   }
 
+  /** EXACT n-gram Jaccard similarity join via prefix filtering (the
+    * AllPairs/PPJoin family): every pair with distinct-shingle Jaccard >=
+    * `threshold` is found — no probabilistic recall, unlike MinHash.
+    *
+    * Soundness of the blocking: if J(A,B) >= t then |A n B| >=
+    * ceil(t*|A|), and A's non-prefix suffix holds only ceil(t*|A|) - 1
+    * shingles, so at least one shared shingle lies in A's prefix (the
+    * |A| - ceil(t*|A|) + 1 globally RAREST shingles by document
+    * frequency). Probing prefix shingles against the full index is
+    * therefore complete; rare-first ordering keeps candidate buckets
+    * small (hot shingles are indexed but almost never probed).
+    *
+    * Scale shape: shingles and candidates are id-only; df is one
+    * aggregation; texts join back once per verified-candidate side. */
+  def dedupNgramExact(spark: SparkSession, docs: DataFrame,
+                      threshold: Double = 0.5, shingle: Int = 3): DataFrame = {
+    OpsFunctions.register(spark)
+    val sh = docs.select(col("doc_id"),
+      explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+    val dfreq = sh.groupBy("fp").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("fp"))
+    val prefix = sh.join(dfreq, "fp")
+      .withColumn("rn", row_number().over(w))
+      .join(sizes, "doc_id")
+      // epsilon guards FP overshoot: ceil(0.4*5) must be 2, not
+      // ceil(2.0000000000000004) = 3 — an overshoot SHORTENS the prefix
+      // below the completeness bound.
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold - 1e-9) + 1)
+      .select(col("doc_id").as("p_id"), col("fp"))
+    val candidates = prefix
+      .join(sh.select(col("doc_id").as("i_id"), col("fp")), "fp")
+      .filter(col("p_id") =!= col("i_id"))
+      .select(least(col("p_id"), col("i_id")).as("a_id"),
+        greatest(col("p_id"), col("i_id")).as("b_id"))
+      .distinct()
+    val texts = docs.select(col("doc_id"), col("text"))
+    candidates
+      .join(texts.select(col("doc_id").as("a_id"), col("text").as("a_text")), "a_id")
+      .join(texts.select(col("doc_id").as("b_id"), col("text").as("b_text")), "b_id")
+      .withColumn("ov", expr(s"ngram_overlap(a_text, b_text, $shingle)"))
+      .select(col("a_id"), col("b_id"),
+        col("ov.n_inter").as("n_inter"), col("ov.n_union").as("n_union"))
+      .filter(col("n_inter").cast("double") / col("n_union") >= threshold)
+  }
+
   /** SimHash near-duplicates over the 63-bit signature, blocked on
     * (maxHamming + 1) bit chunks: by pigeonhole, any pair within
     * `maxHamming` differing bits shares at least one untouched chunk, so

@@ -82,6 +82,20 @@ object OpsKernel {
     sig
   }
 
+  /** Distinct word-shingle fingerprints of a text (the document's shingle
+    * SET, for exact-Jaccard joins). */
+  def shingleFpsDistinct(text: UTF8String, k: Int): ArrayData = {
+    val fps = TextKernel.shingleFps(text.toString, k)
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    var i = 0
+    while (i < fps.length) { seen.add(fps(i)); i += 1 }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word-shingle overlap counts as a (n_inter, n_union) row. */
   def overlapRow(a: UTF8String, b: UTF8String, k: Int): InternalRow = {
     val (inter, union) = TextKernel.overlapCounts(a.toString, b.toString, k)
@@ -186,6 +200,20 @@ case class HammingDistExpr(a: Expression, b: Expression) extends BinaryExpressio
     defineCodeGen(ctx, ev, (x, y) => s"java.lang.Long.bitCount($x ^ $y)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(a = l, b = r)
+}
+
+case class ShingleFpsExpr(text: Expression, shingle: Expression)
+    extends BinaryExpression {
+  override def left: Expression = text
+  override def right: Expression = shingle
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_fps"
+  override protected def nullSafeEval(t: Any, k: Any): Any =
+    OpsKernel.shingleFpsDistinct(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.ops.OpsKernel.shingleFpsDistinct($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(text = l, shingle = r)
 }
 
 case class CosineSimExpr(a: Expression, b: Expression) extends BinaryExpression {

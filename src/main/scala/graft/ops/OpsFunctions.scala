@@ -21,6 +21,7 @@ object OpsFunctions {
     "simhash" -> (es => SimHashExpr(str(es(0)))),
     "doc_fingerprint" -> (es => FingerprintExpr(str(es(0)))),
     "ngram_jaccard" -> (es => JaccardExpr(str(es(0)), str(es(1)), int(es(2)))),
+    "shingle_fps" -> (es => ShingleFpsExpr(str(es(0)), int(es(1)))),
     "ngram_overlap" -> (es => OverlapCountsExpr(str(es(0)), str(es(1)), int(es(2)))),
     "hamming64" -> (es => HammingDistExpr(lng(es(0)), lng(es(1)))),
     "cosine_similarity" -> (es => CosineSimExpr(es(0), es(1))),

@@ -112,6 +112,21 @@ class OpsSpec extends AnyFunSuite {
       s"documents scanned directly, plan nodes: $nodeNames")
   }
 
+  test("exact n-gram Jaccard join (prefix filtering) equals brute force exactly") {
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    for (t <- Seq(0.3, 0.5, 0.7)) {
+      val brute = (for {
+        (ia, ta) <- texts; (ib, tb) <- texts
+        if ia < ib && TextKernel.jaccard(ta, tb, 3) >= t
+      } yield (ia, ib)).toSet
+      val got = Ops.dedupNgramExact(spark, docs, threshold = t)
+        .select("a_id", "b_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == brute, s"threshold $t: got=${got.size} brute=${brute.size}")
+    }
+  }
+
   test("duplicate clustering equals brute-force union-find on the pair graph") {
     import spark.implicits._
     val pairs = Ops.dedupMinHash(spark, docs, threshold = 0.4)
