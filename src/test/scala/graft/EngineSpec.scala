@@ -230,6 +230,35 @@ class EngineSpec extends AnyFunSuite {
     assert(back.toSeq == df.select("page_id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("bucketed tables co-locate the cell-prefix join (no shuffle exchange)") {
+    // Tables land in the default warehouse dir; DROP TABLE (managed)
+    // removes the files again in the finally block.
+    val pages = Pages.indexedPages(spark, sfDir)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      pages.select("page_id", "cell_p", "url")
+        .write.mode("overwrite").bucketBy(8, "cell_p").sortBy("cell_p")
+        .saveAsTable("pages_bkt")
+      pages.groupBy("cell_p").count()
+        .write.mode("overwrite").bucketBy(8, "cell_p")
+        .saveAsTable("stats_bkt")
+      val joined = spark.table("pages_bkt").join(spark.table("stats_bkt"), "cell_p")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      // Matching bucket specs on the join key: both sides read pre-hashed
+      // buckets, so the sort-merge join runs with ZERO shuffle exchanges —
+      // the co-located-join story for repeated joins on the cell prefix.
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle; plan:\n$plan")
+      assert(joined.count() == pages.count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.sql("DROP TABLE IF EXISTS pages_bkt")
+      spark.sql("DROP TABLE IF EXISTS stats_bkt")
+    }
+  }
+
   test("pages table is deterministic across partitionings") {
     val a = Pages.pages(spark, sfDir).select("page_id", "lat", "lng")
       .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).sortBy(_._1)
