@@ -302,20 +302,39 @@ object Ops {
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id")).cache()
     var changed = 1L
+    var rounds = 0
     while (changed > 0) {
-      // Each node adopts the smallest label among itself and neighbors.
+      // Each node adopts the smallest label among itself and neighbors...
       val prop = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("lbl"))
-      val next = labels.unionByName(prop)
-        .groupBy("id").agg(min("lbl").as("lbl")).cache()
+      val neighborMin = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+      // ...then follows its label's label (pointer doubling): path lengths
+      // halve every round, so chain-shaped components converge in
+      // O(log diameter) rounds instead of O(diameter) — the difference
+      // between 40 and 10^12-class iteration counts on adversarial chains.
+      // localCheckpoint truncates the lineage: the self-join doubles the
+      // logical plan every round, so without truncation analysis cost
+      // (and driver heap) grows 2^rounds. At cluster scale swap for a
+      // reliable checkpoint dir if executor loss must be survivable.
+      val next = neighborMin
+        .join(neighborMin.select(col("id").as("lbl"), col("lbl").as("lbl2")), "lbl")
+        .select(col("id"), col("lbl2").as("lbl"))
+        .localCheckpoint(true)
       changed = next.join(labels.withColumnRenamed("lbl", "prev"), "id")
         .filter(col("lbl") < col("prev")).count()
       labels.unpersist(blocking = false)
       labels = next
+      rounds += 1
     }
+    lastClusterRounds = rounds
     edges.unpersist(blocking = false)
     labels.select(col("id").as("doc_id"), col("lbl").as("cluster_id"))
   }
+
+  /** Rounds the last [[duplicateClusters]] call took (spec hook for the
+    * O(log diameter) convergence claim). */
+  @volatile private[graft] var lastClusterRounds: Int = 0
 
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "for", "on", "with", "as", "at", "by", "from", "this", "that")

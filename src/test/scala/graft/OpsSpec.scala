@@ -154,6 +154,20 @@ class OpsSpec extends AnyFunSuite {
     assert(edges.nonEmpty && got.nonEmpty)
   }
 
+  test("duplicate clustering converges in O(log diameter) on a 512-chain") {
+    import spark.implicits._
+    // Worst case for plain label propagation: one path-shaped component.
+    val chain = (0L until 511L).map(i => (i, i + 1))
+    val pairs = chain.toDF("a_id", "b_id")
+    val got = Ops.duplicateClusters(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 512 && got.values.forall(_ == 0L))
+    // Pointer doubling halves path lengths per round: log2(512) = 9 (+
+    // slack for the final no-change round); plain propagation needs 511.
+    assert(Ops.lastClusterRounds <= 12,
+      s"rounds=${Ops.lastClusterRounds} — pointer doubling regressed")
+  }
+
   test("embedding LSH dedup recall floor vs brute force (driver params)") {
     val rows = embeddings.select("vec_id", "embedding").collect()
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
