@@ -334,6 +334,23 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("dedupNgramExact: shingle/candidate shuffles are text-free") {
+    val spark = SparkTestBase.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      val df = Ops.dedupNgramExact(spark, docs, threshold = 0.5)
+      val shuffles = shuffleOutputs(df)
+      // Every shingle-keyed exchange (df join + candidate probe) is
+      // id-only; text appears only in the final verification join.
+      shuffles.filter(_.exists(_ == "fp")).foreach { cols =>
+        assert(!cols.exists(_.contains("text")), cols.toString)
+      }
+      assert(shuffles.exists(_.exists(_ == "fp")))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("annLsh: bucket-join and dedup shuffles are embedding-free") {
     val spark = SparkTestBase.spark
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
