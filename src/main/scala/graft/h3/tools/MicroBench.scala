@@ -60,6 +60,17 @@ object MicroBench {
       val texts = Array.tabulate(64)(i => (0 until 100).map(w => "word" + ((i * 131 + w * 7) % 997)).mkString(" "))
       println(f"minHash(100 words):   ${timeNs(n / 200)(i => graft.ops.TextKernel.minHash(texts(i & 63), 3, 64)(0))}%.0f ns/op")
       println(f"simHash(100 words):   ${timeNs(n / 200)(i => graft.ops.TextKernel.simHash(texts(i & 63)))}%.0f ns/op")
+      println(f"shingleFps(100 words):${timeNs(n / 200)(i => graft.ops.TextKernel.shingleFps(texts(i & 63), 3)(0))}%.0f ns/op")
+    }
+    locally {
+      // Boundary edges of one coarse cell at +depth (mixed-res dissolve
+      // generator): cost tracks the perimeter, not the 7^depth area.
+      val coarse = Array.tabulate(64)(i => H3.cellToParent(cells(i), 6))
+      for (depth <- Seq(1, 2, 3)) {
+        val nn = n / (50 * depth * depth)
+        println(f"cellBoundaryEdges(+$depth): ${timeNs(nn)(i =>
+          Dissolve.cellBoundaryEdges(coarse(i & 63), 6 + depth).length.toLong)}%.0f ns/op")
+      }
     }
 
     val paris = Geo.parseGeoJson(scala.io.Source.fromFile(
