@@ -113,6 +113,32 @@ object Bench {
       joinedDocs = rows(0).getLong(1)
     }
 
+    // Phase 2b: PIP join against a polygon TABLE (covers computed on
+    // executors by the annotated generator) — 200 city geofences over
+    // nDocs/20 points.
+    val geofences = {
+      import scala.jdk.CollectionConverters._
+      val rows = (0 until 200).map { i =>
+        val cLat = Pages.CityLat(i % 40) + (i / 40) * 0.02
+        val cLng = Pages.CityLng(i % 40) + (i / 40) * 0.02
+        val (a, b, c, d) = (cLng - 0.05, cLat - 0.05, cLng + 0.05, cLat + 0.05)
+        org.apache.spark.sql.Row(i.toLong,
+          s"""{"type":"Polygon","coordinates":[[[$a,$b],[$c,$b],[$c,$d],[$a,$d],[$a,$b]]]}""")
+      }
+      spark.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("poly_id",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("geojson",
+            org.apache.spark.sql.types.StringType, false))))
+    }
+    measure("pip_join_table", reps) {
+      val pts = synthPoints(spark, nDocs / 20)
+        .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))
+      SpatialJoin.pipJoinPolygonTable(spark, pts, geofences, res = 9)
+        .agg(count(lit(1))).collect()
+    }
+
     // Phase 3: tile roll-up pyramid 9 -> 7 -> 5 -> 3 (nDocs/4 rows).
     measure("tile_rollup", reps) {
       val pts = synthPoints(spark, nDocs / 4)
