@@ -135,20 +135,30 @@ object Icelite {
     remaining.repartition(col("__part"))
       .write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
 
-    // Job 2: per-bucket row counts + content checksums (same scan shape).
+    // A null partition value stages as Hive's default-partition dir and
+    // would break resume identity — reject before any promote (free
+    // check: the dir either exists or it doesn't).
+    if (Files.exists(staging.resolve("__part=__HIVE_DEFAULT_PARTITION__")))
+      throw new IllegalArgumentException(
+        s"icelite: partition column '$partitionCol' contains NULL values; " +
+          "map nulls to an explicit sentinel before writeResumable")
+
+    // Job 2: per-bucket row counts + content checksums, computed from the
+    // STAGED files — not by re-running the input pipeline. This halves
+    // the input-side work (the input may be an arbitrarily expensive
+    // query) and, more importantly, the manifest then describes exactly
+    // the bytes that were staged: a nondeterministic input would
+    // otherwise commit checksums that do not match its own data.
     val dataCols = df.columns.filterNot(_ == partitionCol).map(c => s"`$c`")
-    val stats = remaining.groupBy("__part")
+    // Explicit schema pins __part as STRING: partition-dir type inference
+    // would otherwise read numeric-looking values as longs and corrupt
+    // e.g. leading-zero keys ("007" -> "7").
+    val stats = spark.read.schema(remaining0.schema).parquet(staging.toString)
+      .groupBy("__part")
       .agg(count(lit(1)).as("rows"),
         expr(s"bit_xor(xxhash64(struct(${dataCols.mkString(",")})))").as("checksum"))
       .collect()
-      .map { r =>
-        // A null partition value would stage as __HIVE_DEFAULT_PARTITION__
-        // and break resume identity — reject it before any promote.
-        if (r.isNullAt(0)) throw new IllegalArgumentException(
-          s"icelite: partition column '$partitionCol' contains NULL values; " +
-            "map nulls to an explicit sentinel before writeResumable")
-        r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
-      }
+      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
       .sortBy(_._1)
 
     // Promote loop: atomic rename per bucket + batched manifest commits
