@@ -109,7 +109,8 @@ object Icelite {
   def writeResumable(spark: SparkSession, df: DataFrame, root: String,
                      partitionCol: String,
                      failAfter: Int = Int.MaxValue,
-                     lineage: String = ""): Int = {
+                     lineage: String = "",
+                     statsFromStaged: Boolean = true): Int = {
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
     // Abandoned staging dirs from a crashed run are dead data.
@@ -152,8 +153,14 @@ object Icelite {
     val dataCols = df.columns.filterNot(_ == partitionCol).map(c => s"`$c`")
     // Explicit schema pins __part as STRING: partition-dir type inference
     // would otherwise read numeric-looking values as longs and corrupt
-    // e.g. leading-zero keys ("007" -> "7").
-    val stats = spark.read.schema(remaining0.schema).parquet(staging.toString)
+    // e.g. leading-zero keys ("007" -> "7"). `statsFromStaged = false`
+    // recomputes the input instead — cheaper only when the input pipeline
+    // is trivial relative to re-reading many small staged files.
+    val statsSrc =
+      if (statsFromStaged)
+        spark.read.schema(remaining0.schema).parquet(staging.toString)
+      else remaining
+    val stats = statsSrc
       .groupBy("__part")
       .agg(count(lit(1)).as("rows"),
         expr(s"bit_xor(xxhash64(struct(${dataCols.mkString(",")})))").as("checksum"))
