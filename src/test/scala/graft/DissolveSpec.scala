@@ -257,6 +257,23 @@ class DistributedDissolveSpec extends AnyFunSuite {
     assert(retiled == H3.cellToChildren(pent, 7).toSet)
   }
 
+  test("cellBoundaryEdges at random anchors: retile equals children, perimeter-bounded") {
+    val rng = new scala.util.Random(1337)
+    for (_ <- 0 until 25) {
+      val res = 2 + rng.nextInt(6)
+      val depth = 1 + rng.nextInt(2)
+      val c = H3.latLngToCell(
+        rng.nextDouble() * 170 - 85, rng.nextDouble() * 360 - 180, res)
+      val edges = Dissolve.cellBoundaryEdges(c, res + depth)
+      assert(edges.length <= 6 * math.pow(3, depth).toInt + 6,
+        s"res=$res depth=$depth edges=${edges.length} — area-shaped growth")
+      val retiled = Geo.polygonToCells(
+        Geo.parseGeoJson(Dissolve.edgesToGeoJson(edges)), res + depth, 0).toSet
+      assert(retiled == H3.cellToChildren(c, res + depth).toSet,
+        s"res=$res depth=$depth cell=${c.toHexString}")
+    }
+  }
+
   test("distributed dissolve accepts mixed-res (compacted) input incl. ancestor dups") {
     val spark = SparkTestBase.spark
     import spark.implicits._
