@@ -180,6 +180,35 @@ object Bench {
         .agg(count(lit(1))).collect()
     }
 
+    // Phase 7b: web-curation text path. Multi-line docs synthesized by
+    // joining ids onto the (broadcast) documents corpus re-segmented to
+    // 2-word lines, so the measurement is the text kernels + the dedup
+    // dataflow, not parquet IO.
+    val nDocsTable = docs.count()
+    def linedBench(n: Long): DataFrame = {
+      val base = broadcast(docs.selectExpr("doc_id AS __k",
+        "array_join(transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+'))/2.0) as int) - 1), " +
+          "g -> array_join(slice(split(trim(text), '\\\\s+'), g*2+1, 2), ' ')), '\\n') AS text"))
+      spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+        .selectExpr("id AS doc_id", s"id % $nDocsTable AS __k")
+        .join(base, "__k").select("doc_id", "text")
+    }
+    // Corpus-level boilerplate line removal over nDocs/100 docs; the
+    // doc-frequency threshold scales with the duplication factor so a
+    // realistic mix of lines survives.
+    measure("line_dedup", reps) {
+      val n = nDocs / 100
+      Ops.lineDedup(spark, linedBench(n),
+          minDocs = math.max(2, (n / nDocsTable * 15).toInt))
+        .agg(count(lit(1)), sum("n_kept")).collect()
+    }
+    // Per-row repetition signals (shuffle-free whole-stage-codegen path)
+    // over nDocs/20 docs.
+    measure("text_signals", reps) {
+      Ops.repetitionSignals(spark, linedBench(nDocs / 20))
+        .agg(count(lit(1)), sum("top_word_frac"), sum("dup_line_frac")).collect()
+    }
+
     // Phase 8: compacted (mixed-res) dissolve via the boundary-refinement
     // fast path, through the SQL surface.
     measure("dissolve_compacted", reps) {

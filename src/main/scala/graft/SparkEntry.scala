@@ -96,6 +96,34 @@ object SparkEntry {
   }
 
   // -------------------------------------------------------------------
+  // '\n'-lined re-segmentation of `documents` (2-word lines) feeding the
+  // line-level operators — the sf corpora are single-line, so the driver
+  // synthesizes a deterministic multi-line corpus, mirrored exactly by
+  // [[linedDuckCte]]. Tiny-vocab 2-word lines repeat heavily across docs
+  // (median doc-frequency ~14 at sf0.01), exercising the boilerplate path.
+
+  private def linedDocs(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql("""
+      SELECT doc_id,
+             CASE WHEN size(w) = 0 THEN ''
+                  ELSE array_join(transform(sequence(0, cast(ceil(size(w)/2.0) as int) - 1),
+                         g -> array_join(slice(w, g*2+1, 2), ' ')), '\n') END AS text
+      FROM (SELECT doc_id, split(trim(text), '\\s+') AS w FROM documents)""")
+  }
+
+  /** DuckDB derivation of the same lined corpus (range(0,0) is empty, so
+    * the zero-word case yields '' without an explicit guard). */
+  private def linedDuckCte: String = {
+    import OracleDialect._
+    s"""lined AS (
+      SELECT doc_id,
+        array_to_string(list_transform(range(0, CAST(ceil(len(w)/2.0) AS BIGINT)),
+          g -> array_to_string(w[g*2+1:g*2+2], ' ')), chr(10)) AS text
+      FROM (SELECT doc_id, ${words("text")} AS w FROM documents))"""
+  }
+
+  // -------------------------------------------------------------------
 
   /** Flagship: Paris PIP join + res-5 tile roll-up on sf0.001. */
   def entry(spark: SparkSession): DataFrame = {
@@ -349,6 +377,39 @@ object SparkEntry {
       // recall 0.85 vs brute at sf0.01 (0.96 at nAssign=3); see BASELINE.md.
       Ops.annIvf(s, emb, queries, k = 5, nCentroids = 32, nProbe = 8, nAssign = 2)
         .withColumnRenamed("rank", "rnk").select("qid", "vec_id", "rnk")
+    }),
+
+    // Corpus-level boilerplate line removal: lines in >= 15 distinct docs
+    // are dropped everywhere, survivors reassembled in order; the oracle
+    // re-derives df -> anti-join -> reassembly -> sha from scratch.
+    "line_dedup" -> ((s, dir) => {
+      registerAll(s)
+      Ops.lineDedup(s, linedDocs(s, dir), minDocs = 15)
+        .selectExpr("doc_id", "n_lines", "n_kept",
+          "sha2(clean_text, 256) AS clean_sha")
+    }),
+
+    // Gopher-style repetition signals (per-row, shuffle-free).
+    "repetition_signals" -> ((s, dir) => {
+      registerAll(s)
+      Ops.repetitionSignals(s, linedDocs(s, dir)).selectExpr(
+        "doc_id", "n_lines", "n_words",
+        "cast(floor(dup_line_frac * 1000000) as bigint) AS dup_line_q",
+        "cast(floor(dup_char_frac * 1000000) as bigint) AS dup_char_q",
+        "cast(floor(top_word_frac * 1000000) as bigint) AS top_word_q",
+        "cast(floor(top_bigram_frac * 1000000) as bigint) AS top_bigram_q")
+    }),
+
+    // Per-domain quota over the pages URL column (map-side top-K path).
+    "domain_cap" -> ((s, dir) => {
+      registerAll(s)
+      Ops.domainCap(s, Pages.pages(s, dir), maxPerDomain = 5)
+    }),
+
+    // Deterministic content-hash train/valid/test split.
+    "hash_split" -> ((s, dir) => {
+      registerAll(s)
+      Ops.hashSplit(s, table(s, dir, "documents"))
     }),
 
     // --- Text analysis ---
@@ -791,6 +852,79 @@ object SparkEntry {
         SELECT min(doc_id) AS keep_id, count(*) AS dup_count
         FROM documents GROUP BY text
       """,
+
+      "line_dedup" -> {
+        import OracleDialect._
+        s"""
+        WITH $linedDuckCte,
+        lines AS (
+          SELECT doc_id, i AS pos, l[i] AS line, ${docFingerprint("l[i]")} AS line_fp
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined),
+               unnest(range(1, len(l)+1)) AS r(i)),
+        boiler AS (SELECT line_fp FROM lines
+                   GROUP BY line_fp HAVING count(DISTINCT doc_id) >= 15),
+        kept AS (SELECT l.* FROM lines l ANTI JOIN boiler b ON l.line_fp = b.line_fp),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       sha256(string_agg(line, chr(10) ORDER BY pos)) AS clean_sha
+                FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
+        SELECT t.doc_id, t.n_lines, coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.clean_sha, sha256('')) AS clean_sha
+        FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      """
+      },
+
+      "repetition_signals" -> {
+        import OracleDialect._
+        s"""
+        WITH $linedDuckCte,
+        base AS (SELECT doc_id, text, string_split(text, chr(10)) AS ls,
+                        ${words("text")} AS w FROM lined),
+        big AS (SELECT *, CASE WHEN len(w) < 2 THEN CAST([] AS VARCHAR[])
+                               ELSE list_transform(range(1, len(w)),
+                                      i -> w[i] || ' ' || w[i+1]) END AS bg
+                FROM base)
+        SELECT doc_id,
+          len(ls) AS n_lines,
+          len(w) AS n_words,
+          CAST(floor((1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls)) * 1000000) AS BIGINT) AS dup_line_q,
+          CAST(floor((CAST(list_reduce(list_prepend(CAST(0 AS BIGINT),
+                list_transform(list_filter(ls, l -> len(list_filter(ls, x -> x = l)) > 1),
+                               l -> CAST(length(l) AS BIGINT))), (a,b) -> a+b) AS DOUBLE)
+              / greatest(length(replace(text, chr(10), '')), 1)) * 1000000) AS BIGINT) AS dup_char_q,
+          CAST(floor((CAST(list_max(list_transform(list_distinct(w),
+                x -> len(list_filter(w, y -> y = x)))) AS DOUBLE)
+              / greatest(len(w), 1)) * 1000000) AS BIGINT) AS top_word_q,
+          CAST(floor((CAST(coalesce(list_max(list_transform(list_distinct(bg),
+                x -> len(list_filter(bg, y -> y = x)))), 0) AS DOUBLE)
+              / greatest(len(bg), 1)) * 1000000) AS BIGINT) AS top_bigram_q
+        FROM big
+      """
+      },
+
+      "domain_cap" -> s"""
+        WITH ${Pages.duckPagesCte},
+        d AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+                     page_id
+              FROM pages)
+        SELECT domain, page_id, rn AS rnk FROM (
+          SELECT domain, page_id,
+                 row_number() OVER (PARTITION BY domain ORDER BY page_id) AS rn
+          FROM d)
+        WHERE rn <= 5
+      """,
+
+      "hash_split" -> {
+        import OracleDialect._
+        val b = s"(${docFingerprint("text")}) % 100"
+        s"""
+        SELECT doc_id, $b AS bucket,
+               CASE WHEN $b < 90 THEN 'train'
+                    WHEN $b < 95 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+      """
+      },
 
       "text_stats" -> """
         SELECT doc_id,

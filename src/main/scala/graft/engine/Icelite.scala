@@ -221,6 +221,21 @@ object Icelite {
   def read(spark: SparkSession, root: String): DataFrame =
     readWhere(spark, root, _ => true)
 
+  /** Time travel: reads the table AS OF snapshot `id` — exactly the
+    * partitions that snapshot committed. Sound at bucket granularity
+    * because committed buckets are immutable (writeResumable skips every
+    * bucket already in the manifest, so later snapshots only ADD buckets;
+    * historical data files are never rewritten). */
+  def readAsOf(spark: SparkSession, root: String, id: Long): DataFrame = {
+    val snap = snapshotById(root, id).getOrElse(
+      throw new IllegalArgumentException(s"no snapshot $id at $root"))
+    val paths = snap.entries.map(e =>
+      dataDir(root).resolve(s"${snap.partitionCol}=${escapePart(e.value)}").toString)
+    if (paths.isEmpty)
+      throw new IllegalArgumentException(s"snapshot $id has no partitions")
+    spark.read.parquet(paths: _*)
+  }
+
   /** Drops the table: data, manifests, any staging leftovers. */
   def drop(root: String): Unit = deleteRecursively(Paths.get(root))
 

@@ -336,6 +336,126 @@ object Ops {
     * O(log diameter) convergence claim). */
   @volatile private[graft] var lastClusterRounds: Int = 0
 
+  /** Corpus-level boilerplate LINE removal (the CCNet/RefinedWeb shape):
+    * lines whose normalized fingerprint appears in >= `minDocs` distinct
+    * documents are dropped from every document; surviving lines are
+    * reassembled in order. Input: (doc_id, text) with '\n'-separated lines.
+    * Output: (doc_id, n_lines, n_kept, clean_text).
+    *
+    * Scale shape: the doc-frequency aggregation and the boilerplate set
+    * exchange only (line_fp, doc_id) — never line text; the boilerplate set
+    * (df >= minDocs) is small and broadcasts into the anti join, so line
+    * payloads shuffle exactly once (the per-doc reassembly). Line totals
+    * come straight from the source (no second explode scan). On web
+    * corpora, run per domain bucket (header/footer boilerplate is
+    * domain-local): add the domain to the groupBy key. */
+  def lineDedup(spark: SparkSession, docs: DataFrame,
+                minDocs: Int = 2): DataFrame = {
+    OpsFunctions.register(spark)
+    require(minDocs >= 2, s"minDocs=$minDocs (a line always appears in its own doc)")
+    val lines = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("line_fp", expr("doc_fingerprint(line)"))
+    val boiler = lines.groupBy("line_fp")
+      .agg(countDistinct("doc_id").as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line_fp")
+    val kept = lines.join(boiler, Seq("line_fp"), "left_anti")
+    val agg = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      expr("array_join(transform(array_sort(collect_list(struct(pos, line))), " +
+        "s -> s.line), '\\n')").as("clean_text"))
+    val tot = docs.select(col("doc_id"),
+      size(split(col("text"), "\n")).as("n_lines"))
+    tot.join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Gopher-style repetition quality signals, computed per row (no shuffle
+    * at all): duplicate-line fraction, fraction of characters inside
+    * duplicated lines, most-common-word fraction, most-common-bigram
+    * fraction. Input: (doc_id, text) with '\n'-separated lines.
+    *
+    * The signals come from the one-pass codegen'd kernel
+    * ([[OpsKernel.repetitionStats]], O(doc length) per row, never
+    * corpus-dependent); [[repetitionSignalsHof]] is the equivalent
+    * declarative formulation (value-identical, spec-pinned) kept as the
+    * independent reference — the kernel is ~50x faster because Spark's
+    * higher-order lambdas evaluate interpreted, ~200ns per element step. */
+  def repetitionSignals(spark: SparkSession, docs: DataFrame): DataFrame = {
+    OpsFunctions.register(spark)
+    docs.selectExpr("doc_id", "text_repetition(text) AS r")
+      .selectExpr("doc_id", "r.n_lines AS n_lines", "r.n_words AS n_words",
+        "r.dup_line_frac AS dup_line_frac", "r.dup_char_frac AS dup_char_frac",
+        "r.top_word_frac AS top_word_frac", "r.top_bigram_frac AS top_bigram_frac")
+  }
+
+  /** Reference formulation of [[repetitionSignals]] in pure Spark SQL
+    * higher-order functions — value-identical by construction (the
+    * equivalence is spec-pinned); slow, test-only. */
+  private[graft] def repetitionSignalsHof(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__ls", split(col("text"), "\n"))
+      .withColumn("__w", split(trim(col("text")), "\\s+"))
+      .withColumn("__bg", expr(
+        "CASE WHEN size(__w) < 2 THEN array() " +
+        "ELSE transform(sequence(1, size(__w) - 1), " +
+        "i -> concat(element_at(__w, i), ' ', element_at(__w, i + 1))) END"))
+      .selectExpr(
+        "doc_id",
+        "size(__ls) AS n_lines",
+        "size(__w) AS n_words",
+        "(1.0 - cast(size(array_distinct(__ls)) as double) / size(__ls)) AS dup_line_frac",
+        "(cast(aggregate(filter(__ls, l -> size(filter(__ls, x -> x = l)) > 1), " +
+          "cast(0 as bigint), (a, l) -> a + length(l)) as double) " +
+          "/ greatest(length(replace(text, '\\n', '')), 1)) AS dup_char_frac",
+        "(cast(array_max(transform(array_distinct(__w), " +
+          "x -> size(filter(__w, y -> y = x)))) as double) " +
+          "/ greatest(size(__w), 1)) AS top_word_frac",
+        "(cast(coalesce(array_max(transform(array_distinct(__bg), " +
+          "x -> size(filter(__bg, y -> y = x)))), 0) as double) " +
+          "/ greatest(size(__bg), 1)) AS top_bigram_frac")
+
+  /** Per-domain quota (web-corpus domain balancing): extracts the URL host
+    * and keeps at most `maxPerDomain` pages per domain, smallest page_id
+    * first (deterministic). Output: (domain, page_id, rnk).
+    *
+    * Scale shape: routed through the native map-side top-K aggregate, so
+    * the shuffle carries at most `maxPerDomain` rows per domain per input
+    * partition — a hot domain with 10^9 pages costs its reducer
+    * maxPerDomain * nPartitions rows, not 10^9 (a window + row_number
+    * would shuffle every row of the hot domain to one reducer). Selection
+    * key is -page_id as double: exact for |page_id| < 2^53. */
+  def domainCap(spark: SparkSession, pages: DataFrame,
+                maxPerDomain: Int): DataFrame = {
+    val withDomain = pages
+      .withColumn("domain", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .withColumn("__neg_id", -col("page_id").cast("double"))
+    TopK.topKPerGroup(spark, withDomain, "domain", "__neg_id", "page_id", maxPerDomain)
+      .select(col("domain"), col("page_id"), col("rank").as("rnk"))
+  }
+
+  /** Deterministic content-hash split (train/valid/test): the bucket is the
+    * normalized-text fingerprint mod 100, so EXACT duplicates always land
+    * in the same split — content-addressed splitting is the standard guard
+    * against train/test contamination through duplicated web pages. Pure
+    * per-row expression (no shuffle); re-runs and re-shards never move a
+    * document. Output: (doc_id, bucket, split). */
+  def hashSplit(spark: SparkSession, docs: DataFrame,
+                trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    OpsFunctions.register(spark)
+    require(trainPct > 0 && validPct >= 0 && trainPct + validPct <= 100,
+      s"trainPct=$trainPct validPct=$validPct")
+    docs.selectExpr(
+      "doc_id",
+      "doc_fingerprint(text) % 100 AS bucket",
+      s"CASE WHEN doc_fingerprint(text) % 100 < $trainPct THEN 'train' " +
+        s"WHEN doc_fingerprint(text) % 100 < ${trainPct + validPct} THEN 'valid' " +
+        "ELSE 'test' END AS split")
+  }
+
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "for", "on", "with", "as", "at", "by", "from", "this", "that")
 

@@ -101,6 +101,73 @@ object OpsKernel {
     val (inter, union) = TextKernel.overlapCounts(a.toString, b.toString, k)
     InternalRow(inter, union)
   }
+
+  /** Per-document repetition stats over '\n'-separated lines in ONE O(n)
+    * JVM pass (the higher-order-function formulation pays ~200ns of
+    * interpreter overhead per lambda step — 50x slower on real documents).
+    * Semantics match these Spark SQL definitions exactly (pinned by the
+    * OpsSpec equivalence test and the driver's DuckDB oracle):
+    * {{{
+    *   ls = split(text, '\n');  w = split(trim(text), '\\s+')
+    *   bigrams = w[i] || ' ' || w[i+1]
+    *   dup_line_frac   = 1.0 - distinct(ls)/size(ls)
+    *   dup_char_frac   = sum(cnt*len over lines with cnt>1)
+    *                       / greatest(length(replace(text,'\n','')), 1)
+    *   top_word_frac   = maxFreq(w) / greatest(size(w), 1)
+    *   top_bigram_frac = maxFreq(bigrams) / greatest(size(bigrams), 1)
+    * }}}
+    * BMP-only length parity (UTF-16 units vs codepoints), like the rest of
+    * the text-kernel family. */
+  def repetitionStats(textU: UTF8String): InternalRow = {
+    val text = textU.toString
+    val lines = text.split("\n", -1)
+    // Spark's trim() strips the space character only.
+    var b = 0
+    var e = text.length
+    while (b < e && text.charAt(b) == ' ') b += 1
+    while (e > b && text.charAt(e - 1) == ' ') e -= 1
+    val words = text.substring(b, e).split("\\s+", -1)
+
+    val lineCnt = new java.util.HashMap[String, Int]()
+    var i = 0
+    var nonNl = 0
+    while (i < lines.length) {
+      lineCnt.merge(lines(i), 1, (x, y) => x + y)
+      nonNl += lines(i).length
+      i += 1
+    }
+    var dupChars = 0L
+    var it = lineCnt.entrySet().iterator()
+    while (it.hasNext) {
+      val en = it.next()
+      if (en.getValue > 1) dupChars += en.getValue.toLong * en.getKey.length
+    }
+
+    val wordCnt = new java.util.HashMap[String, Int]()
+    i = 0
+    while (i < words.length) { wordCnt.merge(words(i), 1, (x, y) => x + y); i += 1 }
+    var topWord = 0
+    it = wordCnt.entrySet().iterator()
+    while (it.hasNext) topWord = Math.max(topWord, it.next().getValue)
+
+    val bgCnt = new java.util.HashMap[String, Int]()
+    i = 0
+    while (i + 1 < words.length) {
+      bgCnt.merge(words(i) + " " + words(i + 1), 1, (x, y) => x + y)
+      i += 1
+    }
+    var topBg = 0
+    it = bgCnt.entrySet().iterator()
+    while (it.hasNext) topBg = Math.max(topBg, it.next().getValue)
+    val nBg = Math.max(words.length - 1, 0)
+
+    InternalRow(
+      lines.length, words.length,
+      1.0 - lineCnt.size.toDouble / lines.length,
+      dupChars.toDouble / Math.max(nonNl, 1),
+      topWord.toDouble / Math.max(words.length, 1),
+      topBg.toDouble / Math.max(nBg, 1))
+  }
 }
 
 case class MinHashExpr(text: Expression, shingle: Expression, numHashes: Expression)
@@ -187,6 +254,25 @@ case class OverlapCountsExpr(a: Expression, b: Expression, shingle: Expression)
     defineCodeGen(ctx, ev, (x, y, k) => s"graft.ops.OpsKernel.overlapRow($x, $y, $k)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(a = f, b = s, shingle = t)
+}
+
+/** One-pass repetition stats of a '\n'-lined document (see
+  * [[OpsKernel.repetitionStats]]). */
+case class RepetitionStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("dup_line_frac", DoubleType, nullable = false),
+    StructField("dup_char_frac", DoubleType, nullable = false),
+    StructField("top_word_frac", DoubleType, nullable = false),
+    StructField("top_bigram_frac", DoubleType, nullable = false)))
+  override def prettyName: String = "text_repetition"
+  override protected def nullSafeEval(t: Any): Any =
+    OpsKernel.repetitionStats(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ops.OpsKernel.repetitionStats($t)")
+  override protected def withNewChildInternal(nc: Expression): Expression =
+    copy(child = nc)
 }
 
 case class HammingDistExpr(a: Expression, b: Expression) extends BinaryExpression {

@@ -23,6 +23,7 @@ object OpsFunctions {
     "ngram_jaccard" -> (es => JaccardExpr(str(es(0)), str(es(1)), int(es(2)))),
     "shingle_fps" -> (es => ShingleFpsExpr(str(es(0)), int(es(1)))),
     "ngram_overlap" -> (es => OverlapCountsExpr(str(es(0)), str(es(1)), int(es(2)))),
+    "text_repetition" -> (es => RepetitionStatsExpr(str(es(0)))),
     "hamming64" -> (es => HammingDistExpr(lng(es(0)), lng(es(1)))),
     "cosine_similarity" -> (es => CosineSimExpr(es(0), es(1))),
     "hyperplane_lsh" -> (es => HyperplaneSigExpr(es(0), int(es(1)), lng(es(2)))),

@@ -314,6 +314,117 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     buf.toSeq
   }
 
+  test("lineDedup removes exactly the corpus-frequent lines, preserving order") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // df(common) = 4 docs (within-doc repeats count once), df(shared) = 2.
+    val in = Seq(
+      (1L, "common\nunique one\nshared"),
+      (2L, "shared\ncommon\nunique two"),
+      (3L, "common\nunique three"),
+      (4L, "common\ncommon")).toDF("doc_id", "text")
+    val out = Ops.lineDedup(spark, in, minDocs = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      (1L, 3, 2L, "unique one\nshared"),
+      (2L, 3, 2L, "shared\nunique two"),
+      (3L, 2, 1L, "unique three"),
+      (4L, 2, 0L, ""))) // all lines removed -> empty doc, not a dropped row
+  }
+
+  test("lineDedup: df aggregation shuffles fingerprints, not line text") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // 2-word lines (single-word lines are ALL corpus-frequent here, and an
+    // all-boilerplate corpus lets AQE fold the empty kept-side join away).
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id",
+        "array_join(transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+'))/2.0) as int) - 1), " +
+          "g -> array_join(slice(split(trim(text), '\\\\s+'), g*2+1, 2), ' ')), '\\n') AS text")
+    val out = Ops.lineDedup(spark, docs, minDocs = 5)
+    assert(out.agg(sum("n_kept")).head.getLong(0) > 0, "kept lines must survive")
+    val shuffles = shuffleOutputs(out)
+    // The doc-frequency aggregation exchanges (line_fp, doc_id) only.
+    assert(shuffles.exists(s => s.exists(_ == "line_fp") && !s.exists(_ == "line")))
+    // Line payloads cross the wire at most once (the per-doc reassembly);
+    // the boilerplate set broadcasts into the anti join.
+    assert(shuffles.count(_.exists(_ == "line")) <= 1, shuffles.toString)
+  }
+
+  test("repetitionSignals computes exact fractions per row, shuffle-free") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Ops.repetitionSignals(spark, Seq((1L, "a b\na b\nc d")).toDF("doc_id", "text"))
+    val r = df.collect().head
+    assert(r.getInt(1) == 3 && r.getInt(2) == 6)
+    assert(math.abs(r.getDouble(3) - (1.0 - 2.0 / 3)) < 1e-12) // 2 distinct of 3 lines
+    assert(math.abs(r.getDouble(4) - 6.0 / 9) < 1e-12)         // 6 of 9 chars in dup lines
+    assert(math.abs(r.getDouble(5) - 2.0 / 6) < 1e-12)         // 'a' x2 of 6 words
+    assert(math.abs(r.getDouble(6) - 2.0 / 5) < 1e-12)         // 'a b' x2 of 5 bigrams
+    assert(shuffleOutputs(df).isEmpty, "per-row signals must not shuffle")
+    // Single-word doc: no bigrams, nothing duplicated, no division blowups.
+    val one = Ops.repetitionSignals(spark,
+      Seq((2L, "solo")).toDF("doc_id", "text")).collect().head
+    assert(one.getInt(1) == 1 && one.getInt(2) == 1)
+    assert(one.getDouble(3) == 0.0 && one.getDouble(4) == 0.0 && one.getDouble(6) == 0.0)
+  }
+
+  test("repetitionSignals kernel equals the declarative HOF formulation") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // The whole sf0.001 corpus re-lined, plus handcrafted edge shapes:
+    // leading newline (empty first word), trailing spaces, repeated empty
+    // lines, a single char, heavy repetition.
+    val edges = Seq(
+      (100001L, "\na b"), (100002L, "a b  "), (100003L, "x\n\n\ny"),
+      (100004L, "z"), (100005L, "w w w w\nw w\nw w"),
+      (100006L, " padded \n padded ")).toDF("doc_id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id",
+        "array_join(transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+'))/2.0) as int) - 1), " +
+          "g -> array_join(slice(split(trim(text), '\\\\s+'), g*2+1, 2), ' ')), '\\n') AS text")
+      .unionByName(edges)
+    def key(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
+      "doc_id", "n_lines", "n_words",
+      "cast(floor(dup_line_frac * 1e9) as bigint) AS a",
+      "cast(floor(dup_char_frac * 1e9) as bigint) AS b",
+      "cast(floor(top_word_frac * 1e9) as bigint) AS c",
+      "cast(floor(top_bigram_frac * 1e9) as bigint) AS d")
+    val fast = key(Ops.repetitionSignals(spark, docs))
+    val ref = key(Ops.repetitionSignalsHof(docs))
+    assert(fast.except(ref).isEmpty && ref.except(fast).isEmpty)
+  }
+
+  test("domainCap equals the window formulation and bounds per-domain rows") {
+    val spark = SparkTestBase.spark
+    val pages = graft.engine.Pages.pages(spark, "/root/testdata/sf0.001")
+    val capped = Ops.domainCap(spark, pages, maxPerDomain = 3)
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("domain").orderBy("page_id")
+    val expect = pages
+      .withColumn("domain", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3).select("domain", "page_id", "rnk")
+    assert(capped.except(expect).isEmpty && expect.except(capped).isEmpty)
+    assert(capped.groupBy("domain").count().agg(max("count")).head.getLong(0) <= 3)
+  }
+
+  test("hashSplit is deterministic, content-addressed, and honors percentages") {
+    val spark = SparkTestBase.spark
+    val corpus = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val s1 = Ops.hashSplit(spark, corpus)
+    // Identical texts can never straddle a split boundary (leakage guard).
+    val perText = corpus.join(s1, "doc_id").groupBy("text")
+      .agg(countDistinct("split").as("n"))
+    assert(perText.agg(max("n")).head.getLong(0) == 1L)
+    val frac = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = corpus.count().toDouble
+    assert(frac("train") / n > 0.8 && frac("train") / n < 0.97, frac.toString)
+    assert(frac.getOrElse("valid", 0L) + frac.getOrElse("test", 0L) > 0)
+  }
+
   test("dedupMinHash: band-join and pair-dedup shuffles are text-free") {
     val spark = SparkTestBase.spark
     // Force shuffle joins so the candidate exchanges are observable (at
