@@ -274,6 +274,80 @@ object Ops {
     TopK.topKPerGroup(spark, scored, "qid", "sim", "vec_id", k)
   }
 
+  /** IVF + Product Quantization ANN — the memory-bounded scale path: the
+    * inverted file carries only (cid, vec_id, m-byte PQ codes), never raw
+    * vectors (~8 TB of codes vs ~256 TB of floats at 10^12 x 64-dim), and
+    * candidate scoring is `nSub` table lookups per candidate (the per-query
+    * ADC lookup table, broadcast) instead of a dim-length dot product. The
+    * top-`rerankDepth` ADC candidates are re-ranked with exact cosine
+    * against the raw vectors — the only stage that touches them.
+    *
+    * Codebooks are deterministic per-subspace medoid picks (no iterative
+    * training), so the whole index — coarse cells, codes, tables, scores —
+    * is re-derivable from scratch by the DuckDB oracle. */
+  def annIvfPq(spark: SparkSession, corpus: DataFrame, queries: DataFrame,
+               k: Int, nCentroids: Int = 32, nProbe: Int = 8, nAssign: Int = 2,
+               nSub: Int = 8, nCodewords: Int = 16,
+               rerankDepth: Int = 20): DataFrame = {
+    OpsFunctions.register(spark)
+    import org.apache.spark.sql.GraftBridge.{column => gcol, expression => gexpr}
+
+    // Coarse quantizer: same deterministic medoid pick as annIvf.
+    val centRows = corpus
+      .orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
+      .limit(nCentroids)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+    val centroids = spark.sparkContext.broadcast(new CentroidSet(
+      centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Float](1).toArray)))
+
+    // PQ codebooks: per subspace, nCodewords medoid SUBvectors under a
+    // per-subspace deterministic shuffle (index build is nSub tiny jobs).
+    val dim = corpus.select(size(col("embedding"))).head.getInt(0)
+    require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
+    val sub = dim / nSub
+    val cwArr = Array.tabulate(nSub) { mi =>
+      corpus.orderBy(expr(s"(vec_id * ${16807L + 1000003L * mi}) % 2147483647"),
+          col("vec_id"))
+        .limit(nCodewords).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).slice(mi * sub, (mi + 1) * sub)
+          .map(_.toDouble).toArray)
+    }
+    val cb = spark.sparkContext.broadcast(new PqCodebook(nSub, nCodewords, sub, cwArr))
+
+    // Inverted file: (cid, vec_id, codes) — ids + codes only.
+    val assigned = assignToCentroids(
+      corpus.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", nAssign, centroids)
+    val codes = corpus.select(col("vec_id"),
+      gcol(PqEncodeExpr(gexpr(col("embedding")), cb)).as("codes"))
+    val index = assigned.join(codes, "vec_id")
+
+    val probes = assignToCentroids(
+      queries.select(col("vec_id").as("qid"), col("embedding").as("q_vec")),
+      "qid", "q_vec", nProbe, centroids)
+    val qtabs = queries.select(col("vec_id").as("qid"),
+      gcol(PqQueryTableExpr(gexpr(col("embedding")), cb)).as("qt"))
+
+    // ADC scoring: m lookups per candidate; map-side top-rerankDepth.
+    val cand = probes.join(index, "cid")
+      .select("qid", "vec_id", "codes").distinct()
+    val adc = cand.join(broadcast(qtabs), "qid")
+      .withColumn("adc", gcol(PqAdcExpr(
+        gexpr(col("qt.tbl")), gexpr(col("qt.qn2")), gexpr(col("codes")), cb)))
+    val topR = TopK.topKPerGroup(spark, adc, "qid", "adc", "vec_id", rerankDepth)
+
+    // Exact re-rank: the only stage that reads raw vectors, over <=
+    // rerankDepth rows per query.
+    val rr = topR.select("qid", "vec_id")
+      .join(corpus.select(col("vec_id"), col("embedding")), "vec_id")
+      .join(broadcast(queries.select(col("vec_id").as("qid"),
+        col("embedding").as("q_vec"))), "qid")
+      .withColumn("sim", expr("cosine_similarity(embedding, q_vec)"))
+    TopK.topKPerGroup(spark, rr, "qid", "sim", "vec_id", k)
+  }
+
   /** Map-side IVF centroid assignment: (id, cid) for each row's `n`
     * nearest broadcast centroids. ZERO-shuffle by construction — the old
     * crossJoin + Window formulation shuffled corpus x nCentroids rows

@@ -380,6 +380,165 @@ final class CentroidSet(val cids: Array[Long],
   }
 }
 
+/** Broadcast-able product-quantization codebook: `m` subspaces x `k`
+  * codewords over `sub`-dim subvectors (row-major [m][k][sub], doubles —
+  * float codeword values widened exactly). Every float op below is an
+  * index-order left fold in double precision, so the DuckDB oracle
+  * re-derives encode/ADC bit-for-bit.
+  *
+  * Scale rationale: PQ codes are m bytes-ish per vector vs 4*dim raw —
+  * at 10^12 x 64-dim float vectors that is ~8 TB of codes vs ~256 TB of
+  * floats, and candidate scoring via the per-query lookup table costs m
+  * adds per candidate instead of dim multiplies. */
+final class PqCodebook(val m: Int, val k: Int, val sub: Int,
+                       val cw: Array[Array[Array[Double]]]) extends Serializable {
+  require(cw.length == m && cw.forall(_.length == k))
+
+  /** |codeword|^2 table, flat [mi*k + ki] (index-order fold per codeword). */
+  val cw2: Array[Double] = {
+    val out = new Array[Double](m * k)
+    var mi = 0
+    while (mi < m) {
+      var ki = 0
+      while (ki < k) {
+        var s = 0.0
+        var j = 0
+        while (j < sub) { val x = cw(mi)(ki)(j); s += x * x; j += 1 }
+        out(mi * k + ki) = s
+        ki += 1
+      }
+      mi += 1
+    }
+    out
+  }
+
+  /** PQ codes of a vector: per subspace, the L2-nearest codeword
+    * (squared distance as an index-order fold; ties -> smaller index,
+    * mirroring ORDER BY d2, k). */
+  def encode(v: ArrayData): ArrayData = {
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0
+      var bestD = Double.MaxValue
+      var ki = 0
+      while (ki < k) {
+        var d = 0.0
+        var j = 0
+        while (j < sub) {
+          val x = v.getFloat(mi * sub + j).toDouble - cw(mi)(ki)(j)
+          d += x * x
+          j += 1
+        }
+        if (d < bestD) { bestD = d; best = ki }
+        ki += 1
+      }
+      out(mi) = best
+      mi += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Per-query ADC lookup table: (dot(q_m, cw[m][k]) flat [m*k], |q|^2). */
+  def queryTable(v: ArrayData): InternalRow = {
+    val tbl = new Array[Double](m * k)
+    var mi = 0
+    while (mi < m) {
+      var ki = 0
+      while (ki < k) {
+        var d = 0.0
+        var j = 0
+        while (j < sub) { d += v.getFloat(mi * sub + j).toDouble * cw(mi)(ki)(j); j += 1 }
+        tbl(mi * k + ki) = d
+        ki += 1
+      }
+      mi += 1
+    }
+    var qn2 = 0.0
+    var j = 0
+    val n = v.numElements()
+    while (j < n) { val x = v.getFloat(j).toDouble; qn2 += x * x; j += 1 }
+    InternalRow(new GenericArrayData(tbl), qn2)
+  }
+
+  /** Approximate cosine of (query, coded vector): m table lookups summed in
+    * subspace order over the reconstruction, normalized by the exact query
+    * norm and the reconstructed vector norm. */
+  def adcCosine(tbl: ArrayData, qn2: Double, codes: ArrayData): Double = {
+    var dots = 0.0
+    var xn2 = 0.0
+    var mi = 0
+    while (mi < m) {
+      val idx = mi * k + codes.getInt(mi)
+      dots += tbl.getDouble(idx)
+      xn2 += cw2(idx)
+      mi += 1
+    }
+    if (qn2 == 0 || xn2 <= 0) 0.0 else dots / (Math.sqrt(qn2) * Math.sqrt(xn2))
+  }
+}
+
+/** PQ codes of a vector against a broadcast [[PqCodebook]]. */
+case class PqEncodeExpr(vec: Expression,
+                        cb: org.apache.spark.broadcast.Broadcast[PqCodebook])
+    extends UnaryExpression {
+  override def child: Expression = vec
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+  override protected def nullSafeEval(v: Any): Any =
+    cb.value.encode(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCb", cb,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, v => s"((graft.ops.PqCodebook) $ref.value()).encode($v)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(vec = c)
+}
+
+/** Per-query ADC lookup table (struct(tbl, qn2)) against a broadcast
+  * [[PqCodebook]]. */
+case class PqQueryTableExpr(vec: Expression,
+                            cb: org.apache.spark.broadcast.Broadcast[PqCodebook])
+    extends UnaryExpression {
+  override def child: Expression = vec
+  override def dataType: DataType = StructType(Seq(
+    StructField("tbl", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("qn2", DoubleType, nullable = false)))
+  override def prettyName: String = "pq_query_table"
+  override protected def nullSafeEval(v: Any): Any =
+    cb.value.queryTable(v.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCb", cb,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, v => s"((graft.ops.PqCodebook) $ref.value()).queryTable($v)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(vec = c)
+}
+
+/** Approximate cosine from a query ADC table and a candidate's PQ codes. */
+case class PqAdcExpr(tbl: Expression, qn2: Expression, codes: Expression,
+                     cb: org.apache.spark.broadcast.Broadcast[PqCodebook])
+    extends TernaryExpression {
+  override def first: Expression = tbl
+  override def second: Expression = qn2
+  override def third: Expression = codes
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc_cosine"
+  override protected def nullSafeEval(t: Any, q: Any, c: Any): Any =
+    cb.value.adcCosine(t.asInstanceOf[ArrayData], q.asInstanceOf[Double],
+      c.asInstanceOf[ArrayData])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCb", cb,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, (t, q, c) =>
+      s"((graft.ops.PqCodebook) $ref.value()).adcCosine($t, $q, $c)")
+  }
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(tbl = f, qn2 = s, codes = t)
+}
+
 /** `n` nearest centroid ids of a vector against a broadcast [[CentroidSet]]
   * — the zero-shuffle IVF assignment (nothing moves but the result ids). */
 case class NearestCentroidsExpr(vec: Expression, n: Int,

@@ -525,4 +525,92 @@ class AnnIvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     val viaExpr = assigned.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaExpr == viaWindow)
   }
+
+  test("IVF-PQ recall floor vs brute force (driver params)") {
+    val spark = SparkTestBase.spark
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") % 25 === 0)
+    val brute = Ops.annBruteForce(spark, emb, queries, k = 5)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Ops.annIvfPq(spark, emb, queries, k = 5, nCentroids = 32,
+        nProbe = 8, nAssign = 2, nSub = 16, nCodewords = 16, rerankDepth = 50)
+      .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.intersect(brute).size.toDouble / brute.size
+    println(s"IVF_PQ_RECALL=$recall")
+    // The exact re-rank bounds PQ loss to candidate selection: the IVF
+    // probe recall (0.85 at these coarse params) is the ceiling; observed
+    // 0.83 — ADC top-50 loses ~nothing.
+    assert(recall >= 0.78, s"recall $recall")
+  }
+
+  test("IVF-PQ: raw vectors only reach the exact re-rank stage") {
+    val spark = SparkTestBase.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // Force shuffle joins so every exchange is observable.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+      val queries = emb.filter(col("vec_id") % 25 === 0)
+      val out = Ops.annIvfPq(spark, emb, queries, k = 5, nSub = 16, rerankDepth = 50)
+      val shuffles = PlanProbe.shuffleOutputs(out)
+      // Candidate-generation/ADC exchanges (keyed by cid or carrying codes)
+      // must not move raw embedding payloads; embeddings may appear only in
+      // the re-rank join, which processes <= rerankDepth rows per query.
+      val candShuffles = shuffles.filter(s =>
+        s.exists(_ == "cid") || s.exists(_ == "codes"))
+      assert(candShuffles.nonEmpty)
+      candShuffles.foreach { cols =>
+        assert(!cols.exists(c => c.contains("embedding") || c.contains("q_vec")),
+          cols.toString)
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("PQ codes are well-formed and encode deterministically") {
+    val spark = SparkTestBase.spark
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val cwArr = Array.tabulate(16) { mi =>
+      emb.orderBy(expr(s"(vec_id * ${16807L + 1000003L * mi}) % 2147483647"),
+          col("vec_id"))
+        .limit(16).select(col("embedding")).collect()
+        .map(_.getSeq[Float](0).slice(mi * 4, (mi + 1) * 4).map(_.toDouble).toArray)
+    }
+    val cb = spark.sparkContext.broadcast(new graft.ops.PqCodebook(16, 16, 4, cwArr))
+    val codes = emb.select(col("vec_id"),
+      org.apache.spark.sql.GraftBridge.column(graft.ops.PqEncodeExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")), cb)).as("codes"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1))
+    assert(codes.nonEmpty)
+    codes.foreach { case (_, cs) =>
+      assert(cs.length == 16 && cs.forall(c => c >= 0 && c < 16))
+    }
+    // A codeword's own source subvector encodes to itself (distance 0).
+    val cw0Owner = emb.orderBy(expr("(vec_id * 16807) % 2147483647"), col("vec_id"))
+      .limit(1).select("vec_id").head.getLong(0)
+    val ownCode = codes.toMap.apply(cw0Owner)
+    assert(ownCode(0) == 0, s"owner of codeword (0,0) must encode subspace 0 to 0, got $ownCode")
+  }
+}
+
+/** Shared physical-plan probe (shuffle output columns). */
+object PlanProbe {
+  import org.apache.spark.sql.execution.SparkPlan
+  import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+  import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+  def shuffleOutputs(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    def walk(p: SparkPlan): Unit = {
+      p match {
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case q: QueryStageExec => walk(q.plan)
+        case s: ShuffleExchangeExec => buf += s.output.map(_.name).toSeq
+        case _ =>
+      }
+      p.children.foreach(walk)
+      p.subqueries.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    buf.toSeq
+  }
 }
