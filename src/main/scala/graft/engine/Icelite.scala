@@ -11,7 +11,14 @@ import scala.jdk.CollectionConverters._
 
 /** Minimal Iceberg-style table layer over Parquet ("icelite"): snapshot
   * manifests with per-partition lineage + metrics, atomic commits via
-  * temp-file rename, and manifest-driven resumable writes.
+  * temp-file rename, manifest-driven resumable writes and appends,
+  * content-verified bucket compaction, snapshot time travel
+  * ([[readAsOf]]), file-diff incremental reads, and orphan reclamation
+  * ([[vacuum]]). Reads are FILE-precise — only manifest-listed files are
+  * ever opened — which is what makes appends, compaction and historical
+  * reads sound without locks: data files are immutable once committed,
+  * and a superseding manifest entry (last-wins across segments) is the
+  * only thing that changes what a reader sees.
   *
   * Layout (Iceberg-style manifest list + append-only manifest segments):
   * {{{
@@ -73,10 +80,18 @@ object Icelite {
     if (!Files.exists(p)) None else Some(parseMeta(readFile(p)))
   }
 
-  private def loadSnapshot(root: String, meta: SnapshotMeta): Snapshot =
+  /** Segments are ordered and append-only; a later segment SUPERSEDES an
+    * earlier entry for the same partition value (last-wins), which is how
+    * appends and compactions update a bucket without ever rewriting a
+    * committed segment file. */
+  private def loadSnapshot(root: String, meta: SnapshotMeta): Snapshot = {
+    val byValue = new java.util.LinkedHashMap[String, PartitionEntry]()
+    meta.segments.foreach(seg =>
+      parseEntries(readFile(manifestDir(root).resolve(seg)))
+        .foreach(e => byValue.put(e.value, e)))
     Snapshot(meta.id, meta.partitionCol,
-      meta.segments.flatMap(seg =>
-        parseEntries(readFile(manifestDir(root).resolve(seg)))))
+      byValue.values().asScala.toSeq)
+  }
 
   def currentSnapshot(root: String): Option[Snapshot] =
     currentMeta(root).map(loadSnapshot(root, _))
@@ -126,47 +141,9 @@ object Icelite {
       if (done.isEmpty) remaining0
       else remaining0.filter(!col("__part").isInCollection(done))
 
-    // Job 1: stage every remaining bucket at once. Clustered by the
-    // partition value first: without it every task writes one file per
-    // bucket it happens to see (tasks x buckets small files — at 41k
-    // buckets and 10^4 tasks that is 10^8 files); clustered, file count
-    // equals bucket count. AQE's shuffle coalescing keeps tiny buckets
-    // from wasting tasks.
-    val staging = Paths.get(root, s".staging-${System.nanoTime()}")
-    remaining.repartition(col("__part"))
-      .write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
-
-    // A null partition value stages as Hive's default-partition dir and
-    // would break resume identity — reject before any promote (free
-    // check: the dir either exists or it doesn't).
-    if (Files.exists(staging.resolve("__part=__HIVE_DEFAULT_PARTITION__")))
-      throw new IllegalArgumentException(
-        s"icelite: partition column '$partitionCol' contains NULL values; " +
-          "map nulls to an explicit sentinel before writeResumable")
-
-    // Job 2: per-bucket row counts + content checksums, computed from the
-    // STAGED files — not by re-running the input pipeline. This halves
-    // the input-side work (the input may be an arbitrarily expensive
-    // query) and, more importantly, the manifest then describes exactly
-    // the bytes that were staged: a nondeterministic input would
-    // otherwise commit checksums that do not match its own data.
-    val dataCols = df.columns.filterNot(_ == partitionCol).map(c => s"`$c`")
-    // Explicit schema pins __part as STRING: partition-dir type inference
-    // would otherwise read numeric-looking values as longs and corrupt
-    // e.g. leading-zero keys ("007" -> "7"). `statsFromStaged = false`
-    // recomputes the input instead — cheaper only when the input pipeline
-    // is trivial relative to re-reading many small staged files.
-    val statsSrc =
-      if (statsFromStaged)
-        spark.read.schema(remaining0.schema).parquet(staging.toString)
-      else remaining
-    val stats = statsSrc
-      .groupBy("__part")
-      .agg(count(lit(1)).as("rows"),
-        expr(s"bit_xor(xxhash64(struct(${dataCols.mkString(",")})))").as("checksum"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
-      .sortBy(_._1)
+    val (staging, stats) = stageWithStats(spark, remaining, remaining0.schema,
+      root, partitionCol, df.columns.filterNot(_ == partitionCol),
+      statsFromStaged)
 
     // Promote loop: atomic rename per bucket + batched manifest commits
     // (driver-side only — no further Spark jobs). Each commit appends one
@@ -207,30 +184,244 @@ object Icelite {
     computed
   }
 
-  /** Partitions committed after snapshot `sinceId` (exclusive) — the
-    * incremental-scan primitive: reading only what a downstream consumer
-    * has not yet seen. */
+  /** Shared staging machinery (writes, appends, compaction): stage every
+    * bucket of `withPart` (a df carrying a string `__part` column) in ONE
+    * `partitionBy` job, clustered by the partition value first — without
+    * the clustering every task writes one file per bucket it sees
+    * (tasks x buckets small files; at 41k buckets and 10^4 tasks that is
+    * 10^8 files); clustered, file count equals bucket count. Then one
+    * stats job computes per-bucket row counts + order-independent
+    * xxhash64-xor content checksums, from the STAGED bytes by default
+    * (the manifest then describes exactly what was staged, and the input
+    * pipeline — possibly expensive — runs once). NULL partition values
+    * are rejected (they stage as Hive's default-partition dir and would
+    * break resume identity). The explicit `schema` pins `__part` as
+    * STRING so partition-dir inference cannot corrupt numeric-looking
+    * keys ("007" -> "7"). */
+  private def stageWithStats(spark: SparkSession,
+                             withPart: DataFrame,
+                             schema: org.apache.spark.sql.types.StructType,
+                             root: String, partitionCol: String,
+                             dataCols: Seq[String],
+                             statsFromStaged: Boolean)
+      : (Path, Array[(String, (Long, Long))]) = {
+    val staging = Paths.get(root, s".staging-${System.nanoTime()}")
+    withPart.repartition(col("__part"))
+      .write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
+    if (Files.exists(staging.resolve("__part=__HIVE_DEFAULT_PARTITION__")))
+      throw new IllegalArgumentException(
+        s"icelite: partition column '$partitionCol' contains NULL values; " +
+          "map nulls to an explicit sentinel first")
+    val quoted = dataCols.map(c => s"`$c`")
+    val statsSrc =
+      if (statsFromStaged) spark.read.schema(schema).parquet(staging.toString)
+      else withPart
+    val stats = statsSrc
+      .groupBy("__part")
+      .agg(count(lit(1)).as("rows"),
+        expr(s"bit_xor(xxhash64(struct(${quoted.mkString(",")})))").as("checksum"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .sortBy(_._1)
+    (staging, stats)
+  }
+
+  /** Appends `df`'s rows to the table as NEW data files in each touched
+    * bucket — committed files are never rewritten, so historical
+    * snapshots stay exact (reads are file-precise). Metrics compose:
+    * per-bucket rows add and the xxhash64-xor checksum XORs, so an
+    * appended entry's manifest metrics equal a from-scratch recompute of
+    * the union (spec-pinned).
+    *
+    * `runId` is the resume identity: every entry this run commits records
+    * it in `lineage`, and a restarted run skips buckets whose CURRENT
+    * entry already carries it — a crash mid-append re-appends only the
+    * unfinished buckets. Files promoted but not committed before a crash
+    * are invisible orphans (never read) reclaimed by [[vacuum]].
+    *
+    * `df` must have the same schema (column order included) as the
+    * table's original writes — the composed checksum hashes columns in
+    * schema order. */
+  def appendResumable(spark: SparkSession, df: DataFrame, root: String,
+                      partitionCol: String, runId: String,
+                      failAfter: Int = Int.MaxValue): Int = {
+    require(runId.nonEmpty,
+      "appendResumable needs a unique runId (resume identity)")
+    Files.createDirectories(manifestDir(root))
+    Files.createDirectories(dataDir(root))
+    listDir(Paths.get(root))(_.filter(
+        _.getFileName.toString.startsWith(".staging-")).toList)
+      .foreach(deleteRecursively)
+
+    val current = currentSnapshot(root)
+      .map(_.entries.map(e => e.value -> e).toMap).getOrElse(Map.empty)
+    val done = current.collect { case (v, e) if e.lineage == runId => v }.toSet
+    val withPart0 = df.withColumn("__part", col(partitionCol).cast("string"))
+    val withPart =
+      if (done.isEmpty) withPart0
+      else withPart0.filter(!col("__part").isInCollection(done))
+    val (staging, stats) = stageWithStats(spark, withPart, withPart0.schema,
+      root, partitionCol, df.columns.filterNot(_ == partitionCol),
+      statsFromStaged = true)
+
+    val batchSize = math.max(1, stats.length / 64)
+    val pending = mutable.ArrayBuffer.empty[PartitionEntry]
+    var computed = 0
+    def flush(): Unit = if (pending.nonEmpty) {
+      commitSegment(root, partitionCol, pending.toSeq)
+      pending.clear()
+    }
+    for ((v, (rows, checksum)) <- stats) {
+      if (computed >= failAfter)
+        throw new RuntimeException(s"icelite: injected failure after $failAfter buckets")
+      val tBucket = System.nanoTime()
+      val staged = staging.resolve(s"__part=${escapePart(v)}")
+      val target = dataDir(root).resolve(s"$partitionCol=${escapePart(v)}")
+      Files.createDirectories(target)
+      val moved = listDir(staged)(_.filter(
+          _.getFileName.toString.endsWith(".parquet")).toList).map { f =>
+        val t = target.resolve(f.getFileName.toString)
+        if (Files.exists(t))
+          throw new IllegalStateException(s"icelite: file collision at $t")
+        Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
+        f.getFileName.toString
+      }
+      val old = current.get(v)
+      pending += PartitionEntry(v,
+        old.map(_.rows).getOrElse(0L) + rows,
+        old.map(_.checksum).getOrElse(0L) ^ checksum,
+        old.map(_.files).getOrElse(Seq.empty) ++ moved,
+        durationMs = (System.nanoTime() - tBucket) / 1000000,
+        lineage = runId)
+      if (pending.length >= batchSize) flush()
+      computed += 1
+    }
+    flush()
+    deleteRecursively(staging)
+    computed
+  }
+
+  /** Rewrites every bucket holding more than `maxFiles` data files (the
+    * append-induced small-files debt) in ONE partitionBy job over just
+    * those buckets' files. The rewrite is verified content-preserving
+    * BEFORE anything is committed: each staged bucket's row count and
+    * order-independent checksum must equal the manifest's, else the whole
+    * compaction aborts untouched. Old files stay on disk so historical
+    * snapshots keep working; [[vacuum]] reclaims them. Returns the number
+    * of buckets compacted. */
+  def compactBuckets(spark: SparkSession, root: String,
+                     maxFiles: Int = 1): Int = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val fat = snap.entries.filter(_.files.length > maxFiles)
+    if (fat.isEmpty) return 0
+    val df = spark.read.parquet(
+      fat.flatMap(e => entryPaths(root, snap.partitionCol, e)): _*)
+    val withPart = df.withColumn("__part", col(snap.partitionCol).cast("string"))
+    val (staging, stats) = stageWithStats(spark, withPart, withPart.schema,
+      root, snap.partitionCol, df.columns.filterNot(_ == snap.partitionCol),
+      statsFromStaged = true)
+    val statsMap = stats.toMap
+    fat.foreach { e =>
+      val (rows, sum) = statsMap.getOrElse(e.value, (0L, 0L))
+      if (rows != e.rows || sum != e.checksum)
+        throw new IllegalStateException(
+          s"icelite: compaction rewrite of bucket '${e.value}' does not " +
+            s"reproduce its content (rows $rows vs ${e.rows}); aborting " +
+            "with nothing committed")
+    }
+    val entries = fat.map { e =>
+      val tBucket = System.nanoTime()
+      val staged = staging.resolve(s"__part=${escapePart(e.value)}")
+      val target = dataDir(root).resolve(s"${snap.partitionCol}=${escapePart(e.value)}")
+      val moved = listDir(staged)(_.filter(
+          _.getFileName.toString.endsWith(".parquet")).toList).map { f =>
+        val t = target.resolve(f.getFileName.toString)
+        if (Files.exists(t))
+          throw new IllegalStateException(s"icelite: file collision at $t")
+        Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
+        f.getFileName.toString
+      }
+      PartitionEntry(e.value, e.rows, e.checksum, moved,
+        durationMs = (System.nanoTime() - tBucket) / 1000000,
+        lineage = "compact")
+    }
+    commitSegment(root, snap.partitionCol, entries)
+    deleteRecursively(staging)
+    fat.length
+  }
+
+  /** Deletes every data file the CURRENT snapshot does not reference
+    * (crashed-append orphans, superseded pre-compaction files) and any
+    * bucket directory left empty. Destroys time travel to OLDER snapshots
+    * — the expire-snapshots + remove-orphan-files analogue. Returns the
+    * number of files removed. */
+  def vacuum(root: String): Int = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val keep: Map[String, Set[String]] = snap.entries.map(e =>
+      s"${snap.partitionCol}=${escapePart(e.value)}" -> e.files.toSet).toMap
+    var removed = 0
+    if (!Files.isDirectory(dataDir(root))) return 0
+    listDir(dataDir(root))(_.toList).foreach { dir =>
+      if (Files.isDirectory(dir)) {
+        val keepFiles = keep.getOrElse(dir.getFileName.toString, Set.empty)
+        listDir(dir)(_.toList).foreach { f =>
+          if (!keepFiles(f.getFileName.toString)) {
+            Files.deleteIfExists(f)
+            if (f.getFileName.toString.endsWith(".parquet")) removed += 1
+          }
+        }
+        if (keepFiles.isEmpty) Files.deleteIfExists(dir)
+      }
+    }
+    removed
+  }
+
+  /** Explicit file paths of an entry (reads are FILE-precise: only
+    * manifest-listed files are ever opened, so orphans from crashed
+    * appends/compactions and superseded pre-compaction files are
+    * invisible without any cleanup having run). */
+  private def entryPaths(root: String, partitionCol: String,
+                         e: PartitionEntry): Seq[String] =
+    e.files.map(f => dataDir(root)
+      .resolve(s"$partitionCol=${escapePart(e.value)}").resolve(f).toString)
+
+  /** Rows committed after snapshot `sinceId` (exclusive) — the
+    * incremental-scan primitive. FILE-diff based: reads exactly the data
+    * files an entry gained since the old snapshot, so an APPENDED bucket
+    * contributes only its new rows (a compacted bucket re-delivers whole:
+    * its files were rewritten). */
   def readIncremental(spark: SparkSession, root: String,
                       sinceId: Long): DataFrame = {
-    val old = snapshotById(root, sinceId)
-      .map(_.entries.map(_.value).toSet).getOrElse(Set.empty)
-    readWhere(spark, root, v => !old(v))
+    val snap = currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val old: Map[String, Set[String]] = snapshotById(root, sinceId)
+      .map(_.entries.map(e => e.value -> e.files.toSet).toMap)
+      .getOrElse(Map.empty)
+    val paths = snap.entries.flatMap { e =>
+      val seen = old.getOrElse(e.value, Set.empty)
+      entryPaths(root, snap.partitionCol,
+        e.copy(files = e.files.filterNot(seen)))
+    }
+    if (paths.isEmpty) read(spark, root).limit(0)
+    else spark.read.parquet(paths: _*)
   }
 
   /** Reads the table back (all committed partitions). */
   def read(spark: SparkSession, root: String): DataFrame =
     readWhere(spark, root, _ => true)
 
-  /** Time travel: reads the table AS OF snapshot `id` — exactly the
-    * partitions that snapshot committed. Sound at bucket granularity
-    * because committed buckets are immutable (writeResumable skips every
-    * bucket already in the manifest, so later snapshots only ADD buckets;
-    * historical data files are never rewritten). */
+  /** Time travel: reads the table AS OF snapshot `id` — exactly the FILES
+    * that snapshot's entries list. Sound across later writes, appends and
+    * compactions, because segments are append-only and data files are
+    * never overwritten in place (appends add files; compaction writes new
+    * files and leaves the old ones for historical reads until
+    * [[vacuum]]). */
   def readAsOf(spark: SparkSession, root: String, id: Long): DataFrame = {
     val snap = snapshotById(root, id).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $id at $root"))
-    val paths = snap.entries.map(e =>
-      dataDir(root).resolve(s"${snap.partitionCol}=${escapePart(e.value)}").toString)
+    val paths = snap.entries.flatMap(e => entryPaths(root, snap.partitionCol, e))
     if (paths.isEmpty)
       throw new IllegalArgumentException(s"snapshot $id has no partitions")
     spark.read.parquet(paths: _*)
@@ -246,8 +437,8 @@ object Icelite {
                 predicate: String => Boolean): DataFrame = {
     val snap = currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
-    val paths = snap.entries.filter(e => predicate(e.value)).map(e =>
-      dataDir(root).resolve(s"${snap.partitionCol}=${escapePart(e.value)}").toString)
+    val paths = snap.entries.filter(e => predicate(e.value))
+      .flatMap(e => entryPaths(root, snap.partitionCol, e))
     if (paths.isEmpty)
       throw new IllegalArgumentException("no partitions match the predicate")
     spark.read.parquet(paths: _*)

@@ -434,6 +434,108 @@ class IceliteManifestSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Appends, compaction, vacuum: the table-maintenance surface. */
+class IceliteMaintenanceSpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private def base = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+    .withColumn("bucket", pmod(col("page_id"), lit(5)))
+
+  test("append adds rows as new files; metrics equal a from-scratch recompute") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-app").toString
+    val first = base.filter(col("page_id") % 2 === 0)
+    val second = base.filter(col("page_id") % 2 === 1)
+    graft.engine.Icelite.writeResumable(spark, first, root, "bucket")
+    val preId = graft.engine.Icelite.currentSnapshot(root).get.id
+    graft.engine.Icelite.appendResumable(spark, second, root, "bucket", runId = "app-1")
+
+    // Content equals the union.
+    val got = graft.engine.Icelite.read(spark, root).select("page_id")
+      .collect().map(_.getLong(0)).sorted
+    val want = base.select("page_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq)
+
+    // Composed manifest metrics == metrics of a fresh write of the union
+    // (rows add; the xxhash64-xor checksum is order-independent).
+    val root2 = java.nio.file.Files.createTempDirectory("icelite-app2").toString
+    graft.engine.Icelite.writeResumable(spark, base, root2, "bucket")
+    def metrics(r: String) = graft.engine.Icelite.currentSnapshot(r).get.entries
+      .map(e => e.value -> (e.rows, e.checksum)).toMap
+    assert(metrics(root) == metrics(root2))
+
+    // Appended buckets hold 2 files (write + append), never rewritten.
+    val files = graft.engine.Icelite.currentSnapshot(root).get.entries
+    assert(files.forall(_.files.size == 2), files.map(_.files.size).toString)
+
+    // Time travel: the pre-append snapshot still reads exactly `first`.
+    val asOf = graft.engine.Icelite.readAsOf(spark, root, preId)
+      .select("page_id").collect().map(_.getLong(0)).sorted
+    assert(asOf.toSeq == first.select("page_id").collect().map(_.getLong(0)).sorted.toSeq)
+
+    // Incremental read since the pre-append snapshot = exactly the delta.
+    val incr = graft.engine.Icelite.readIncremental(spark, root, preId)
+      .select("page_id").collect().map(_.getLong(0)).sorted
+    assert(incr.toSeq == second.select("page_id").collect().map(_.getLong(0)).sorted.toSeq)
+
+    graft.engine.Icelite.drop(root); graft.engine.Icelite.drop(root2)
+  }
+
+  test("append resumes by runId: crash mid-append never double-appends") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-appres").toString
+    graft.engine.Icelite.writeResumable(spark,
+      base.filter(col("page_id") % 2 === 0), root, "bucket")
+    val delta = base.filter(col("page_id") % 2 === 1)
+    intercept[RuntimeException] {
+      graft.engine.Icelite.appendResumable(spark, delta, root, "bucket",
+        runId = "app-x", failAfter = 2)
+    }
+    // Resume with the SAME runId completes only the remaining buckets...
+    val resumed = graft.engine.Icelite.appendResumable(spark, delta, root, "bucket",
+      runId = "app-x")
+    assert(resumed == 3, s"resumed $resumed buckets")
+    // ...and the table equals the union exactly (no duplicated rows).
+    val got = graft.engine.Icelite.read(spark, root).select("page_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == base.select("page_id").collect().map(_.getLong(0)).sorted.toSeq)
+    graft.engine.Icelite.drop(root)
+  }
+
+  test("compaction rewrites multi-file buckets content-verified; vacuum reclaims") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-comp").toString
+    graft.engine.Icelite.writeResumable(spark,
+      base.filter(col("page_id") % 3 === 0), root, "bucket")
+    graft.engine.Icelite.appendResumable(spark,
+      base.filter(col("page_id") % 3 === 1), root, "bucket", runId = "a1")
+    val preCompactId = graft.engine.Icelite.currentSnapshot(root).get.id
+    graft.engine.Icelite.appendResumable(spark,
+      base.filter(col("page_id") % 3 === 2), root, "bucket", runId = "a2")
+    val pre = graft.engine.Icelite.currentSnapshot(root).get.entries
+      .map(e => e.value -> (e.rows, e.checksum)).toMap
+    assert(graft.engine.Icelite.currentSnapshot(root).get.entries
+      .forall(_.files.size == 3))
+
+    val n = graft.engine.Icelite.compactBuckets(spark, root)
+    assert(n == 5, s"compacted $n")
+    val post = graft.engine.Icelite.currentSnapshot(root).get.entries
+    assert(post.forall(_.files.size == 1))
+    assert(post.map(e => e.value -> (e.rows, e.checksum)).toMap == pre)
+    val got = graft.engine.Icelite.read(spark, root).select("page_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == base.select("page_id").collect().map(_.getLong(0)).sorted.toSeq)
+
+    // Historical snapshots still readable BEFORE vacuum (old files kept)...
+    val asOf = graft.engine.Icelite.readAsOf(spark, root, preCompactId)
+    assert(asOf.count() == base.filter(col("page_id") % 3 < 2).count())
+    // ...vacuum reclaims the superseded files; the current read is intact.
+    val removed = graft.engine.Icelite.vacuum(root)
+    assert(removed == 15, s"removed $removed") // 3 old files x 5 buckets
+    assert(graft.engine.Icelite.read(spark, root).count() == base.count())
+    // Idempotent; compacting again is a no-op.
+    assert(graft.engine.Icelite.vacuum(root) == 0)
+    assert(graft.engine.Icelite.compactBuckets(spark, root) == 0)
+    graft.engine.Icelite.drop(root)
+  }
+}
+
 /** Crash inside an uncommitted manifest batch: resume must re-stage the
   * promoted-but-uncommitted buckets and converge to the full table. */
 class IceliteBatchCrashSpec extends org.scalatest.funsuite.AnyFunSuite {
