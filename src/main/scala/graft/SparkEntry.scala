@@ -425,6 +425,56 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk").select("qid", "vec_id", "rnk")
     }),
 
+    // The FULL curation DAG in one composition: boilerplate line removal
+    // -> repetition filter -> quality filter -> exact dedup -> content-hash
+    // split -> per-split corpus stats. Every stage's semantics are the
+    // individually-oracled operators'; this row proves they compose.
+    "curation_full" -> ((s, dir) => {
+      registerAll(s)
+      val cleaned = Ops.lineDedup(s, linedDocs(s, dir), minDocs = 15)
+        .filter(col("n_kept") > 0)
+        .select(col("doc_id"), col("clean_text").as("text"))
+      val rep = Ops.repetitionSignals(s, cleaned)
+        .filter(col("dup_line_frac") <= 0.05).select("doc_id")
+      val qual = Ops.qualityScore(cleaned)
+        .filter(col("quality") >= 0.5).select("doc_id")
+      val kept = cleaned.join(rep, "doc_id").join(qual, "doc_id")
+      val dedup = kept.groupBy("text").agg(
+        min("doc_id").as("keep_id"), count(lit(1)).as("dups"))
+      val split = Ops.hashSplit(s,
+        dedup.select(col("keep_id").as("doc_id"), col("text")))
+      dedup.select(col("keep_id").as("doc_id"), col("text"), col("dups"))
+        .join(split, "doc_id")
+        .groupBy("split").agg(
+          count(lit(1)).as("n_docs"),
+          sum(expr("cast(ceil(length(text) / 4.0) as bigint)")).as("tokens"),
+          sum("dups").as("n_dups"))
+    }),
+
+    // Append + file-diff incremental read through the Icelite manifest:
+    // even pages written, odd pages APPENDED (new files, composed
+    // checksums), then readIncremental since the pre-append snapshot must
+    // deliver exactly the odd rows — the oracle re-derives them from
+    // scratch, so append -> manifest -> file-diff scan is hash-checked
+    // end-to-end.
+    "pages_incremental" -> ((s, dir) => {
+      registerAll(s)
+      val root = s"/tmp/graft_icelite_incr_${Integer.toHexString(dir.hashCode)}"
+      engine.Icelite.drop(root)
+      val pages = Pages.indexedPages(s, dir)
+      engine.Icelite.writeResumable(s,
+        pages.filter(col("page_id") % 2 === 0), root, "cell_p")
+      val preId = engine.Icelite.currentSnapshot(root).get.id
+      engine.Icelite.appendResumable(s,
+        pages.filter(col("page_id") % 2 === 1), root, "cell_p",
+        runId = "driver-append")
+      engine.Icelite.readIncremental(s, root, preId).selectExpr(
+        "page_id", "url",
+        "cast(floor(lat * 1000) as bigint) AS lat_q",
+        "cast(floor(lng * 1000) as bigint) AS lng_q",
+        "h3_cell_to_parent(cell9, 3) = cell_p AS parent_ok")
+    }),
+
     // --- Text analysis ---
     "text_stats" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
@@ -938,6 +988,59 @@ object SparkEntry {
         FROM documents
       """
       },
+
+      "curation_full" -> {
+        import OracleDialect._
+        val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+        val punct = s"(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1)"
+        val digit = s"(length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1)"
+        val stopArr = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','this','that']"
+        val stop = s"len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> list_contains($stopArr, w))) / greatest($nWords, 1)"
+        val quality = s"""greatest(0.0, least(1.0,
+               0.5 + ($stop) * 1.5 - ($digit) * 2.0
+                   - greatest(($punct) - 0.1, 0.0) * 3.0
+                   + CASE WHEN $nWords >= 20 AND $nWords <= 5000
+                          THEN 0.2 ELSE -0.2 END))"""
+        val bucket = s"(${docFingerprint("text")}) % 100"
+        s"""
+        WITH $linedDuckCte,
+        lines AS (
+          SELECT doc_id, i AS pos, l[i] AS line, ${docFingerprint("l[i]")} AS line_fp
+          FROM (SELECT doc_id, string_split(text, chr(10)) AS l FROM lined),
+               unnest(range(1, len(l)+1)) AS r(i)),
+        boiler AS (SELECT line_fp FROM lines
+                   GROUP BY line_fp HAVING count(DISTINCT doc_id) >= 15),
+        keptl AS (SELECT l.* FROM lines l ANTI JOIN boiler b ON l.line_fp = b.line_fp),
+        cleaned AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+                    FROM keptl GROUP BY doc_id),
+        rep AS (SELECT doc_id FROM cleaned
+                WHERE 1.0 - CAST(len(list_distinct(string_split(text, chr(10)))) AS DOUBLE)
+                        / len(string_split(text, chr(10))) <= 0.05),
+        qual AS (SELECT doc_id FROM cleaned WHERE $quality >= 0.5),
+        kept AS (SELECT c.* FROM cleaned c
+                 JOIN rep USING (doc_id) JOIN qual USING (doc_id)),
+        dedup AS (SELECT text, min(doc_id) AS keep_id, count(*) AS dups
+                  FROM kept GROUP BY text),
+        split AS (SELECT keep_id, text, dups,
+                    CASE WHEN $bucket < 90 THEN 'train'
+                         WHEN $bucket < 95 THEN 'valid'
+                         ELSE 'test' END AS split
+                  FROM dedup)
+        SELECT split, count(*) AS n_docs,
+               CAST(sum(CAST(ceil(length(text) / 4.0) AS BIGINT)) AS BIGINT) AS tokens,
+               CAST(sum(dups) AS BIGINT) AS n_dups
+        FROM split GROUP BY split
+      """
+      },
+
+      "pages_incremental" -> s"""
+        WITH ${Pages.duckPagesCte}
+        SELECT page_id, url,
+               CAST(floor(lat * 1000) AS BIGINT) AS lat_q,
+               CAST(floor(lng * 1000) AS BIGINT) AS lng_q,
+               TRUE AS parent_ok
+        FROM pages WHERE page_id % 2 = 1
+      """,
 
       "text_stats" -> """
         SELECT doc_id,
