@@ -34,6 +34,20 @@ object Bench {
       Pages.latSql("id", duck = false) + " AS lat",
       Pages.lngSql("id", duck = false) + " AS lng")
 
+  /** '\n'-lined multi-line docs synthesized by joining ids onto the
+    * (broadcast) documents corpus re-segmented to 2-word lines — the
+    * deterministic text workload for the curation phases/scaling. */
+  def synthLinedDocs(spark: SparkSession, sfDir: String, n: Long): DataFrame = {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val nTable = docs.count()
+    val base = broadcast(docs.selectExpr("doc_id AS __k",
+      "array_join(transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+'))/2.0) as int) - 1), " +
+        "g -> array_join(slice(split(trim(text), '\\\\s+'), g*2+1, 2), ' ')), '\\n') AS text"))
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+      .selectExpr("id AS doc_id", s"id % $nTable AS __k")
+      .join(base, "__k").select("doc_id", "text")
+  }
+
   def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -180,19 +194,11 @@ object Bench {
         .agg(count(lit(1))).collect()
     }
 
-    // Phase 7b: web-curation text path. Multi-line docs synthesized by
-    // joining ids onto the (broadcast) documents corpus re-segmented to
-    // 2-word lines, so the measurement is the text kernels + the dedup
-    // dataflow, not parquet IO.
+    // Phase 7b: web-curation text path (synthesis is computed + one
+    // broadcast join, so the measurement is the text kernels + the dedup
+    // dataflow, not parquet IO).
     val nDocsTable = docs.count()
-    def linedBench(n: Long): DataFrame = {
-      val base = broadcast(docs.selectExpr("doc_id AS __k",
-        "array_join(transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+'))/2.0) as int) - 1), " +
-          "g -> array_join(slice(split(trim(text), '\\\\s+'), g*2+1, 2), ' ')), '\\n') AS text"))
-      spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
-        .selectExpr("id AS doc_id", s"id % $nDocsTable AS __k")
-        .join(base, "__k").select("doc_id", "text")
-    }
+    def linedBench(n: Long): DataFrame = synthLinedDocs(spark, sfDir, n)
     // Corpus-level boilerplate line removal over nDocs/100 docs; the
     // doc-frequency threshold scales with the duplication factor so a
     // realistic mix of lines survives.

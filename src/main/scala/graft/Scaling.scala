@@ -48,12 +48,23 @@ object Scaling {
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_SCALING_MODE", "join")
 
+    // "curation" measures the text path (boilerplate line dedup — two
+    // id-only shuffles + one payload shuffle) instead of the spatial join;
+    // workload is nDocs/20 multi-line docs.
+    val workDocs = if (mode == "curation") nDocs / 20 else nDocs
+    lazy val nTable = spark.read.parquet(s"$sfDir/documents.parquet").count()
+
     def once(): Double = {
       val t0 = System.nanoTime()
       if (mode == "index") {
         Bench.synthPoints(spark, nDocs)
           .selectExpr("h3_latlng_to_cell(lat, lng, 9) AS c")
           .agg(count(lit(1)), min("c")).collect()
+      } else if (mode == "curation") {
+        graft.ops.Ops.lineDedup(spark,
+            Bench.synthLinedDocs(spark, sfDir, workDocs),
+            minDocs = math.max(2, (workDocs / nTable * 15).toInt))
+          .agg(count(lit(1)), sum("n_kept")).collect()
       } else {
         val pts = Bench.synthPoints(spark, nDocs)
           .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))
@@ -86,9 +97,9 @@ object Scaling {
       (s, taskRunTime.get / 1000.0, taskGcTime.get / 1000.0, taskCpuTime.get / 1000.0)
     }
     val (sec, runT, gcT, cpuT) = runs.minBy(_._1)
-    val tput = nDocs / sec
+    val tput = workDocs / sec
     val allSecs = runs.map(_._1).mkString("[", ",", "]")
-    println(s"""{"metric":"scaling_run","cores":$cores,"docs":$nDocs,"sec":$sec,"docs_per_sec":$tput,"task_run_sec":$runT,"task_gc_sec":$gcT,"task_cpu_sec":$cpuT,"all_runs":$allSecs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"scaling_run","mode":"$mode","cores":$cores,"docs":$workDocs,"sec":$sec,"docs_per_sec":$tput,"task_run_sec":$runT,"task_gc_sec":$gcT,"task_cpu_sec":$cpuT,"all_runs":$allSecs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

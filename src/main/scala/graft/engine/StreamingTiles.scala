@@ -60,6 +60,40 @@ object StreamingTiles {
       .dropDuplicatesWithinWatermark("fingerprint")
   }
 
+  /** Streaming curation: the batch gates compose statelessly per row
+    * (the repetition kernel and the quality score are pure codegen'd
+    * expressions), duplicate suppression is watermark-bounded fingerprint
+    * state, the content-hash split is per-row, and the per-split counts
+    * are an ordinary windowed aggregation — two chained stateful
+    * operators, both watermark-evicted, so state stays bounded on an
+    * unbounded stream. Append mode: windows finalize once the watermark
+    * passes their end.
+    *
+    * @param docs streaming DataFrame with `ts` (timestamp), `doc_id`,
+    *             `text`. */
+  def streamingCuration(spark: SparkSession, docs: DataFrame,
+                        watermark: String = "10 minutes",
+                        windowDuration: String = "10 minutes",
+                        minQuality: Double = 0.5,
+                        maxTopWordFrac: Double = 0.8,
+                        trainPct: Int = 90, validPct: Int = 5): DataFrame = {
+    graft.ops.OpsFunctions.register(spark)
+    docs
+      .filter(expr("text_repetition(text)").getField("top_word_frac")
+        <= maxTopWordFrac)
+      .filter(expr(graft.ops.Ops.qualitySql) >= minQuality)
+      .withColumn("fingerprint", expr("doc_fingerprint(text)"))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fingerprint")
+      .withColumn("split", expr(
+        s"CASE WHEN fingerprint % 100 < $trainPct THEN 'train' " +
+          s"WHEN fingerprint % 100 < ${trainPct + validPct} THEN 'valid' " +
+          "ELSE 'test' END"))
+      .groupBy(window(col("ts"), windowDuration), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(expr("cast(ceil(length(text) / 4.0) as bigint)")).as("tokens"))
+  }
+
   /** Per-tile state is BOUNDED: a fixed 256-register HyperLogLog sketch
     * (256 bytes) instead of a distinct-cell set — a long-running stream over
     * fine-resolution cells would otherwise grow state without limit and

@@ -533,6 +533,24 @@ object Ops {
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "for", "on", "with", "as", "at", "by", "from", "this", "that")
 
+  /** The blended [0,1] quality score as ONE SQL expression over a `text`
+    * column — value-identical to [[qualityScore]]'s `quality` output
+    * (spec-pinned), for call sites that must stay single-pass and keep
+    * their own columns (e.g. the streaming curation pipeline, where a
+    * join-back is not an option). */
+  def qualitySql: String = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ",", ")")
+    val nWords = "size(split(trim(text), '\\\\s+'))"
+    val punct = "((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / greatest(length(text), 1))"
+    val digit = "((length(text) - length(regexp_replace(text, '[0-9]', ''))) / greatest(length(text), 1))"
+    val stop = s"(size(filter(split(lower(trim(text)), '\\\\s+'), w -> array_contains($stopArr, w))) / greatest($nWords, 1))"
+    s"""greatest(0.0d, least(1.0d,
+        0.5d + $stop * 1.5d - $digit * 2.0d
+             - greatest($punct - 0.1d, 0.0d) * 3.0d
+             + CASE WHEN $nWords >= 20 AND $nWords <= 5000
+                    THEN 0.2d ELSE -0.2d END))"""
+  }
+
   /** Quality scoring: word stats, punctuation/digit/space ratios, stopword
     * ratio, and a blended [0,1] quality score. */
   def qualityScore(docs: DataFrame): DataFrame = {

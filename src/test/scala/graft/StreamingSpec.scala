@@ -212,4 +212,62 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(rows == Seq(1L, 4L), rows.toString)
     q.stop()
   }
+
+  test("quality SQL expression equals qualityScore's quality column") {
+    val spark = SparkTestBase.spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaOp = graft.ops.Ops.qualityScore(docs)
+      .selectExpr("doc_id", "cast(floor(quality * 1e9) as bigint) AS q")
+    val viaSql = docs.selectExpr("doc_id",
+      s"cast(floor((${graft.ops.Ops.qualitySql}) * 1e9) as bigint) AS q")
+    assert(viaOp.except(viaSql).isEmpty && viaSql.except(viaOp).isEmpty)
+  }
+
+  test("streaming curation equals the batch gates+dedup+split on the same rows") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val good1 = "the cat and the dog walk to the park with a friend in the sun"
+    val good2 = "a table of values is read by the query and the rows flow on"
+    val lowq = "1 2 3 4 5 6 7 8 9 0 1 2 3 4 5"         // digit-heavy -> low quality
+    val spammy = "spam spam spam spam spam spam spam"   // top_word_frac = 1.0
+
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(java.sql.Timestamp, Long, String)]
+    val docs = input.toDF().toDF("ts", "doc_id", "text")
+    val out = StreamingTiles.streamingCuration(spark, docs,
+      watermark = "5 minutes", windowDuration = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("curated")
+      .outputMode("append").start()
+
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    input.addData((t0, 1L, good1), (t0, 2L, good1), // exact duplicate
+      (t0, 3L, good2), (t0, 4L, lowq), (t0, 5L, spammy))
+    q.processAllAvailable()
+    // Advance the watermark far past the window end to finalize it.
+    input.addData((java.sql.Timestamp.valueOf("2024-01-01 12:00:00"), 9L, good1))
+    q.processAllAvailable()
+
+    val got = spark.sql(
+      "SELECT split, n_docs, tokens FROM curated WHERE window.start = timestamp'2024-01-01 10:00:00'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+
+    // Batch reference over the same first-window rows: same gates, one
+    // survivor per fingerprint, same content-hash split.
+    val batch = Seq((1L, good1), (2L, good1), (3L, good2), (4L, lowq), (5L, spammy))
+      .toDF("doc_id", "text")
+    graft.ops.OpsFunctions.register(spark)
+    val want = batch
+      .filter(expr("text_repetition(text)").getField("top_word_frac") <= 0.8)
+      .filter(expr(graft.ops.Ops.qualitySql) >= 0.5)
+      .dropDuplicates("text")
+      .join(graft.ops.Ops.hashSplit(spark, batch).select("doc_id", "split"), "doc_id")
+      .groupBy("split").agg(count(lit(1)).as("n_docs"),
+        sum(expr("cast(ceil(length(text) / 4.0) as bigint)")).as("tokens"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.toSeq.map(_._2).sum == 2,
+      s"got=$got want=$want") // dup, low-quality and spammy rows are gone
+    q.stop()
+  }
 }
