@@ -499,6 +499,41 @@ object SparkEntry {
       Ops.fingerprints(s, table(s, dir, "documents"))
     }),
 
+    // REAL media codec round-trip: per doc, PCM16 samples and RGB pixels
+    // are synthesized by pure integer formulas, encoded into REAL
+    // RIFF/WAVE and P6/PPM payloads, decoded back by the byte-level
+    // parsers, nearest-neighbor resized (image), and reduced to integer
+    // stats — which the oracle re-derives from the same formulas WITHOUT
+    // any bytes, so a hash-match proves the encoders/decoders/resampler
+    // are exact inverses.
+    "media_codec_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      ids.map { id =>
+        val n = 2048 + (id % 5).toInt * 512
+        val samples = Array.tabulate(n)(i =>
+          (((id * 31 + i.toLong * i * 7) % 65536) - 32768).toShort)
+        val wav = ops.Multimodal.RealCodec.wavEncode(samples, 16000)
+        val (sr, dec) = ops.Multimodal.RealCodec.wavDecode(wav)
+        var absSum = 0L
+        dec.foreach(v => absSum += Math.abs(v.toLong))
+        val w = 16 + (id % 4).toInt * 8
+        val h = 12 + (id % 3).toInt * 4
+        val rgb = Array.tabulate(w * h * 3)(i =>
+          ((id * 7 + i.toLong * 13) % 256).toByte)
+        val ppm = ops.Multimodal.RealCodec.ppmEncode(w, h, rgb)
+        val (dw, dh, drgb) = ops.Multimodal.RealCodec.ppmDecode(ppm)
+        var pixSum = 0L
+        drgb.foreach(b => pixSum += (b & 0xFF))
+        val rs = ops.Multimodal.RealCodec.ppmResize(ppm, 8, 8)
+        val (_, _, rrgb) = ops.Multimodal.RealCodec.ppmDecode(rs)
+        var rsum = 0L
+        rrgb.foreach(b => rsum += (b & 0xFF))
+        (id, dec.length, sr, absSum, dw, dh, pixSum, rsum)
+      }.toDF("doc_id", "n_samples", "sample_rate", "abs_sum",
+        "img_w", "img_h", "pix_sum", "resized_sum")
+    }),
+
     // Multimodal plumbing: the decode stage is a declared stub, but the
     // dataflow (kind routing, frame counting, stride sampling, fixed
     // feature shape) is integer-exact and oracle-checked end-to-end.
@@ -1342,6 +1377,35 @@ object SparkEntry {
         SELECT doc_id, ${docFingerprint("text")} AS fingerprint FROM documents
       """
       },
+
+      // Pure-arithmetic re-derivation: no bytes anywhere — the sums come
+      // straight from the synthesis formulas, so agreement with the Spark
+      // side (which detours through real WAV/PPM payloads) proves the
+      // codecs round-trip exactly. Nearest-neighbor index math mirrors
+      // RealCodec.ppmResize: src = (dst * srcDim) // 8.
+      "media_codec_roundtrip" -> """
+        SELECT doc_id,
+               CAST(2048 + (doc_id % 5) * 512 AS INT) AS n_samples,
+               16000 AS sample_rate,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 2048 + (doc_id % 5) * 512),
+                   i -> abs(((doc_id * 31 + i * i * 7) % 65536) - 32768))),
+                 (x,y) -> x + y) AS abs_sum,
+               CAST(16 + (doc_id % 4) * 8 AS INT) AS img_w,
+               CAST(12 + (doc_id % 3) * 4 AS INT) AS img_h,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, (16 + (doc_id % 4) * 8) * (12 + (doc_id % 3) * 4) * 3),
+                   i -> (doc_id * 7 + i * 13) % 256)),
+                 (x,y) -> x + y) AS pix_sum,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 192), j ->
+                   (doc_id * 7 +
+                    ((((j // 24) * (12 + (doc_id % 3) * 4) // 8) * (16 + (doc_id % 4) * 8)
+                      + (((j // 3) % 8) * (16 + (doc_id % 4) * 8) // 8)) * 3
+                     + (j % 3)) * 13) % 256)),
+                 (x,y) -> x + y) AS resized_sum
+        FROM documents
+      """,
 
       "multimodal_pipeline" -> """
         SELECT doc_id,

@@ -254,8 +254,76 @@ class TopKSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
-/** Multimodal resize + frame sampling stubs over real dataflow. */
+/** Multimodal codecs (real WAV/PPM + stub fallback) and stage dataflow. */
 class MultimodalStagesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("real WAV and PPM codecs round-trip bit-exactly; dispatch falls back") {
+    import graft.ops.Multimodal.{Codec, FakeCodec, RealCodec}
+    // WAV: encode -> decode returns the exact samples and rate.
+    val samples = Array.tabulate(3000)(i => ((i * 37 + 11) % 65536 - 32768).toShort)
+    val wav = RealCodec.wavEncode(samples, 22050)
+    assert(RealCodec.isWav(wav))
+    val (sr, dec) = RealCodec.wavDecode(wav)
+    assert(sr == 22050 && java.util.Arrays.equals(dec, samples))
+    // Chunk walker tolerates a foreign chunk between header and fmt/data.
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](4, 0, 0, 0) ++ "INFO".getBytes("US-ASCII")
+    val spliced = wav.take(12) ++ extra ++ wav.drop(12)
+    assert(java.util.Arrays.equals(RealCodec.wavDecode(spliced)._2, samples))
+    // PPM: encode -> decode returns the exact pixels.
+    val rgb = Array.tabulate(10 * 6 * 3)(i => ((i * 7) % 256).toByte)
+    val ppm = RealCodec.ppmEncode(10, 6, rgb)
+    assert(RealCodec.isPpm(ppm))
+    val (w, h, back) = RealCodec.ppmDecode(ppm)
+    assert(w == 10 && h == 6 && java.util.Arrays.equals(back, rgb))
+    // Header comments and whitespace runs parse.
+    val weird = "P6\n# a comment\n10 6\n255\n".getBytes("US-ASCII") ++ rgb
+    assert(java.util.Arrays.equals(RealCodec.ppmDecode(weird)._3, rgb))
+    // Nearest-neighbor resize: target (x,y) = source (x*w/w2, y*h/h2).
+    val (rw, rh, rr) = RealCodec.ppmDecode(RealCodec.ppmResize(ppm, 5, 3))
+    assert(rw == 5 && rh == 3)
+    for (y <- 0 until 3; x <- 0 until 5; c <- 0 until 3)
+      assert(rr((y * 5 + x) * 3 + c) == rgb(((y * 2) * 10 + x * 2) * 3 + c))
+    // Dispatch: real frame counts and well-formed features...
+    assert(Codec.frameCount(wav, "audio") == 3) // ceil(3000/1024)
+    assert(Codec.frameCount(ppm, "image") == 1)
+    val af = Codec.decodeToFeatures(wav, 4)
+    assert(af.length == 4 && af.forall(v => v >= 0f && v < 1f) && af.exists(_ > 0f))
+    val imf = Codec.decodeToFeatures(ppm, 8)
+    assert(imf.length == 8 && math.abs(imf.sum - 1.0) < 1e-6)
+    // ...and unknown payloads fall back to the declared stub.
+    val junk = "not a media payload".getBytes("US-ASCII")
+    assert(java.util.Arrays.equals(
+      Codec.decodeToFeatures(junk, 8), FakeCodec.decodeToFeatures(junk, 8)))
+  }
+
+  test("media pipeline stages decode real payloads end to end") {
+    import graft.ops.Multimodal
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val samples = Array.tabulate(2500)(i => ((i * 13) % 65536 - 32768).toShort)
+    val wavBlob = Multimodal.MediaBlob(1L, "audio",
+      Multimodal.RealCodec.wavEncode(samples, 16000), 0, 0, 16000)
+    val rgb = Array.tabulate(16 * 12 * 3)(i => ((i * 11) % 256).toByte)
+    val ppmBlob = Multimodal.MediaBlob(2L, "image",
+      Multimodal.RealCodec.ppmEncode(16, 12, rgb), 16, 12, 0)
+    val media = spark.createDataset(Seq(wavBlob, ppmBlob))
+    val feats = Multimodal.extractFeatures(spark, media, featureDim = 8)
+      .collect().map(f => f.doc_id -> f).toMap
+    assert(feats(1L).frames == 3 && feats(1L).feature.length == 8) // ceil(2500/1024)
+    assert(feats(2L).frames == 1 && math.abs(feats(2L).feature.sum - 1.0) < 1e-6)
+    val frames = Multimodal.sampleFrames(spark, media, stride = 2, featureDim = 4)
+      .collect().groupBy(_.doc_id)
+    assert(frames(1L).map(_.frame_idx).sorted.toSeq == Seq(0, 2)) // of frames 0..2
+    assert(frames(2L).map(_.frame_idx).toSeq == Seq(0))
+    // Per-window audio features match a direct window computation.
+    val w0 = Multimodal.RealCodec.audioFeatures(samples.slice(0, 1024), 4)
+    assert(frames(1L).find(_.frame_idx == 0).get.feature.toSeq == w0.toSeq)
+    val resized = Multimodal.resize(spark, media, 8, 8).collect()
+      .map(r => r.doc_id -> r).toMap
+    val (rw, rh, _) = Multimodal.RealCodec.ppmDecode(resized(2L).payload)
+    assert(rw == 8 && rh == 8)
+  }
+
   test("resize and frame-sample stages are deterministic with fixed shapes") {
     val spark = SparkTestBase.spark
     val media = Multimodal.mediaTable(spark, "/root/testdata/sf0.001")
