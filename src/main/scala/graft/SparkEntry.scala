@@ -123,6 +123,51 @@ object SparkEntry {
       FROM (SELECT doc_id, ${words("text")} AS w FROM documents))"""
   }
 
+  /** Deterministic PII salting of the documents corpus (shared by the
+    * pii queries; mirrored by [[piiSaltedDuckSql]]). */
+  private def piiSaltedDocs(s: SparkSession, dir: String): DataFrame = {
+    table(s, dir, "documents").createOrReplaceTempView("documents")
+    s.sql("""
+      SELECT doc_id, concat(text,
+        ' contact user', cast(doc_id as string), '@mail-',
+          cast(doc_id % 50 as string), '.example',
+        CASE WHEN doc_id % 3 = 0
+             THEN concat(' also user', cast(doc_id as string), 'b@mail-',
+                         cast(doc_id % 50 as string), '.example')
+             ELSE '' END,
+        ' or call 555-', lpad(cast(doc_id % 1000 as string), 3, '0'),
+          '-', lpad(cast(doc_id % 10000 as string), 4, '0'),
+        ' from 10.', cast(doc_id % 256 as string), '.0.1 ok') AS text
+      FROM documents""")
+  }
+
+  private def piiSaltedDuckSql: String = """
+      SELECT doc_id, concat(text,
+        ' contact user', CAST(doc_id AS VARCHAR), '@mail-',
+          CAST(doc_id % 50 AS VARCHAR), '.example',
+        CASE WHEN doc_id % 3 = 0
+             THEN concat(' also user', CAST(doc_id AS VARCHAR), 'b@mail-',
+                         CAST(doc_id % 50 AS VARCHAR), '.example')
+             ELSE '' END,
+        ' or call 555-', lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'),
+          '-', lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0'),
+        ' from 10.', CAST(doc_id % 256 AS VARCHAR), '.0.1 ok') AS text
+      FROM documents"""
+
+  /** Messy URL synthesis (upper-case scheme/host, default port, utm
+    * params, fragments — position varies by id). */
+  private def messyUrlSql(id: String, duck: Boolean): String = {
+    val st = if (duck) "VARCHAR" else "STRING"
+    s"""concat('HTTPS://Host-', CAST($id % 100 AS $st), '.Example',
+        CASE WHEN $id % 4 = 0 THEN ':443' ELSE '' END,
+        '/path/', CAST($id AS $st),
+        CASE WHEN $id % 2 = 0
+             THEN concat('?utm_source=feed&id=', CAST($id AS $st),
+                         '&utm_campaign=c', CAST($id % 7 AS $st))
+             ELSE concat('?id=', CAST($id AS $st), '&utm_medium=m') END,
+        CASE WHEN $id % 5 = 0 THEN '#frag' ELSE '' END)"""
+  }
+
   // -------------------------------------------------------------------
 
   /** Flagship: Paris PIP join + res-5 tile roll-up on sf0.001. */
@@ -473,6 +518,32 @@ object SparkEntry {
         "cast(floor(lat * 1000) as bigint) AS lat_q",
         "cast(floor(lng * 1000) as bigint) AS lng_q",
         "h3_cell_to_parent(cell9, 3) = cell_p AS parent_ok")
+    }),
+
+    // PII detection + redaction over deterministically PII-salted text
+    // (the sf corpus contains none): emails (x2 on every third doc),
+    // NANP phones, IPv4 addresses.
+    "pii_signals" -> ((s, dir) => {
+      registerAll(s)
+      Ops.piiSignals(piiSaltedDocs(s, dir))
+    }),
+
+    "pii_redact" -> ((s, dir) => {
+      registerAll(s)
+      Ops.piiRedact(piiSaltedDocs(s, dir))
+        .selectExpr("doc_id", "sha2(redacted, 256) AS redacted_sha")
+    }),
+
+    // URL normalization: messy synthesized URLs (upper-case scheme/host,
+    // default port, utm_* tracking params in varying positions, fragment)
+    // -> canonical form for dedup/domain keys.
+    "url_normalize" -> ((s, dir) => {
+      registerAll(s)
+      table(s, dir, "documents").createOrReplaceTempView("documents")
+      val urls = s.sql(s"""
+        SELECT doc_id, ${messyUrlSql("doc_id", duck = false)} AS url
+        FROM documents""")
+      Ops.normalizeUrls(urls).select("doc_id", "norm_url")
     }),
 
     // --- Text analysis ---
@@ -1076,6 +1147,41 @@ object SparkEntry {
                TRUE AS parent_ok
         FROM pages WHERE page_id % 2 = 1
       """,
+
+      "pii_signals" -> s"""
+        WITH salted AS ($piiSaltedDuckSql)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '${Ops.PiiEmail}')) AS INT) AS n_emails,
+               CAST(len(regexp_extract_all(text, '${Ops.PiiPhone}')) AS INT) AS n_phones,
+               CAST(len(regexp_extract_all(text, '${Ops.PiiIpv4}')) AS INT) AS n_ips
+        FROM salted
+      """,
+
+      "pii_redact" -> s"""
+        WITH salted AS ($piiSaltedDuckSql)
+        SELECT doc_id,
+               sha256(regexp_replace(regexp_replace(regexp_replace(text,
+                 '${Ops.PiiEmail}', '<EMAIL>', 'g'),
+                 '${Ops.PiiPhone}', '<PHONE>', 'g'),
+                 '${Ops.PiiIpv4}', '<IP>', 'g')) AS redacted_sha
+        FROM salted
+      """,
+
+      "url_normalize" -> {
+        val url = "url"
+        val scheme = s"lower(regexp_extract($url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+        val host = s"lower(regexp_extract($url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+        val hostNoPort = s"regexp_replace($host, ':(80|443)$$', '', 'g')"
+        val rest = s"regexp_extract($url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)"
+        val noUtm = s"regexp_replace($rest, 'utm_[^&#]*&?', '', 'g')"
+        val trimmed = s"regexp_replace($noUtm, '[?&]+$$', '', 'g')"
+        s"""
+        WITH urls AS (SELECT doc_id, ${messyUrlSql("doc_id", duck = true)} AS url
+                      FROM documents)
+        SELECT doc_id, concat($scheme, '://', $hostNoPort, $trimmed) AS norm_url
+        FROM urls
+      """
+      },
 
       "text_stats" -> """
         SELECT doc_id,

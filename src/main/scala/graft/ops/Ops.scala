@@ -530,6 +530,54 @@ object Ops {
         "ELSE 'test' END AS split")
   }
 
+  /** PII patterns (emails, NANP-style phone numbers, IPv4 addresses) —
+    * RE2-compatible (no backrefs/lookaround), so the DuckDB oracle runs
+    * the IDENTICAL patterns. Raw regex; call sites escape for their SQL
+    * dialect. */
+  val PiiEmail = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PiiPhone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val PiiIpv4 = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  private def sparkRegexLit(re: String): String = re.replace("\\", "\\\\")
+
+  /** PII occurrence counts per document (the filter/audit side of PII
+    * handling): emails, phone numbers, IPv4 addresses. Pure per-row
+    * regexp scans — shuffle-free, codegen'd. */
+  def piiSignals(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"size(regexp_extract_all(text, '${sparkRegexLit(PiiEmail)}', 0)) AS n_emails",
+      s"size(regexp_extract_all(text, '${sparkRegexLit(PiiPhone)}', 0)) AS n_phones",
+      s"size(regexp_extract_all(text, '${sparkRegexLit(PiiIpv4)}', 0)) AS n_ips")
+
+  /** PII redaction: emails -> `<EMAIL>`, phones -> `<PHONE>`, IPv4 ->
+    * `<IP>`, applied in that fixed order (the order is part of the
+    * contract — a phone-shaped substring inside an already-redacted email
+    * must not double-fire). Per-row, shuffle-free. */
+  def piiRedact(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      s"""regexp_replace(regexp_replace(regexp_replace(text,
+            '${sparkRegexLit(PiiEmail)}', '<EMAIL>'),
+            '${sparkRegexLit(PiiPhone)}', '<PHONE>'),
+            '${sparkRegexLit(PiiIpv4)}', '<IP>') AS redacted""")
+
+  /** URL normalization for dedup/domain keys: lowercase scheme and host,
+    * strip the fragment, drop `utm_*` tracking parameters, strip default
+    * ports (:80 / :443), and trim trailing `?`/`&`. Pure per-row regexp
+    * surgery (identical RE2-safe patterns on the oracle side). */
+  def normalizeUrls(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val scheme = s"lower(regexp_extract($urlCol, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))"
+    val host = s"lower(regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
+    val hostNoPort =
+      s"regexp_replace($host, ':(80|443)$$', '')"
+    val rest = s"regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)"
+    val noUtm = s"regexp_replace($rest, 'utm_[^&#]*&?', '')"
+    val trimmed = s"regexp_replace($noUtm, '[?&]+$$', '')"
+    pages.withColumn("norm_url",
+      expr(s"concat($scheme, '://', $hostNoPort, $trimmed)"))
+  }
+
   private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
     "is", "it", "for", "on", "with", "as", "at", "by", "from", "this", "that")
 

@@ -382,6 +382,39 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     buf.toSeq
   }
 
+  test("PII detection and redaction handle the standard shapes") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "write to a.b+c@x-y.example or 555-123-4567 from 10.0.0.1 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: u@a.io and v@b.co, ip 192.168.001.1")).toDF("doc_id", "text")
+    val sig = Ops.piiSignals(docs).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getInt(3))).toMap
+    assert(sig(1L) == ((1, 1, 1)) && sig(2L) == ((0, 0, 0)) && sig(3L) == ((2, 0, 1)))
+    val red = Ops.piiRedact(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(red(1L) == "write to <EMAIL> or <PHONE> from <IP> now")
+    assert(red(2L) == "no pii here at all")
+    assert(red(3L) == "two mails: <EMAIL> and <EMAIL>, ip <IP>")
+  }
+
+  test("URL normalization canonicalizes scheme/host/port/utm/fragment") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val urls = Seq(
+      (1L, "HTTPS://Ex.Example:443/a/b?utm_source=x&id=7&utm_c=y#frag"),
+      (2L, "http://h.example:80/p?utm_only=1"),
+      (3L, "https://ok.example/clean?id=1"),
+      (4L, "https://keep.example:8080/p")).toDF("doc_id", "url")
+    val out = Ops.normalizeUrls(urls).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "https://ex.example/a/b?id=7")
+    assert(out(2L) == "http://h.example/p")
+    assert(out(3L) == "https://ok.example/clean?id=1")
+    assert(out(4L) == "https://keep.example:8080/p") // non-default port kept
+  }
+
   test("lineDedup removes exactly the corpus-frequent lines, preserving order") {
     val spark = SparkTestBase.spark
     import spark.implicits._
