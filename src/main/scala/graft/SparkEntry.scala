@@ -520,6 +520,18 @@ object SparkEntry {
         "h3_cell_to_parent(cell9, 3) = cell_p AS parent_ok")
     }),
 
+    // HTML -> text extraction over the pages' BINARY html column; the
+    // oracle computes the expected text from the pages synthesis without
+    // ever seeing html bytes, so a hash-match proves the extractor
+    // inverts the markup exactly.
+    "html_extract" -> ((s, dir) => {
+      registerAll(s)
+      Ops.htmlToText(Pages.pages(s, dir)).selectExpr(
+        "page_id",
+        "sha2(extracted_text, 256) AS text_sha",
+        "extracted_text = text AS exact_ok")
+    }),
+
     // PII detection + redaction over deterministically PII-salted text
     // (the sf corpus contains none): emails (x2 on every third doc),
     // NANP phones, IPv4 addresses.
@@ -1146,6 +1158,14 @@ object SparkEntry {
                CAST(floor(lng * 1000) AS BIGINT) AS lng_q,
                TRUE AS parent_ok
         FROM pages WHERE page_id % 2 = 1
+      """,
+
+      "html_extract" -> s"""
+        WITH ${Pages.duckPagesCte}
+        SELECT page_id,
+               sha256(trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g'))) AS text_sha,
+               trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) = text AS exact_ok
+        FROM pages
       """,
 
       "pii_signals" -> s"""

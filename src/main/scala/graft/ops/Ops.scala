@@ -562,6 +562,26 @@ object Ops {
             '${sparkRegexLit(PiiPhone)}', '<PHONE>'),
             '${sparkRegexLit(PiiIpv4)}', '<IP>') AS redacted""")
 
+  /** HTML -> text extraction (the first stage of every web-corpus
+    * pipeline): drop tags, script/style blocks and comments, unescape the
+    * core entities, collapse runs of whitespace. Pure per-row regexp
+    * surgery over the binary `html` column — shuffle-free; the driver
+    * oracle proves it inverts the pages synthesis byte-exactly. */
+  def htmlToText(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
+    val s0 = s"cast($htmlCol as string)"
+    val noScript = s"regexp_replace($s0, '(?s)<(script|style)[^>]*>.*?</(script|style)>', '')"
+    val noComment = s"regexp_replace($noScript, '(?s)<!--.*?-->', '')"
+    val noTags = s"regexp_replace($noComment, '<[^>]*>', '')"
+    // &amp; last so it cannot re-expand; the apostrophe goes through
+    // chr(39) to stay dialect-safe (no quote escaping differences).
+    val unescaped = Seq(
+      ("'&lt;'", "'<'"), ("'&gt;'", "'>'"), ("'&quot;'", "'\"'"),
+      ("'&#39;'", "chr(39)"), ("'&amp;'", "'&'"))
+      .foldLeft(noTags) { case (e, (from, to)) => s"replace($e, $from, $to)" }
+    val collapsed = s"trim(regexp_replace($unescaped, '[ \\\\t\\\\r\\\\n]+', ' '))"
+    pages.withColumn("extracted_text", expr(collapsed))
+  }
+
   /** URL normalization for dedup/domain keys: lowercase scheme and host,
     * strip the fragment, drop `utm_*` tracking parameters, strip default
     * ports (:80 / :443), and trim trailing `?`/`&`. Pure per-row regexp

@@ -382,6 +382,19 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     buf.toSeq
   }
 
+  test("htmlToText strips tags, scripts, comments; unescapes entities") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val html = "<html><head><script>var x = 1 < 2;</script>" +
+      "<style>.a { color: red; }</style></head>" +
+      "<!-- a\ncomment --><body><p>Hello  <b>world</b></p>\n" +
+      "<div>5 &lt; 6 &amp;&amp; 7 &gt; 4, &quot;q&#39;s&quot;</div></body></html>"
+    val out = Ops.htmlToText(
+      Seq((1L, html.getBytes("UTF-8"))).toDF("page_id", "html"))
+      .select("extracted_text").head.getString(0)
+    assert(out == "Hello world 5 < 6 && 7 > 4, \"q's\"", out)
+  }
+
   test("PII detection and redaction handle the standard shapes") {
     val spark = SparkTestBase.spark
     import spark.implicits._
