@@ -306,6 +306,33 @@ object SparkEntry {
           "h3_cell_to_parent(cell9, 3) = cell_p AS parent_ok")
     }),
 
+    // Manifest COLUMN-STATS pruning on a non-partition column: synthetic
+    // bit-cells written partitioned by their res-5 parent; the res-9
+    // descendant range of ONE parent prunes the manifest to a single
+    // bucket (disjoint prefix ranges), and the exact between-filter on
+    // top must equal the oracle's parent-equality re-derivation.
+    "icelite_stats_prune" -> ((s, dir) => {
+      registerAll(s)
+      val root = s"/tmp/graft_icelite_stats_${Integer.toHexString(dir.hashCode)}"
+      engine.Icelite.drop(root)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      val cells = s.sql(
+        s"SELECT event_id, ${cellSqlSpark("event_id")} AS cell FROM events")
+        .withColumn("p0", expr("h3_cell_to_parent(cell, 0)"))
+      engine.Icelite.writeResumable(s, cells, root, "p0")
+      // The res-9 descendant range of ONE base cell: raw-bit prefix
+      // ranges are disjoint per base, so the manifest prune keeps 1 of
+      // the 6 buckets (~1/6 of rows) without touching the others.
+      val b = s.sql(s"""
+        SELECT h3_cell_to_center_child(p, 9) AS lo,
+               h3_child_pos_to_cell(h3_cell_to_children_size(p, 9) - 1, p, 9) AS hi
+        FROM (SELECT h3_cell_to_parent(${cellSqlSpark("0")}, 0) AS p)""").head
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      engine.Icelite.readWhereRange(s, root, "cell", lo, hi)
+        .filter(col("cell").between(lo, hi))
+        .select("event_id", "cell")
+    }),
+
     // Tile pyramid over bit-level synthetic cells: DuckDB re-aggregates the
     // base level directly to res 5 with parent bit-math, so the stepwise
     // 9 -> 7 -> 5 re-aggregation is fully oracle-checked.
@@ -1267,6 +1294,12 @@ object SparkEntry {
                CAST(floor(lng * 1000) AS BIGINT) AS lng_q,
                TRUE AS valid, TRUE AS parent_ok
         FROM pages WHERE ${rectCondDuck(Rects.head)}
+      """,
+
+      "icelite_stats_prune" -> s"""
+        SELECT event_id, cell
+        FROM (SELECT event_id, $cell AS cell FROM events)
+        WHERE ${parentSqlDuck("cell", 0)} = ${parentSqlDuck(cellSqlDuck("0"), 0)}
       """,
 
       "tile_rollup" -> s"""

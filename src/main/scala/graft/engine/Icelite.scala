@@ -43,7 +43,8 @@ object Icelite {
 
   final case class PartitionEntry(value: String, rows: Long, checksum: Long,
                                   files: Seq[String], durationMs: Long = 0,
-                                  lineage: String = "")
+                                  lineage: String = "",
+                                  colStats: Map[String, (Long, Long)] = Map.empty)
 
   final case class Snapshot(id: Long, partitionCol: String,
                             entries: Seq[PartitionEntry])
@@ -159,7 +160,7 @@ object Icelite {
       commitSegment(root, partitionCol, pending.toSeq)
       pending.clear()
     }
-    for ((v, (rows, checksum)) <- stats) {
+    for ((v, ((rows, checksum), colStats)) <- stats) {
       if (computed >= failAfter)
         // Simulated crash: pending (promoted-but-uncommitted) buckets are
         // deliberately NOT flushed — resume re-stages and re-promotes them
@@ -175,7 +176,8 @@ object Icelite {
       // durationMs is the per-bucket promote time (staging is one shared
       // job and is not attributable to a single bucket).
       pending += PartitionEntry(v, rows, checksum, files,
-        durationMs = (System.nanoTime() - tBucket) / 1000000, lineage = lineage)
+        durationMs = (System.nanoTime() - tBucket) / 1000000, lineage = lineage,
+        colStats = colStats)
       if (pending.length >= batchSize) flush()
       computed += 1
     }
@@ -204,7 +206,7 @@ object Icelite {
                              root: String, partitionCol: String,
                              dataCols: Seq[String],
                              statsFromStaged: Boolean)
-      : (Path, Array[(String, (Long, Long))]) = {
+      : (Path, Array[(String, ((Long, Long), Map[String, (Long, Long)]))]) = {
     val staging = Paths.get(root, s".staging-${System.nanoTime()}")
     withPart.repartition(col("__part"))
       .write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
@@ -216,12 +218,33 @@ object Icelite {
     val statsSrc =
       if (statsFromStaged) spark.read.schema(schema).parquet(staging.toString)
       else withPart
+    // Iceberg-style per-bucket COLUMN statistics: min/max for every
+    // integral data column ride along in the same stats job, enabling
+    // manifest-level range pruning (readWhereRange) on non-partition
+    // columns — e.g. the raw H3 cell column, whose prefix predicates the
+    // optimizer already rewrites to ranges.
+    val statCols = statsSrc.schema.fields
+      .filter(f => dataCols.contains(f.name) &&
+        (f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType))
+      .map(_.name).toSeq
+    val statAggs = statCols.flatMap(c => Seq(
+      min(col(s"`$c`")).cast("long").as(s"__min_$c"),
+      max(col(s"`$c`")).cast("long").as(s"__max_$c")))
     val stats = statsSrc
       .groupBy("__part")
       .agg(count(lit(1)).as("rows"),
-        expr(s"bit_xor(xxhash64(struct(${quoted.mkString(",")})))").as("checksum"))
+        (expr(s"bit_xor(xxhash64(struct(${quoted.mkString(",")})))").as("checksum")
+          +: statAggs): _*)
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+      .map { r =>
+        val cs = statCols.zipWithIndex.flatMap { case (c, i) =>
+          val lo = 3 + i * 2
+          if (r.isNullAt(lo) || r.isNullAt(lo + 1)) None
+          else Some(c -> (r.getLong(lo), r.getLong(lo + 1)))
+        }.toMap
+        r.getString(0) -> ((r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)), cs)
+      }
       .sortBy(_._1)
     (staging, stats)
   }
@@ -271,7 +294,7 @@ object Icelite {
       commitSegment(root, partitionCol, pending.toSeq)
       pending.clear()
     }
-    for ((v, (rows, checksum)) <- stats) {
+    for ((v, ((rows, checksum), colStats)) <- stats) {
       if (computed >= failAfter)
         throw new RuntimeException(s"icelite: injected failure after $failAfter buckets")
       val tBucket = System.nanoTime()
@@ -287,12 +310,24 @@ object Icelite {
         f.getFileName.toString
       }
       val old = current.get(v)
+      // Column stats compose under append: min of mins / max of maxes,
+      // kept only for columns BOTH sides have stats for (an absent range
+      // disables pruning — safe).
+      val mergedStats = old match {
+        case None => colStats
+        case Some(o) => colStats.flatMap { case (c, (lo, hi)) =>
+          o.colStats.get(c).map { case (olo, ohi) =>
+            c -> (math.min(olo, lo), math.max(ohi, hi))
+          }
+        }
+      }
       pending += PartitionEntry(v,
         old.map(_.rows).getOrElse(0L) + rows,
         old.map(_.checksum).getOrElse(0L) ^ checksum,
         old.map(_.files).getOrElse(Seq.empty) ++ moved,
         durationMs = (System.nanoTime() - tBucket) / 1000000,
-        lineage = runId)
+        lineage = runId,
+        colStats = mergedStats)
       if (pending.length >= batchSize) flush()
       computed += 1
     }
@@ -321,7 +356,7 @@ object Icelite {
     val (staging, stats) = stageWithStats(spark, withPart, withPart.schema,
       root, snap.partitionCol, df.columns.filterNot(_ == snap.partitionCol),
       statsFromStaged = true)
-    val statsMap = stats.toMap
+    val statsMap = stats.map { case (v, (rc, _)) => v -> rc }.toMap
     fat.foreach { e =>
       val (rows, sum) = statsMap.getOrElse(e.value, (0L, 0L))
       if (rows != e.rows || sum != e.checksum)
@@ -342,9 +377,10 @@ object Icelite {
         Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
         f.getFileName.toString
       }
+      // Content is verified unchanged, so the column stats carry over.
       PartitionEntry(e.value, e.rows, e.checksum, moved,
         durationMs = (System.nanoTime() - tBucket) / 1000000,
-        lineage = "compact")
+        lineage = "compact", colStats = e.colStats)
     }
     commitSegment(root, snap.partitionCol, entries)
     deleteRecursively(staging)
@@ -444,6 +480,30 @@ object Icelite {
     spark.read.parquet(paths: _*)
   }
 
+  /** Column-statistics range pruning (the Iceberg min/max scan-planning
+    * analogue): opens only buckets whose manifest [min,max] for `column`
+    * intersects [lo,hi]. Buckets without stats for the column are KEPT
+    * (absent stats can only widen the scan, never lose rows). The rows
+    * still need the exact predicate applied — this prunes IO, it does not
+    * filter. Composes with the optimizer's H3 prefix->range rewrite: a
+    * `h3_cell_to_parent(cell,r) = P` predicate becomes a cell range that
+    * prunes manifest buckets here AND parquet row-groups below. */
+  def readWhereRange(spark: SparkSession, root: String, column: String,
+                     lo: Long, hi: Long): DataFrame =
+    readWhereEntry(spark, root, e =>
+      e.colStats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi })
+
+  private def readWhereEntry(spark: SparkSession, root: String,
+                             predicate: PartitionEntry => Boolean): DataFrame = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    val paths = snap.entries.filter(predicate)
+      .flatMap(e => entryPaths(root, snap.partitionCol, e))
+    if (paths.isEmpty)
+      throw new IllegalArgumentException("no partitions match the predicate")
+    spark.read.parquet(paths: _*)
+  }
+
   /** Appends one immutable segment of new entries and commits a snapshot
     * listing every segment (CURRENT update is the commit point; orphans
     * from crashes between renames are overwritten on the next commit). */
@@ -481,7 +541,10 @@ object Icelite {
 
   private def renderEntries(entries: Seq[PartitionEntry]): String =
     entries.map { e =>
-      s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"durationMs":${e.durationMs},"lineage":"${esc(e.lineage)}","files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
+      val cs = e.colStats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+        "\"" + esc(c) + s"""":[$lo,$hi]"""
+      }.mkString(",")
+      s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"durationMs":${e.durationMs},"lineage":"${esc(e.lineage)}","colStats":{$cs},"files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
     }.mkString(",")
 
   private def parseEntries(json: String): Seq[PartitionEntry] = {
@@ -496,7 +559,14 @@ object Icelite {
         m.get("durationMs").map {
           case l: Long => l; case d: Double => d.toLong; case _ => 0L
         }.getOrElse(0L),
-        m.get("lineage").map(_.toString).getOrElse(""))
+        m.get("lineage").map(_.toString).getOrElse(""),
+        m.get("colStats").map(_.asInstanceOf[Map[String, Any]].map {
+          case (c, v) =>
+            val nums = v.asInstanceOf[List[Any]].map {
+              case l: Long => l; case d: Double => d.toLong
+            }
+            c -> (nums(0), nums(1))
+        }).getOrElse(Map.empty))
     }
   }
 

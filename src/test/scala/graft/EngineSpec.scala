@@ -499,6 +499,35 @@ class IceliteMaintenanceSpec extends org.scalatest.funsuite.AnyFunSuite {
     graft.engine.Icelite.drop(root)
   }
 
+  test("column-stats range pruning opens only intersecting buckets; stats compose") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-stats").toString
+    val df = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+    graft.engine.Icelite.writeResumable(spark,
+      df.filter(col("page_id") % 2 === 0), root, "cell_p")
+    graft.engine.Icelite.appendResumable(spark,
+      df.filter(col("page_id") % 2 === 1), root, "cell_p", runId = "s1")
+    val snap = graft.engine.Icelite.currentSnapshot(root).get
+    assert(snap.entries.forall(_.colStats.contains("cell9")))
+    // Composed stats equal a from-scratch per-bucket min/max of the union.
+    val want = df.groupBy(col("cell_p").cast("string").as("v"))
+      .agg(min("cell9"), max("cell9")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    snap.entries.foreach(e => assert(e.colStats("cell9") == want(e.value), e.value))
+    // Range pruning: the busiest bucket's own range opens ONLY buckets
+    // whose range intersects; res-3 prefixes give disjoint cell9 ranges,
+    // so exactly one bucket (plus any stats-less, of which there are
+    // none) survives.
+    val (lo, hi) = snap.entries.maxBy(_.rows).colStats("cell9")
+    val pruned = graft.engine.Icelite.readWhereRange(spark, root, "cell9", lo, hi)
+    assert(pruned.select("cell_p").distinct().count() == 1)
+    // Exactness: pruned + exact filter == full scan + exact filter.
+    val a = pruned.filter(col("cell9").between(lo, hi)).count()
+    val b = graft.engine.Icelite.read(spark, root)
+      .filter(col("cell9").between(lo, hi)).count()
+    assert(a == b && a > 0)
+    graft.engine.Icelite.drop(root)
+  }
+
   test("compaction rewrites multi-file buckets content-verified; vacuum reclaims") {
     val root = java.nio.file.Files.createTempDirectory("icelite-comp").toString
     graft.engine.Icelite.writeResumable(spark,
