@@ -41,8 +41,7 @@ object Bench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val nTable = docs.count()
     val base = broadcast(docs.selectExpr("doc_id AS __k",
-      "array_join(transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+'))/2.0) as int) - 1), " +
-        "g -> array_join(slice(split(trim(text), '\\\\s+'), g*2+1, 2), ' ')), '\\n') AS text"))
+      graft.ops.Ops.relineSql(2) + " AS text"))
     spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
       .selectExpr("id AS doc_id", s"id % $nTable AS __k")
       .join(base, "__k").select("doc_id", "text")
@@ -205,7 +204,7 @@ object Bench {
     measure("line_dedup", reps) {
       val n = nDocs / 100
       Ops.lineDedup(spark, linedBench(n),
-          minDocs = math.max(2, (n / nDocsTable * 15).toInt))
+          minDocs = math.max(2, (n * 15 / nDocsTable).toInt))
         .agg(count(lit(1)), sum("n_kept")).collect()
     }
     // Per-row repetition signals (shuffle-free whole-stage-codegen path)

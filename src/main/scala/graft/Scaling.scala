@@ -61,9 +61,12 @@ object Scaling {
           .selectExpr("h3_latlng_to_cell(lat, lng, 9) AS c")
           .agg(count(lit(1)), min("c")).collect()
       } else if (mode == "curation") {
+        // Multiply before dividing: workDocs/nTable*15 floors the
+        // duplication factor first and collapses to 0 below one full
+        // duplication, turning the threshold into "everything".
         graft.ops.Ops.lineDedup(spark,
             Bench.synthLinedDocs(spark, sfDir, workDocs),
-            minDocs = math.max(2, (workDocs / nTable * 15).toInt))
+            minDocs = math.max(2, (workDocs * 15 / nTable).toInt))
           .agg(count(lit(1)), sum("n_kept")).collect()
       } else {
         val pts = Bench.synthPoints(spark, nDocs)

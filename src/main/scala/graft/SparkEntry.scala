@@ -104,12 +104,7 @@ object SparkEntry {
 
   private def linedDocs(s: SparkSession, dir: String): DataFrame = {
     table(s, dir, "documents").createOrReplaceTempView("documents")
-    s.sql("""
-      SELECT doc_id,
-             CASE WHEN size(w) = 0 THEN ''
-                  ELSE array_join(transform(sequence(0, cast(ceil(size(w)/2.0) as int) - 1),
-                         g -> array_join(slice(w, g*2+1, 2), ' ')), '\n') END AS text
-      FROM (SELECT doc_id, split(trim(text), '\\s+') AS w FROM documents)""")
+    s.sql(s"SELECT doc_id, ${Ops.relineSql(2)} AS text FROM documents")
   }
 
   /** DuckDB derivation of the same lined corpus (range(0,0) is empty, so
@@ -1112,7 +1107,8 @@ object SparkEntry {
 
       "domain_cap" -> s"""
         WITH ${Pages.duckPagesCte},
-        d AS (SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS domain,
+        d AS (SELECT lower(regexp_extract(url,
+                       '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS domain,
                      page_id
               FROM pages)
         SELECT domain, page_id, rn AS rnk FROM (
@@ -1220,8 +1216,9 @@ object SparkEntry {
         val host = s"lower(regexp_extract($url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1))"
         val hostNoPort = s"regexp_replace($host, ':(80|443)$$', '', 'g')"
         val rest = s"regexp_extract($url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)"
-        val noUtm = s"regexp_replace($rest, 'utm_[^&#]*&?', '', 'g')"
-        val trimmed = s"regexp_replace($noUtm, '[?&]+$$', '', 'g')"
+        val noUtm = s"regexp_replace($rest, '[?&]utm_[^&#]*', '', 'g')"
+        val fixed = s"regexp_replace($noUtm, '^([^?]*)&', '\\1?')"
+        val trimmed = s"regexp_replace($fixed, '[?&]+$$', '', 'g')"
         s"""
         WITH urls AS (SELECT doc_id, ${messyUrlSql("doc_id", duck = true)} AS url
                       FROM documents)

@@ -350,41 +350,50 @@ object Icelite {
       throw new IllegalStateException(s"no snapshot at $root"))
     val fat = snap.entries.filter(_.files.length > maxFiles)
     if (fat.isEmpty) return 0
+    // Sweep staging leftovers from crashed/aborted runs (same policy as
+    // write/append — abandoned staging is dead data).
+    listDir(Paths.get(root))(_.filter(
+        _.getFileName.toString.startsWith(".staging-")).toList)
+      .foreach(deleteRecursively)
     val df = spark.read.parquet(
       fat.flatMap(e => entryPaths(root, snap.partitionCol, e)): _*)
     val withPart = df.withColumn("__part", col(snap.partitionCol).cast("string"))
     val (staging, stats) = stageWithStats(spark, withPart, withPart.schema,
       root, snap.partitionCol, df.columns.filterNot(_ == snap.partitionCol),
       statsFromStaged = true)
-    val statsMap = stats.map { case (v, (rc, _)) => v -> rc }.toMap
-    fat.foreach { e =>
-      val (rows, sum) = statsMap.getOrElse(e.value, (0L, 0L))
-      if (rows != e.rows || sum != e.checksum)
-        throw new IllegalStateException(
-          s"icelite: compaction rewrite of bucket '${e.value}' does not " +
-            s"reproduce its content (rows $rows vs ${e.rows}); aborting " +
-            "with nothing committed")
-    }
-    val entries = fat.map { e =>
-      val tBucket = System.nanoTime()
-      val staged = staging.resolve(s"__part=${escapePart(e.value)}")
-      val target = dataDir(root).resolve(s"${snap.partitionCol}=${escapePart(e.value)}")
-      val moved = listDir(staged)(_.filter(
-          _.getFileName.toString.endsWith(".parquet")).toList).map { f =>
-        val t = target.resolve(f.getFileName.toString)
-        if (Files.exists(t))
-          throw new IllegalStateException(s"icelite: file collision at $t")
-        Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
-        f.getFileName.toString
+    // The staging copy must not outlive this call: a verification abort
+    // or a move failure would otherwise leak a full copy of every fat
+    // bucket per attempt (vacuum does not reclaim staging dirs).
+    try {
+      val statsMap = stats.map { case (v, (rc, _)) => v -> rc }.toMap
+      fat.foreach { e =>
+        val (rows, sum) = statsMap.getOrElse(e.value, (0L, 0L))
+        if (rows != e.rows || sum != e.checksum)
+          throw new IllegalStateException(
+            s"icelite: compaction rewrite of bucket '${e.value}' does not " +
+              s"reproduce its content (rows $rows vs ${e.rows}); aborting " +
+              "with nothing committed")
       }
-      // Content is verified unchanged, so the column stats carry over.
-      PartitionEntry(e.value, e.rows, e.checksum, moved,
-        durationMs = (System.nanoTime() - tBucket) / 1000000,
-        lineage = "compact", colStats = e.colStats)
-    }
-    commitSegment(root, snap.partitionCol, entries)
-    deleteRecursively(staging)
-    fat.length
+      val entries = fat.map { e =>
+        val tBucket = System.nanoTime()
+        val staged = staging.resolve(s"__part=${escapePart(e.value)}")
+        val target = dataDir(root).resolve(s"${snap.partitionCol}=${escapePart(e.value)}")
+        val moved = listDir(staged)(_.filter(
+            _.getFileName.toString.endsWith(".parquet")).toList).map { f =>
+          val t = target.resolve(f.getFileName.toString)
+          if (Files.exists(t))
+            throw new IllegalStateException(s"icelite: file collision at $t")
+          Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
+          f.getFileName.toString
+        }
+        // Content is verified unchanged, so the column stats carry over.
+        PartitionEntry(e.value, e.rows, e.checksum, moved,
+          durationMs = (System.nanoTime() - tBucket) / 1000000,
+          lineage = "compact", colStats = e.colStats)
+      }
+      commitSegment(root, snap.partitionCol, entries)
+      fat.length
+    } finally deleteRecursively(staging)
   }
 
   /** Deletes every data file the CURRENT snapshot does not reference

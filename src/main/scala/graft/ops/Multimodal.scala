@@ -64,8 +64,14 @@ object Multimodal {
         val id = new String(
           Array(buf.get(), buf.get(), buf.get(), buf.get()), "US-ASCII")
         val size = buf.getInt()
+        // Declared sizes are untrusted: a truncated or hostile payload
+        // must fail with the documented IllegalArgumentException, not a
+        // BufferUnderflow from inside ByteBuffer.
+        require(size >= 0 && size <= buf.remaining(),
+          s"truncated/invalid chunk '$id' (size=$size, remaining=${buf.remaining()})")
         id match {
           case "fmt " =>
+            require(size >= 16, s"fmt chunk too small ($size)")
             fmt = buf.getShort()
             buf.getShort() // channels (mono assumed for the sample math)
             sr = buf.getInt()
@@ -146,7 +152,13 @@ object Multimodal {
       val maxval = readInt()
       require(maxval == 255, s"maxval $maxval unsupported")
       pos += 1 // the single whitespace byte after maxval
-      val rgb = java.util.Arrays.copyOfRange(p, pos, pos + w * h * 3)
+      // Header-declared dimensions are untrusted: copyOfRange would
+      // silently zero-pad a truncated pixel section, and w*h*3 can
+      // overflow Int for hostile headers.
+      val need = w.toLong * h * 3
+      require(w > 0 && h > 0 && need <= p.length.toLong - pos,
+        s"truncated P6 payload (${w}x$h needs $need bytes, have ${p.length - pos})")
+      val rgb = java.util.Arrays.copyOfRange(p, pos, pos + need.toInt)
       (w, h, rgb)
     }
 

@@ -303,15 +303,30 @@ object Ops {
       centRows.map(_.getSeq[Float](1).toArray)))
 
     // PQ codebooks: per subspace, nCodewords medoid SUBvectors under a
-    // per-subspace deterministic shuffle (index build is nSub tiny jobs).
+    // per-subspace deterministic shuffle. ONE corpus pass selects ALL
+    // subspaces' medoid ids (map-side top-K per subspace on the hash —
+    // "smallest (hash, vec_id)" == the old per-subspace orderBy/limit),
+    // plus one filtered fetch of the few selected vectors; the previous
+    // formulation ran nSub separate full-corpus sort jobs.
     val dim = corpus.select(size(col("embedding"))).head.getInt(0)
     require(dim % nSub == 0, s"dim $dim not divisible by nSub $nSub")
     val sub = dim / nSub
+    val picked = TopK.topKPerGroup(spark,
+      corpus.selectExpr("vec_id",
+          s"explode(transform(sequence(0, ${nSub - 1}), m -> named_struct(" +
+            "'m', m, 'h', (vec_id * (16807 + 1000003 * cast(m as bigint))) % 2147483647))) AS e")
+        .selectExpr("e.m AS m", "cast(-e.h as double) AS neg_h", "vec_id"),
+      "m", "neg_h", "vec_id", nCodewords)
+      .select(col("m"), (-col("neg_h")).cast("long").as("h"), col("vec_id"))
+      .collect()
+    val needIds = picked.map(_.getLong(2)).toSet.toSeq
+    val vecMap = corpus.filter(col("vec_id").isInCollection(needIds))
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     val cwArr = Array.tabulate(nSub) { mi =>
-      corpus.orderBy(expr(s"(vec_id * ${16807L + 1000003L * mi}) % 2147483647"),
-          col("vec_id"))
-        .limit(nCodewords).select(col("embedding")).collect()
-        .map(_.getSeq[Float](0).slice(mi * sub, (mi + 1) * sub)
+      picked.filter(_.getInt(0) == mi)
+        .sortBy(r => (r.getLong(1), r.getLong(2)))
+        .map(r => vecMap(r.getLong(2)).slice(mi * sub, (mi + 1) * sub)
           .map(_.toDouble).toArray)
     }
     val cb = spark.sparkContext.broadcast(new PqCodebook(nSub, nCodewords, sub, cwArr))
@@ -410,6 +425,16 @@ object Ops {
     * O(log diameter) convergence claim). */
   @volatile private[graft] var lastClusterRounds: Int = 0
 
+  /** SQL expression re-segmenting a single-line `text` column into
+    * '\n'-joined lines of `width` words — THE shared lined-corpus shape
+    * used by the driver queries, the bench workload and the specs (one
+    * definition so they can never diverge; the DuckDB mirror lives in
+    * SparkEntry.linedDuckCte). */
+  def relineSql(width: Int = 2): String =
+    s"CASE WHEN size(split(trim(text), '\\\\s+')) = 0 THEN '' ELSE " +
+      s"array_join(transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+'))/$width.0) as int) - 1), " +
+      s"g -> array_join(slice(split(trim(text), '\\\\s+'), g*$width+1, $width), ' ')), '\\n') END"
+
   /** Corpus-level boilerplate LINE removal (the CCNet/RefinedWeb shape):
     * lines whose normalized fingerprint appears in >= `minDocs` distinct
     * documents are dropped from every document; surviving lines are
@@ -504,8 +529,13 @@ object Ops {
     * key is -page_id as double: exact for |page_id| < 2^53. */
   def domainCap(spark: SparkSession, pages: DataFrame,
                 maxPerDomain: Int): DataFrame = {
+    // Scheme matching is case-insensitive and the host lowercased —
+    // 'HTTPS://Host-1.Example/..' must group with its lowercase twin, not
+    // collapse into a shared '' domain (which would cap unrelated pages
+    // against each other and silently drop rows).
     val withDomain = pages
-      .withColumn("domain", regexp_extract(col("url"), "^[a-z]+://([^/]+)", 1))
+      .withColumn("domain", lower(regexp_extract(col("url"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)))
       .withColumn("__neg_id", -col("page_id").cast("double"))
     TopK.topKPerGroup(spark, withDomain, "domain", "__neg_id", "page_id", maxPerDomain)
       .select(col("domain"), col("page_id"), col("rank").as("rnk"))
@@ -569,8 +599,15 @@ object Ops {
     * oracle proves it inverts the pages synthesis byte-exactly. */
   def htmlToText(pages: DataFrame, htmlCol: String = "html"): DataFrame = {
     val s0 = s"cast($htmlCol as string)"
-    val noScript = s"regexp_replace($s0, '(?s)<(script|style)[^>]*>.*?</(script|style)>', '')"
-    val noComment = s"regexp_replace($noScript, '(?s)<!--.*?-->', '')"
+    // script and style strip in SEPARATE passes: a combined alternation
+    // '(script|style)...</(script|style)>' lets a lazy match close a
+    // <script> block at a '</style>', leaking script text into the
+    // output (RE2 has no backreferences, so two passes is the portable
+    // fix — and matches the HTML rule that only the own end tag closes
+    // the block).
+    val noScript = s"regexp_replace($s0, '(?s)<script[^>]*>.*?</script>', '')"
+    val noStyle = s"regexp_replace($noScript, '(?s)<style[^>]*>.*?</style>', '')"
+    val noComment = s"regexp_replace($noStyle, '(?s)<!--.*?-->', '')"
     val noTags = s"regexp_replace($noComment, '<[^>]*>', '')"
     // &amp; last so it cannot re-expand; the apostrophe goes through
     // chr(39) to stay dialect-safe (no quote escaping differences).
@@ -592,8 +629,15 @@ object Ops {
     val hostNoPort =
       s"regexp_replace($host, ':(80|443)$$', '')"
     val rest = s"regexp_extract($urlCol, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^#]*)', 1)"
-    val noUtm = s"regexp_replace($rest, 'utm_[^&#]*&?', '')"
-    val trimmed = s"regexp_replace($noUtm, '[?&]+$$', '')"
+    // Strip utm params ONLY at a parameter boundary ([?&]utm_...): an
+    // unanchored 'utm_' pattern would also fire inside path segments or
+    // other parameter names ('/utm_guide', 'myutm_x=1') and eat
+    // unrelated bytes. Stripping can orphan the query: '?utm_a=1&id=2'
+    // loses its '?', so the first '&' with no '?' before it is promoted
+    // back to '?' (anchored pattern — applies at most once).
+    val noUtm = s"regexp_replace($rest, '[?&]utm_[^&#]*', '')"
+    val fixed = s"regexp_replace($noUtm, '^([^?]*)&', '$$1?')"
+    val trimmed = s"regexp_replace($fixed, '[?&]+$$', '')"
     pages.withColumn("norm_url",
       expr(s"concat($scheme, '://', $hostNoPort, $trimmed)"))
   }

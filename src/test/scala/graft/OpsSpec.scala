@@ -419,13 +419,20 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
       (1L, "HTTPS://Ex.Example:443/a/b?utm_source=x&id=7&utm_c=y#frag"),
       (2L, "http://h.example:80/p?utm_only=1"),
       (3L, "https://ok.example/clean?id=1"),
-      (4L, "https://keep.example:8080/p")).toDF("doc_id", "url")
+      (4L, "https://keep.example:8080/p"),
+      (5L, "https://ex.example/utm_guide?id=1"),      // 'utm_' in the PATH
+      (6L, "https://ex.example/p?a=1&myutm_x=2"),     // 'utm_' inside a name
+      (7L, "https://ex.example/p?utm_a=1&utm_b=2&id=3")).toDF("doc_id", "url")
     val out = Ops.normalizeUrls(urls).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
     assert(out(1L) == "https://ex.example/a/b?id=7")
     assert(out(2L) == "http://h.example/p")
     assert(out(3L) == "https://ok.example/clean?id=1")
     assert(out(4L) == "https://keep.example:8080/p") // non-default port kept
+    // Only parameter-boundary utm_ strips; paths and other params survive.
+    assert(out(5L) == "https://ex.example/utm_guide?id=1")
+    assert(out(6L) == "https://ex.example/p?a=1&myutm_x=2")
+    assert(out(7L) == "https://ex.example/p?id=3")
   }
 
   test("lineDedup removes exactly the corpus-frequent lines, preserving order") {
@@ -453,9 +460,7 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     // 2-word lines (single-word lines are ALL corpus-frequent here, and an
     // all-boilerplate corpus lets AQE fold the empty kept-side join away).
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .selectExpr("doc_id",
-        "array_join(transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+'))/2.0) as int) - 1), " +
-          "g -> array_join(slice(split(trim(text), '\\\\s+'), g*2+1, 2), ' ')), '\\n') AS text")
+      .selectExpr("doc_id", graft.ops.Ops.relineSql(2) + " AS text")
     val out = Ops.lineDedup(spark, docs, minDocs = 5)
     assert(out.agg(sum("n_kept")).head.getLong(0) > 0, "kept lines must survive")
     val shuffles = shuffleOutputs(out)
@@ -495,9 +500,7 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
       (100004L, "z"), (100005L, "w w w w\nw w\nw w"),
       (100006L, " padded \n padded ")).toDF("doc_id", "text")
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .selectExpr("doc_id",
-        "array_join(transform(sequence(0, cast(ceil(size(split(trim(text), '\\\\s+'))/2.0) as int) - 1), " +
-          "g -> array_join(slice(split(trim(text), '\\\\s+'), g*2+1, 2), ' ')), '\\n') AS text")
+      .selectExpr("doc_id", graft.ops.Ops.relineSql(2) + " AS text")
       .unionByName(edges)
     def key(df: org.apache.spark.sql.DataFrame) = df.selectExpr(
       "doc_id", "n_lines", "n_words",
@@ -522,6 +525,15 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
       .filter(col("rnk") <= 3).select("domain", "page_id", "rnk")
     assert(capped.except(expect).isEmpty && expect.except(capped).isEmpty)
     assert(capped.groupBy("domain").count().agg(max("count")).head.getLong(0) <= 3)
+    // Mixed-case schemes/hosts group under the lowercased real host, never
+    // a shared '' domain (which would cap unrelated pages together).
+    import spark.implicits._
+    val mixed = Seq((1L, "HTTPS://Host-1.Example/a"), (2L, "https://host-1.example/b"),
+      (3L, "HTTP://Other.Example/c")).toDF("page_id", "url")
+    val got = Ops.domainCap(spark, mixed, maxPerDomain = 5).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("host-1.example", 1L), ("host-1.example", 2L),
+      ("other.example", 3L)))
   }
 
   test("hashSplit is deterministic, content-addressed, and honors percentages") {
