@@ -153,36 +153,68 @@ object Icelite {
     // A crash between a promote and its commit only re-stages the
     // uncommitted buckets of the open batch on resume (idempotent
     // overwrite on promote).
-    val batchSize = math.max(1, stats.length / 64)
+    val statsMap = stats.toMap
+    val computed = promoteStaged(root, partitionCol, staging,
+      stats.map(_._1), failAfter, replaceTarget = true) { (v, files, ms) =>
+      val ((rows, checksum), colStats) = statsMap(v)
+      PartitionEntry(v, rows, checksum, files,
+        durationMs = ms, lineage = lineage, colStats = colStats)
+    }
+    deleteRecursively(staging)
+    computed
+  }
+
+  /** Shared promote loop (writes, appends, compaction): per bucket, move
+    * the staged files into the live partition directory (atomic moves;
+    * `replaceTarget` replaces the whole directory — the resumable-write
+    * overwrite — while appends/compaction add files into it with a
+    * collision check), then commit manifest entries in adaptive batches
+    * (~64 commits max per run regardless of bucket count; driver-side
+    * only — no further Spark jobs). A crash between a promote and its
+    * commit only re-stages the uncommitted buckets of the open batch on
+    * resume. `failAfter` injects that crash for the specs: pending
+    * entries are deliberately NOT flushed. durationMs passed to
+    * `mkEntry` is per-bucket promote time (staging is one shared job and
+    * not attributable to a single bucket). */
+  private def promoteStaged(root: String, partitionCol: String, staging: Path,
+                            values: Seq[String], failAfter: Int,
+                            replaceTarget: Boolean)
+                           (mkEntry: (String, Seq[String], Long) => PartitionEntry): Int = {
+    val batchSize = math.max(1, values.length / 64)
     val pending = mutable.ArrayBuffer.empty[PartitionEntry]
     var computed = 0
     def flush(): Unit = if (pending.nonEmpty) {
       commitSegment(root, partitionCol, pending.toSeq)
       pending.clear()
     }
-    for ((v, ((rows, checksum), colStats)) <- stats) {
+    for (v <- values) {
       if (computed >= failAfter)
-        // Simulated crash: pending (promoted-but-uncommitted) buckets are
-        // deliberately NOT flushed — resume re-stages and re-promotes them
-        // idempotently, exactly as after a real crash.
         throw new RuntimeException(s"icelite: injected failure after $failAfter buckets")
       val tBucket = System.nanoTime()
       val staged = staging.resolve(s"__part=${escapePart(v)}")
       val target = dataDir(root).resolve(s"$partitionCol=${escapePart(v)}")
-      if (Files.exists(target)) deleteRecursively(target)
-      Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
-      val files = listDir(target)(_.map(_.getFileName.toString)
-        .filter(_.endsWith(".parquet")).toSeq)
-      // durationMs is the per-bucket promote time (staging is one shared
-      // job and is not attributable to a single bucket).
-      pending += PartitionEntry(v, rows, checksum, files,
-        durationMs = (System.nanoTime() - tBucket) / 1000000, lineage = lineage,
-        colStats = colStats)
+      val files =
+        if (replaceTarget) {
+          if (Files.exists(target)) deleteRecursively(target)
+          Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+          listDir(target)(_.map(_.getFileName.toString)
+            .filter(_.endsWith(".parquet")).toSeq)
+        } else {
+          Files.createDirectories(target)
+          listDir(staged)(_.filter(
+              _.getFileName.toString.endsWith(".parquet")).toList).map { f =>
+            val t = target.resolve(f.getFileName.toString)
+            if (Files.exists(t))
+              throw new IllegalStateException(s"icelite: file collision at $t")
+            Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
+            f.getFileName.toString
+          }
+        }
+      pending += mkEntry(v, files, (System.nanoTime() - tBucket) / 1000000)
       if (pending.length >= batchSize) flush()
       computed += 1
     }
     flush()
-    deleteRecursively(staging)
     computed
   }
 
@@ -287,28 +319,10 @@ object Icelite {
       root, partitionCol, df.columns.filterNot(_ == partitionCol),
       statsFromStaged = true)
 
-    val batchSize = math.max(1, stats.length / 64)
-    val pending = mutable.ArrayBuffer.empty[PartitionEntry]
-    var computed = 0
-    def flush(): Unit = if (pending.nonEmpty) {
-      commitSegment(root, partitionCol, pending.toSeq)
-      pending.clear()
-    }
-    for ((v, ((rows, checksum), colStats)) <- stats) {
-      if (computed >= failAfter)
-        throw new RuntimeException(s"icelite: injected failure after $failAfter buckets")
-      val tBucket = System.nanoTime()
-      val staged = staging.resolve(s"__part=${escapePart(v)}")
-      val target = dataDir(root).resolve(s"$partitionCol=${escapePart(v)}")
-      Files.createDirectories(target)
-      val moved = listDir(staged)(_.filter(
-          _.getFileName.toString.endsWith(".parquet")).toList).map { f =>
-        val t = target.resolve(f.getFileName.toString)
-        if (Files.exists(t))
-          throw new IllegalStateException(s"icelite: file collision at $t")
-        Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
-        f.getFileName.toString
-      }
+    val statsMap = stats.toMap
+    val computed = promoteStaged(root, partitionCol, staging,
+      stats.map(_._1), failAfter, replaceTarget = false) { (v, moved, ms) =>
+      val ((rows, checksum), colStats) = statsMap(v)
       val old = current.get(v)
       // Column stats compose under append: min of mins / max of maxes,
       // kept only for columns BOTH sides have stats for (an absent range
@@ -321,17 +335,12 @@ object Icelite {
           }
         }
       }
-      pending += PartitionEntry(v,
+      PartitionEntry(v,
         old.map(_.rows).getOrElse(0L) + rows,
         old.map(_.checksum).getOrElse(0L) ^ checksum,
         old.map(_.files).getOrElse(Seq.empty) ++ moved,
-        durationMs = (System.nanoTime() - tBucket) / 1000000,
-        lineage = runId,
-        colStats = mergedStats)
-      if (pending.length >= batchSize) flush()
-      computed += 1
+        durationMs = ms, lineage = runId, colStats = mergedStats)
     }
-    flush()
     deleteRecursively(staging)
     computed
   }
@@ -374,25 +383,17 @@ object Icelite {
               s"reproduce its content (rows $rows vs ${e.rows}); aborting " +
               "with nothing committed")
       }
-      val entries = fat.map { e =>
-        val tBucket = System.nanoTime()
-        val staged = staging.resolve(s"__part=${escapePart(e.value)}")
-        val target = dataDir(root).resolve(s"${snap.partitionCol}=${escapePart(e.value)}")
-        val moved = listDir(staged)(_.filter(
-            _.getFileName.toString.endsWith(".parquet")).toList).map { f =>
-          val t = target.resolve(f.getFileName.toString)
-          if (Files.exists(t))
-            throw new IllegalStateException(s"icelite: file collision at $t")
-          Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
-          f.getFileName.toString
-        }
-        // Content is verified unchanged, so the column stats carry over.
-        PartitionEntry(e.value, e.rows, e.checksum, moved,
-          durationMs = (System.nanoTime() - tBucket) / 1000000,
-          lineage = "compact", colStats = e.colStats)
+      val byValue = fat.map(e => e.value -> e).toMap
+      // Content is verified unchanged, so the column stats carry over.
+      // Batched commits mean a crash mid-compaction leaves a partially
+      // compacted (still consistent) table; a retry compacts the rest.
+      promoteStaged(root, snap.partitionCol, staging,
+        fat.map(_.value).sorted, Int.MaxValue, replaceTarget = false) {
+        (v, moved, ms) =>
+          val e = byValue(v)
+          PartitionEntry(e.value, e.rows, e.checksum, moved,
+            durationMs = ms, lineage = "compact", colStats = e.colStats)
       }
-      commitSegment(root, snap.partitionCol, entries)
-      fat.length
     } finally deleteRecursively(staging)
   }
 
