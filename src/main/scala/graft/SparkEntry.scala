@@ -595,6 +595,12 @@ object SparkEntry {
       Ops.tokenCounts(table(s, dir, "documents"))
     }),
 
+    // Tokenizer-vocab building: corpus vocabulary with exact occurrence
+    // and document frequencies above a threshold.
+    "vocab" -> ((s, dir) => {
+      Ops.vocab(table(s, dir, "documents"), minCount = 50)
+    }),
+
     "lang_id" -> ((s, dir) => {
       Ops.langId(s, table(s, dir, "documents"))
         .select("doc_id", "lang", "predicted")
@@ -1235,6 +1241,15 @@ object SparkEntry {
                length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
         FROM documents
       """,
+
+      "vocab" -> {
+        import OracleDialect._
+        s"""
+        SELECT word, count(*) AS cnt, count(DISTINCT doc_id) AS df
+        FROM (SELECT doc_id, unnest(${words("text")}) AS word FROM documents)
+        GROUP BY word HAVING count(*) >= 50
+      """
+      },
 
       "token_counts" -> """
         SELECT doc_id,

@@ -699,6 +699,17 @@ object Ops {
     docs.selectExpr("doc_id", "doc_fingerprint(text) AS fingerprint")
   }
 
+  /** Corpus vocabulary with occurrence and document frequencies, above a
+    * min occurrence count — the tokenizer-vocab building step. One
+    * explode + hash aggregation; the exchange carries (word, doc_id)
+    * pairs for the exact df and nothing else. */
+  def vocab(docs: DataFrame, minCount: Long = 2): DataFrame =
+    docs.select(col("doc_id"),
+        explode(split(trim(col("text")), "\\s+")).as("word"))
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
+      .filter(col("cnt") >= minCount)
+
   /** Language ID: character-trigram profiles built from a labeled sample of
     * the corpus itself, then classification by profile overlap. Returns
     * (doc_id, lang, predicted, score). */

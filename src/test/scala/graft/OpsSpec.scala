@@ -256,6 +256,31 @@ class TopKSpec extends org.scalatest.funsuite.AnyFunSuite {
 
 /** Multimodal codecs (real WAV/PPM + stub fallback) and stage dataflow. */
 class MultimodalStagesSpec extends org.scalatest.funsuite.AnyFunSuite {
+  test("codec round-trips hold under randomized payloads; truncation rejects") {
+    import graft.ops.Multimodal.RealCodec
+    val rnd = new scala.util.Random(4242)
+    for (_ <- 1 to 30) {
+      val n = 1 + rnd.nextInt(5000)
+      val samples = Array.fill(n)(rnd.nextInt(65536) - 32768).map(_.toShort)
+      val sr = 8000 + rnd.nextInt(40000)
+      val wav = RealCodec.wavEncode(samples, sr)
+      val (dsr, dec) = RealCodec.wavDecode(wav)
+      assert(dsr == sr && java.util.Arrays.equals(dec, samples))
+      // Any strict prefix of the byte stream must reject, not underflow.
+      val cut = 13 + rnd.nextInt(wav.length - 14)
+      intercept[IllegalArgumentException] { RealCodec.wavDecode(wav.take(cut)) }
+
+      val (w, h) = (1 + rnd.nextInt(40), 1 + rnd.nextInt(40))
+      val rgb = Array.fill(w * h * 3)(rnd.nextInt(256).toByte)
+      val ppm = RealCodec.ppmEncode(w, h, rgb)
+      val (dw, dh, drgb) = RealCodec.ppmDecode(ppm)
+      assert(dw == w && dh == h && java.util.Arrays.equals(drgb, rgb))
+      intercept[IllegalArgumentException] {
+        RealCodec.ppmDecode(ppm.take(ppm.length - 1 - rnd.nextInt(rgb.length)))
+      }
+    }
+  }
+
   test("real WAV and PPM codecs round-trip bit-exactly; dispatch falls back") {
     import graft.ops.Multimodal.{Codec, FakeCodec, RealCodec}
     // WAV: encode -> decode returns the exact samples and rate.
