@@ -36,9 +36,17 @@ object DistributedDissolve {
 
     // One cheap agg decides the path: homogeneous input (the common case)
     // skips the ancestor dedup and the per-group max-res join entirely.
-    val Array(minRes, maxRes) = cells
+    val resRow = cells
       .agg(min(expr("h3_get_resolution(cell)")), max(expr("h3_get_resolution(cell)")))
-      .collect()(0) match { case r => Array(r.getInt(0), r.getInt(1)) }
+      .collect()(0)
+    if (resRow.isNullAt(0)) {
+      // Empty input: min/max over zero rows are null — return an empty
+      // (groupCol, geojson) frame rather than NPE on getInt.
+      import spark.implicits._
+      return Seq.empty[(Long, String)].toDF(groupCol, "geojson")
+        .select(col(groupCol).cast(df.schema(groupCol).dataType), col("geojson"))
+    }
+    val (minRes, maxRes) = (resRow.getInt(0), resRow.getInt(1))
 
     val edges =
       if (minRes == maxRes)

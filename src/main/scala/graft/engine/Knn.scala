@@ -133,29 +133,43 @@ object Knn {
             ptsC.join(disks, col("__cell") === col(s"__pcell$level"))
         }
 
-      val ranked = rank(cand).cache()
+      // Eager localCheckpoint instead of cache: ranked is small (<= k rows
+      // per remaining query) and the checkpoint truncates its lineage, so
+      // no per-round cache has to stay alive for the lifetime of the
+      // escalation ladder (they used to leak until the session ended) —
+      // checkpoint blocks are released by the ContextCleaner once the
+      // round's frames are garbage-collected.
+      val ranked = rank(cand).localCheckpoint()
 
       if (bruteRound) {
         result = if (result == null) ranked else result.unionByName(ranked)
+        remaining.unpersist(blocking = false)
         done = true
       } else {
         val safe = safeRadiusM(levels(round), rings(round))
-        // okQids is tiny (<= one row per remaining query); caching it and
-        // counting it replaces the old second materialization
+        // okQids is tiny (<= one row per remaining query); checkpointing
+        // and counting it replaces the old second materialization
         // (remaining.count() after a left_anti join) — one small job per
         // round instead of two.
         val okQids = ranked.groupBy("qid")
           .agg(count(lit(1)).as("n"), max("dist_m").as("kth"))
           .filter(col("n") === k && col("kth") <= lit(safe))
           .select("qid")
-          .cache()
+          .localCheckpoint()
         val nOk = okQids.count()
         val settled = ranked.join(okQids, "qid")
         result = if (result == null) settled else result.unionByName(settled)
-        if (nOk == remainingCount) done = true
-        else {
+        if (nOk == remainingCount) {
+          remaining.unpersist(blocking = false)
+          done = true
+        } else {
           remainingCount -= nOk
-          remaining = remaining.join(okQids, Seq("qid"), "left_anti")
+          // The unsettled set shrinks every round: checkpoint the new one
+          // (small) and release the previous round's cache immediately.
+          val next = remaining.join(okQids, Seq("qid"), "left_anti")
+            .localCheckpoint()
+          remaining.unpersist(blocking = false)
+          remaining = next
           // Entering an escalation round: every later round rescans the
           // full point set, so NOW the one-time cache pays for itself.
           if (!ptsCached) { ptsC = ptsC.cache(); ptsCached = true }

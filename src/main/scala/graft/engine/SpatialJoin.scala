@@ -180,20 +180,30 @@ object SpatialJoin {
     // keys at every ladder resolution. Cell values at different
     // resolutions never collide (the res nibble differs), so one join key
     // column serves the whole ladder.
-    val ladder = Geo.coverLadder(res)
     val covers = polygons
       .select(col("poly_id"), expr(s"h3_polygon_to_cells_annotated(geojson, $res)"))
       .select("poly_id", "cell", "full")
-    val probeCells = array(ladder.map { r =>
+    // Probe only the cover resolutions PRESENT in the table, discovered by
+    // a tiny size-hint-only scan (h3_cover_res applies the same policy the
+    // generator does, no tiling) — when every polygon covers at one
+    // resolution (the common case) the probe emits 1 candidate row per
+    // point instead of |ladder| (up to 4x fewer rows through the join).
+    val ladder = polygons
+      .select(expr(s"h3_cover_res(geojson, $res)").as("r"))
+      .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    def ancAt(r: Int): Column =
       if (r == res) col(cellCol) else expr(s"h3_cell_to_parent($cellCol, $r)")
-    }: _*)
+    // Single present resolution: one bit-op column, no Generate node —
+    // the join stage stays a straight codegen pipeline (mirrors pipJoin).
+    val probe =
+      if (ladder.size == 1) points.withColumn("__anc", ancAt(ladder.head))
+      else points.withColumn("__anc", explode(array(ladder.map(ancAt): _*)))
     val geo = polygons.select(col("poly_id"), col("geojson"))
     if (broadcastPolygons) {
       // Single pass: the candidate join and the geometry lookup are both
       // broadcasts, so points are scanned once and the || short-circuits
       // the ray cast on fully-contained cells.
-      points
-        .withColumn("__anc", explode(probeCells))
+      probe
         .join(broadcast(covers), col("__anc") === covers("cell"))
         .join(broadcast(geo), "poly_id")
         .filter(col("full") || expr("h3_point_in_polygon(lat, lng, geojson)"))
@@ -202,8 +212,7 @@ object SpatialJoin {
       // Huge polygon tables: shuffle the id-only candidate join, accept
       // full cells outright, and shuffle the geometry onto boundary rows
       // only (the candidate exchange is reused across both branches).
-      val cand = points
-        .withColumn("__anc", explode(probeCells))
+      val cand = probe
         .join(covers, col("__anc") === covers("cell"))
       val fullHits = cand.filter(col("full")).drop("__anc", "cell", "full")
       val boundary = cand.filter(!col("full"))

@@ -73,7 +73,9 @@ object Multimodal {
           case "fmt " =>
             require(size >= 16, s"fmt chunk too small ($size)")
             fmt = buf.getShort()
-            buf.getShort() // channels (mono assumed for the sample math)
+            val channels = buf.getShort()
+            require(channels == 1,
+              s"mono only (channels=$channels) — stereo would silently decode as interleaved mono")
             sr = buf.getInt()
             buf.getInt() // byte rate
             buf.getShort() // block align

@@ -449,7 +449,8 @@ object Ops {
     * corpora, run per domain bucket (header/footer boilerplate is
     * domain-local): add the domain to the groupBy key. */
   def lineDedup(spark: SparkSession, docs: DataFrame,
-                minDocs: Int = 2): DataFrame = {
+                minDocs: Int = 2,
+                broadcastMaxFps: Int = 4 << 20): DataFrame = {
     OpsFunctions.register(spark)
     require(minDocs >= 2, s"minDocs=$minDocs (a line always appears in its own doc)")
     val lines = docs.select(col("doc_id"),
@@ -459,18 +460,47 @@ object Ops {
       .agg(countDistinct("doc_id").as("df"))
       .filter(col("df") >= minDocs)
       .select("line_fp")
-    val kept = lines.join(boiler, Seq("line_fp"), "left_anti")
-    val agg = kept.groupBy("doc_id").agg(
-      count(lit(1)).as("n_kept"),
-      expr("array_join(transform(array_sort(collect_list(struct(pos, line))), " +
-        "s -> s.line), '\\n')").as("clean_text"))
-    val tot = docs.select(col("doc_id"),
-      size(split(col("text"), "\n")).as("n_lines"))
-    tot.join(agg, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_lines"),
-        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+
+    // Fast path (the common case): the boilerplate set is tiny relative
+    // to the corpus. Collect it (capped), broadcast the sorted fingerprint
+    // array, and filter + reassemble each document IN PLACE with one
+    // codegen kernel — no anti-join and no groupBy(doc_id) reassembly, so
+    // the corpus text crosses ZERO exchanges (the df aggregation above
+    // still runs but moves only (line_fp, doc_id) pairs). The cap bounds
+    // driver/executor memory (default 4M fps = 32 MB); above it the
+    // shuffle formulation below remains the big-boiler fallback.
+    val fpRows = boiler.limit(broadcastMaxFps + 1).collect()
+    if (fpRows.length <= broadcastMaxFps) {
+      val fps = new Array[Long](fpRows.length)
+      var i = 0
+      while (i < fps.length) { fps(i) = fpRows(i).getLong(0); i += 1 }
+      java.util.Arrays.sort(fps)
+      val bc = spark.sparkContext.broadcast(fps)
+      val r = org.apache.spark.sql.GraftBridge.column(DropBoilerLinesExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), bc))
+      docs.select(col("doc_id"), r.as("__r"))
+        .select(col("doc_id"), col("__r.n_lines").as("n_lines"),
+          col("__r.n_kept").as("n_kept"), col("__r.clean_text").as("clean_text"))
+    } else {
+      val kept = lines.join(boiler, Seq("line_fp"), "left_anti")
+      val agg = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, line))), " +
+          "s -> s.line), '\\n')").as("clean_text"))
+      val tot = docs.select(col("doc_id"),
+        size(split(col("text"), "\n")).as("n_lines"))
+      tot.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }
   }
+
+  /** The shuffle formulation of [[lineDedup]], exposed for the
+    * fast-path-equivalence spec (and for callers that want to force it). */
+  def lineDedupShuffle(spark: SparkSession, docs: DataFrame,
+                       minDocs: Int = 2): DataFrame =
+    lineDedup(spark, docs, minDocs, broadcastMaxFps = -1)
 
   /** Gopher-style repetition quality signals, computed per row (no shuffle
     * at all): duplicate-line fraction, fraction of characters inside
@@ -706,6 +736,9 @@ object Ops {
   def vocab(docs: DataFrame, minCount: Long = 2): DataFrame =
     docs.select(col("doc_id"),
         explode(split(trim(col("text")), "\\s+")).as("word"))
+      // split(trim(''), '\s+') yields [''] — drop it to match the
+      // OracleDialect.words zero-words guard for empty/whitespace docs.
+      .filter(col("word") =!= "")
       .groupBy("word")
       .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
       .filter(col("cnt") >= minCount)

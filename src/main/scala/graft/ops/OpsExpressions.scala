@@ -25,6 +25,30 @@ object OpsKernel {
 
   def fingerprint(text: UTF8String): Long = TextKernel.fingerprint(text.toString)
 
+  /** Boilerplate-line removal in ONE per-row pass against a sorted
+    * fingerprint array: lines = split(text, '\n'), a line is dropped iff
+    * its fingerprint is in the set, survivors re-join with '\n'. Output
+    * (n_lines, n_kept, clean_text) matches the shuffle formulation in
+    * [[Ops.lineDedup]] exactly (all-dropped docs yield "" with n_kept 0);
+    * the equivalence is spec-pinned and oracle-checked. */
+  def dropBoilerLines(textU: UTF8String, fps: Array[Long]): InternalRow = {
+    val text = textU.toString
+    val lines = text.split("\n", -1)
+    val sb = new java.lang.StringBuilder(text.length)
+    var kept = 0L
+    var i = 0
+    while (i < lines.length) {
+      val fp = TextKernel.fingerprint(lines(i))
+      if (java.util.Arrays.binarySearch(fps, fp) < 0) {
+        if (kept > 0) sb.append('\n')
+        sb.append(lines(i))
+        kept += 1
+      }
+      i += 1
+    }
+    InternalRow(lines.length, kept, UTF8String.fromString(sb.toString))
+  }
+
   def jaccard(a: UTF8String, b: UTF8String, k: Int): Double =
     TextKernel.jaccard(a.toString, b.toString, k)
 
@@ -537,6 +561,30 @@ case class PqAdcExpr(tbl: Expression, qn2: Expression, codes: Expression,
   }
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(tbl = f, qn2 = s, codes = t)
+}
+
+/** Per-row boilerplate-line removal against a broadcast sorted fingerprint
+  * set — the zero-shuffle lineDedup fast path: the corpus text never moves,
+  * only the (small) boilerplate set does. */
+case class DropBoilerLinesExpr(text: Expression,
+                               fps: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def child: Expression = text
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def prettyName: String = "drop_boiler_lines"
+  override protected def nullSafeEval(t: Any): Any =
+    OpsKernel.dropBoilerLines(t.asInstanceOf[UTF8String], fps.value)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("boilerFps", fps,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, t =>
+      s"graft.ops.OpsKernel.dropBoilerLines($t, (long[]) $ref.value())")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(text = c)
 }
 
 /** `n` nearest centroid ids of a vector against a broadcast [[CentroidSet]]

@@ -32,7 +32,12 @@ object OpsFunctions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      // Idempotent: re-registering every call spammed a "replaced a
+      // previously registered function" WARN per function per operator
+      // invocation into every log/artifact.
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
   }
 }

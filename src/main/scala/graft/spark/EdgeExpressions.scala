@@ -443,6 +443,13 @@ object GeoCache {
     c
   }
 
+  /** The adaptive cover resolution [[annotatedCover]] will pick for this
+    * geometry at probe resolution `res` — a size-hint computation only
+    * (no tiling), so the probe side can discover the distinct cover
+    * resolutions of a whole polygon table with one cheap scan. */
+  def coverRes(geojson: org.apache.spark.unsafe.types.UTF8String, res: Int): Int =
+    graft.h3.Geo.adaptiveCoverRes(parse(geojson), res)
+
   /** Exact ray-cast point-in-polygon over the (cached) geometry. */
   def contains(latDeg: Double, lngDeg: Double,
                geojson: org.apache.spark.unsafe.types.UTF8String): Boolean = {
@@ -475,6 +482,25 @@ case class PointInPolygonExpr(lat: Expression, lng: Expression, geojson: Express
     defineCodeGen(ctx, ev, (a, b, g) => s"graft.spark.GeoCache.contains($a, $b, $g)")
   override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
     copy(lat = f, lng = s, geojson = t)
+}
+
+/** Cover resolution the annotated-cover generator ([[PolygonToCellsAnnotatedGen]])
+  * will pick for a geometry at probe res — size-hint only, no tiling.
+  * Lets pipJoinPolygonTable explode probe points by the resolutions
+  * actually present in the table instead of the full cover ladder. */
+case class CoverResExpr(geojson: Expression, res: Expression)
+    extends BinaryExpression {
+  override def left: Expression = geojson
+  override def right: Expression = res
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "h3_cover_res"
+  override protected def nullSafeEval(g: Any, r: Any): Any =
+    GeoCache.coverRes(g.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      r.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (g, r) => s"graft.spark.GeoCache.coverRes($g, $r)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(geojson = l, res = r)
 }
 
 /** Generator: annotated polygon cover — (cell, full) rows where `full`

@@ -63,6 +63,7 @@ object H3Functions {
     "h3_grid_path_cells" -> (es => GridPathCellsGen(lng(es(0)), lng(es(1)))),
     "h3_polygon_to_cells" -> (es => PolygonToCellsGen(str(es(0)), int(es(1)), int(es(2)))),
     "h3_polygon_to_cells_annotated" -> (es => PolygonToCellsAnnotatedGen(str(es(0)), int(es(1)))),
+    "h3_cover_res" -> (es => CoverResExpr(str(es(0)), int(es(1)))),
     "h3_point_in_polygon" -> (es => PointInPolygonExpr(dbl(es(0)), dbl(es(1)), str(es(2)))),
     // Directed edges.
     "h3_cells_to_directed_edge" -> (es => CellsToEdge(lng(es(0)), lng(es(1)))),
@@ -118,7 +119,12 @@ object H3Functions {
   def register(spark: SparkSession): Unit = {
     val registry = spark.sessionState.functionRegistry
     all.foreach { case (name, builder) =>
-      registry.createOrReplaceTempFunction(name, builder, "built-in")
+      // Idempotent: skip names already present so repeated register()
+      // calls (one per operator entry) don't emit hundreds of
+      // "replaced a previously registered function" WARNs.
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
     // Idempotent optimizer-rule injection (experimental methods allow
     // post-session registration; dedup by reference).

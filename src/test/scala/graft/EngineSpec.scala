@@ -617,6 +617,49 @@ class PolygonTableJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(viaTable == viaSeq && viaTable.nonEmpty)
   }
 
+  test("probe ladder prunes to the cover resolutions present in the table") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{GenerateExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def generates(df: org.apache.spark.sql.DataFrame): Int = {
+      var n = 0
+      def walk(p: SparkPlan): Unit = {
+        p match {
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case q: QueryStageExec => walk(q.plan)
+          case g: GenerateExec if g.output.exists(_.name == "__anc") => n += 1
+          case _ =>
+        }
+        p.children.foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      n
+    }
+    val pts = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+    // h3_cover_res (size hint only) must agree with the resolution the
+    // annotated-cover generator actually emits, per polygon — the pruning
+    // is only sound if the two apply one policy.
+    val polyTable = Seq("Paris", "SanFranciscoHole", "Rabi").zipWithIndex
+      .map { case (n2, i) => ((i + 1).toLong, shapeJson(n2)) }
+      .toDF("poly_id", "geojson")
+    val byFn = polyTable
+      .select($"poly_id", expr("h3_cover_res(geojson, 9)").as("r"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val byGen = polyTable
+      .select($"poly_id", expr("h3_polygon_to_cells_annotated(geojson, 9)"))
+      .select($"poly_id", expr("h3_get_resolution(cell)").as("r"))
+      .distinct().collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(byFn == byGen, s"policy divergence: fn=$byFn gen=$byGen")
+    // All three shapes cover at ONE resolution -> no Generate node at all:
+    // the probe is a single bit-op ancestor column, 1 candidate row per
+    // point instead of |ladder| = 4.
+    assert(byFn.map(_._2).size == 1)
+    val single = graft.engine.SpatialJoin
+      .pipJoinPolygonTable(spark, pts, polyTable, res = 9)
+    assert(generates(single) == 0, "single-res table must not explode the probe")
+    single.limit(1).collect() // plan executes
+  }
+
   test("candidate join carries ids only; geometry joins back for boundary rows") {
     import spark.implicits._
     val pts = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")

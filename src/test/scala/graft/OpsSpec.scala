@@ -479,14 +479,14 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
       (4L, 2, 0L, ""))) // all lines removed -> empty doc, not a dropped row
   }
 
-  test("lineDedup: df aggregation shuffles fingerprints, not line text") {
+  test("lineDedup fallback: df aggregation shuffles fingerprints, not line text") {
     val spark = SparkTestBase.spark
     import spark.implicits._
     // 2-word lines (single-word lines are ALL corpus-frequent here, and an
     // all-boilerplate corpus lets AQE fold the empty kept-side join away).
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id", graft.ops.Ops.relineSql(2) + " AS text")
-    val out = Ops.lineDedup(spark, docs, minDocs = 5)
+    val out = Ops.lineDedupShuffle(spark, docs, minDocs = 5)
     assert(out.agg(sum("n_kept")).head.getLong(0) > 0, "kept lines must survive")
     val shuffles = shuffleOutputs(out)
     // The doc-frequency aggregation exchanges (line_fp, doc_id) only.
@@ -494,6 +494,28 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     // Line payloads cross the wire at most once (the per-doc reassembly);
     // the boilerplate set broadcasts into the anti join.
     assert(shuffles.count(_.exists(_ == "line")) <= 1, shuffles.toString)
+  }
+
+  test("lineDedup fast path: zero exchanges in the result plan, equals the shuffle path") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", graft.ops.Ops.relineSql(2) + " AS text")
+    val fast = Ops.lineDedup(spark, docs, minDocs = 5) // default cap -> broadcast path
+    // The corpus text never crosses an exchange: the returned plan is
+    // scan -> project(drop_boiler_lines) with NO shuffle at all (the
+    // fingerprint-only df aggregation ran eagerly at build time).
+    assert(shuffleOutputs(fast).isEmpty, shuffleOutputs(fast).toString)
+    val slow = Ops.lineDedupShuffle(spark, docs, minDocs = 5)
+    val diff = fast.exceptAll(slow).count() + slow.exceptAll(fast).count()
+    assert(diff == 0, s"fast/shuffle paths diverge on $diff rows")
+    // All-dropped docs: single-word lines are corpus-frequent -> a corpus
+    // of 1-word lines collapses to empty docs identically on both paths.
+    val docs1 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", graft.ops.Ops.relineSql(1) + " AS text").limit(50)
+    val f1 = Ops.lineDedup(spark, docs1, minDocs = 2)
+    val s1 = Ops.lineDedupShuffle(spark, docs1, minDocs = 2)
+    assert(f1.exceptAll(s1).count() + s1.exceptAll(f1).count() == 0)
   }
 
   test("repetitionSignals computes exact fractions per row, shuffle-free") {
