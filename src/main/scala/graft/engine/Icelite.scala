@@ -74,11 +74,31 @@ object Icelite {
     try f(s.iterator().asScala) finally s.close()
   }
 
+  private def snapName(id: Long): String = f"snapshot-$id%06d.json"
+
+  /** Resolves the current snapshot. CURRENT is a monotonic HINT, not the
+    * commit point: a snapshot exists the moment its file is atomically
+    * created ([[commitSegmentCas]]), so this probes FORWARD from the hint
+    * — a writer that crashed (or lost a hint race) between claiming
+    * snapshot-N and rewriting CURRENT still has its fully-written commit
+    * honored, and a regressed hint can never roll the table back. */
   private def currentMeta(root: String): Option[SnapshotMeta] = {
     val cur = manifestDir(root).resolve("CURRENT")
-    if (!Files.exists(cur)) return None
-    val p = manifestDir(root).resolve(readFile(cur).trim)
-    if (!Files.exists(p)) None else Some(parseMeta(readFile(p)))
+    var meta: Option[SnapshotMeta] = None
+    if (Files.exists(cur)) {
+      val p = manifestDir(root).resolve(readFile(cur).trim)
+      if (Files.exists(p)) meta = Some(parseMeta(readFile(p)))
+    }
+    // No hint (or dangling hint): a first commit may have crashed before
+    // writing CURRENT — start the probe at id 0.
+    var nextId = meta.map(_.id + 1).getOrElse(0L)
+    var probe = manifestDir(root).resolve(snapName(nextId))
+    while (Files.exists(probe)) {
+      meta = Some(parseMeta(readFile(probe)))
+      nextId += 1
+      probe = manifestDir(root).resolve(snapName(nextId))
+    }
+    meta
   }
 
   /** Segments are ordered and append-only; a later segment SUPERSEDES an
@@ -129,10 +149,7 @@ object Icelite {
                      statsFromStaged: Boolean = true): Int = {
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
-    // Abandoned staging dirs from a crashed run are dead data.
-    listDir(Paths.get(root))(_.filter(
-        _.getFileName.toString.startsWith(".staging-")).toList)
-      .foreach(deleteRecursively)
+    sweepStaleStaging(root)
 
     val done = completedPartitions(root)
     // `__part` drives partitionBy so the original column stays in the data
@@ -155,7 +172,9 @@ object Icelite {
     // overwrite on promote).
     val statsMap = stats.toMap
     val computed = promoteStaged(root, partitionCol, staging,
-      stats.map(_._1), failAfter, replaceTarget = true) { (v, files, ms) =>
+      stats.map(_._1), failAfter, replaceTarget = true) { (v, files, ms, _) =>
+      // Replace semantics: the staged bucket IS the bucket (fresh current
+      // entry irrelevant).
       val ((rows, checksum), colStats) = statsMap(v)
       PartitionEntry(v, rows, checksum, files,
         durationMs = ms, lineage = lineage, colStats = colStats)
@@ -179,12 +198,19 @@ object Icelite {
   private def promoteStaged(root: String, partitionCol: String, staging: Path,
                             values: Seq[String], failAfter: Int,
                             replaceTarget: Boolean)
-                           (mkEntry: (String, Seq[String], Long) => PartitionEntry): Int = {
+                           (mkEntry: (String, Seq[String], Long,
+                                      Option[PartitionEntry]) => PartitionEntry): Int = {
     val batchSize = math.max(1, values.length / 64)
-    val pending = mutable.ArrayBuffer.empty[PartitionEntry]
+    val pending = mutable.ArrayBuffer.empty[(String, Seq[String], Long)]
     var computed = 0
+    // Entries are derived inside the CAS attempt against the snapshot
+    // CURRENT at commit time (mkEntry's Option is the fresh entry for the
+    // bucket) — a concurrent appender's committed rows compose instead of
+    // being clobbered by a stale read captured at promote time.
     def flush(): Unit = if (pending.nonEmpty) {
-      commitSegment(root, partitionCol, pending.toSeq)
+      val batch = pending.toSeq
+      commitSegmentCas(root, partitionCol, cur =>
+        batch.map { case (v, files, ms) => mkEntry(v, files, ms, cur.get(v)) })
       pending.clear()
     }
     for (v <- values) {
@@ -210,7 +236,7 @@ object Icelite {
             f.getFileName.toString
           }
         }
-      pending += mkEntry(v, files, (System.nanoTime() - tBucket) / 1000000)
+      pending += ((v, files, (System.nanoTime() - tBucket) / 1000000))
       if (pending.length >= batchSize) flush()
       computed += 1
     }
@@ -304,9 +330,7 @@ object Icelite {
       "appendResumable needs a unique runId (resume identity)")
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
-    listDir(Paths.get(root))(_.filter(
-        _.getFileName.toString.startsWith(".staging-")).toList)
-      .foreach(deleteRecursively)
+    sweepStaleStaging(root)
 
     val current = currentSnapshot(root)
       .map(_.entries.map(e => e.value -> e).toMap).getOrElse(Map.empty)
@@ -321,9 +345,11 @@ object Icelite {
 
     val statsMap = stats.toMap
     val computed = promoteStaged(root, partitionCol, staging,
-      stats.map(_._1), failAfter, replaceTarget = false) { (v, moved, ms) =>
+      stats.map(_._1), failAfter, replaceTarget = false) { (v, moved, ms, old) =>
+      // `old` is the FRESH current entry at commit time (not the capture
+      // at run start), so two LIVE concurrent appenders to one bucket
+      // compose: the CAS loser re-derives against the winner's entry.
       val ((rows, checksum), colStats) = statsMap(v)
-      val old = current.get(v)
       // Column stats compose under append: min of mins / max of maxes,
       // kept only for columns BOTH sides have stats for (an absent range
       // disables pruning — safe).
@@ -359,11 +385,7 @@ object Icelite {
       throw new IllegalStateException(s"no snapshot at $root"))
     val fat = snap.entries.filter(_.files.length > maxFiles)
     if (fat.isEmpty) return 0
-    // Sweep staging leftovers from crashed/aborted runs (same policy as
-    // write/append — abandoned staging is dead data).
-    listDir(Paths.get(root))(_.filter(
-        _.getFileName.toString.startsWith(".staging-")).toList)
-      .foreach(deleteRecursively)
+    sweepStaleStaging(root)
     val df = spark.read.parquet(
       fat.flatMap(e => entryPaths(root, snap.partitionCol, e)): _*)
     val withPart = df.withColumn("__part", col(snap.partitionCol).cast("string"))
@@ -389,10 +411,17 @@ object Icelite {
       // compacted (still consistent) table; a retry compacts the rest.
       promoteStaged(root, snap.partitionCol, staging,
         fat.map(_.value).sorted, Int.MaxValue, replaceTarget = false) {
-        (v, moved, ms) =>
+        (v, moved, ms, fresh) =>
           val e = byValue(v)
-          PartitionEntry(e.value, e.rows, e.checksum, moved,
-            durationMs = ms, lineage = "compact", colStats = e.colStats)
+          // A concurrent append between verification and commit changed
+          // the bucket: our rewrite no longer represents it. Keep the
+          // fresh entry untouched (the rewrite's files become vacuum-able
+          // orphans) rather than committing a lost update.
+          fresh match {
+            case Some(f) if f.rows != e.rows || f.checksum != e.checksum => f
+            case _ => PartitionEntry(e.value, e.rows, e.checksum, moved,
+              durationMs = ms, lineage = "compact", colStats = e.colStats)
+          }
       }
     } finally deleteRecursively(staging)
   }
@@ -405,6 +434,9 @@ object Icelite {
   def vacuum(root: String): Int = {
     val snap = currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
+    // Vacuum is a quiesced maintenance op: sweep ALL staging leftovers
+    // (the routine write/append sweep is age-gated for live writers).
+    sweepStaleStaging(root, minAgeMs = 0)
     val keep: Map[String, Set[String]] = snap.entries.map(e =>
       s"${snap.partitionCol}=${escapePart(e.value)}" -> e.files.toSet).toMap
     var removed = 0
@@ -517,25 +549,79 @@ object Icelite {
   /** Appends one immutable segment of new entries and commits a snapshot
     * listing every segment (CURRENT update is the commit point; orphans
     * from crashes between renames are overwritten on the next commit). */
-  private def commitSegment(root: String, partitionCol: String,
-                            newEntries: Seq[PartitionEntry]): Unit = {
-    val meta = currentMeta(root)
-    val id = meta.map(_.id + 1).getOrElse(0L)
-    val segName = f"seg-$id%06d.json"
-    atomicWrite(root, segName, s"""{"entries":[${renderEntries(newEntries)}]}""")
-    val segments = meta.map(_.segments).getOrElse(Nil) :+ segName
-    val snapJson = s"""{"id":$id,"partitionCol":"${esc(partitionCol)}","segments":[${
-      segments.map(n => "\"" + esc(n) + "\"").mkString(",")}]}"""
-    val snapName = f"snapshot-$id%06d.json"
-    atomicWrite(root, snapName, snapJson)
-    atomicWrite(root, "CURRENT", snapName)
+  /** Optimistic-concurrency commit (Iceberg's optimistic commit + conflict
+    * retry, on the filesystem primitive): the atomic CREATE of
+    * `snapshot-<n>.json` — rename WITHOUT replace — is the linearization
+    * point. Each attempt reads the current snapshot, derives this commit's
+    * entries AGAINST IT via `mkEntries` (so concurrent appenders to the
+    * same bucket compose rather than clobber), writes an immutable segment
+    * under a unique name, and tries to claim the next snapshot id; a loser
+    * deletes its segment, re-reads, re-derives, and retries. CURRENT is
+    * then updated as a best-effort hint ([[currentMeta]] probes forward,
+    * so a lost hint race or a crash here cannot lose the commit). */
+  private def commitSegmentCas(root: String, partitionCol: String,
+      mkEntries: Map[String, PartitionEntry] => Seq[PartitionEntry]): Unit = {
+    var attempts = 0
+    var committed = false
+    while (!committed) {
+      attempts += 1
+      if (attempts > 10000) throw new IllegalStateException(
+        s"icelite: gave up after $attempts contended commit attempts at $root")
+      val meta = currentMeta(root)
+      val id = meta.map(_.id + 1).getOrElse(0L)
+      val curEntries: Map[String, PartitionEntry] = meta match {
+        case None => Map.empty
+        case Some(m) => loadSnapshot(root, m).entries.map(e => e.value -> e).toMap
+      }
+      val entries = mkEntries(curEntries)
+      val segName = f"seg-$id%06d-${java.util.UUID.randomUUID().toString.take(8)}.json"
+      atomicWrite(root, segName, s"""{"entries":[${renderEntries(entries)}]}""")
+      val segments = meta.map(_.segments).getOrElse(Nil) :+ segName
+      val snapJson = s"""{"id":$id,"partitionCol":"${esc(partitionCol)}","segments":[${
+        segments.map(n => "\"" + esc(n) + "\"").mkString(",")}]}"""
+      committed = atomicCreate(root, snapName(id), snapJson)
+      if (committed) atomicWrite(root, "CURRENT", snapName(id))
+      else Files.deleteIfExists(manifestDir(root).resolve(segName))
+    }
   }
 
   private def atomicWrite(root: String, name: String, content: String): Unit = {
-    val tmp = manifestDir(root).resolve(s".$name.tmp")
+    val tmp = manifestDir(root).resolve(s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, manifestDir(root).resolve(name),
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Atomic create-if-absent WITH content: hard-link a fully-written temp
+    * file into place — link(2) fails with EEXIST atomically, so the target
+    * appears complete or not at all, and exactly one contender wins. (A
+    * rename would NOT work here: POSIX rename(2), which ATOMIC_MOVE maps
+    * to, silently replaces an existing target.) The CAS primitive; on a
+    * store without hard links, substitute its native conditional-put. */
+  private def atomicCreate(root: String, name: String, content: String): Boolean = {
+    val tmp = manifestDir(root).resolve(s".$name.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    Files.write(tmp, content.getBytes(StandardCharsets.UTF_8))
+    try {
+      Files.createLink(manifestDir(root).resolve(name), tmp)
+      true
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException => false
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  /** Reclaims `.staging-*` leftovers from CRASHED runs only: a dir is
+    * swept when its last-modified age exceeds one hour, so a LIVE
+    * concurrent writer's staging (always young — partitionBy touches it
+    * continuously) is never deleted out from under it. [[vacuum]] sweeps
+    * unconditionally (it is a quiesced maintenance op by contract). */
+  private def sweepStaleStaging(root: String,
+                                minAgeMs: Long = 60L * 60 * 1000): Unit = {
+    val cutoff = System.currentTimeMillis() - minAgeMs
+    listDir(Paths.get(root))(_.filter { p =>
+        p.getFileName.toString.startsWith(".staging-") &&
+          Files.getLastModifiedTime(p).toMillis < cutoff
+      }.toList)
+      .foreach(deleteRecursively)
   }
 
   private def deleteRecursively(p: Path): Unit = {

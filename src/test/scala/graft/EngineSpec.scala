@@ -565,6 +565,65 @@ class IceliteMaintenanceSpec extends org.scalatest.funsuite.AnyFunSuite {
   }
 }
 
+/** Optimistic-concurrency commits: two LIVE writers must never interleave
+  * manifest segments silently — the snapshot-claim CAS serializes them and
+  * the loser re-derives its entries against the winner's snapshot. */
+class IceliteConcurrencySpec extends org.scalatest.funsuite.AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private def base = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+    .withColumn("bucket", pmod(col("page_id"), lit(5)))
+
+  test("two concurrent appenders compose to the serial result") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-conc").toString
+    val first = base.filter(col("page_id") % 3 === 0)
+    val a = base.filter(col("page_id") % 3 === 1)
+    val b = base.filter(col("page_id") % 3 === 2)
+    graft.engine.Icelite.writeResumable(spark, first, root, "bucket")
+    // Two live appenders over the SAME buckets, racing promote + commit.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fa = Future(graft.engine.Icelite.appendResumable(spark, a, root, "bucket", runId = "conc-a"))
+    val fb = Future(graft.engine.Icelite.appendResumable(spark, b, root, "bucket", runId = "conc-b"))
+    Await.result(fa, 5.minutes); Await.result(fb, 5.minutes)
+    // Final table = serial union, rows and composed checksums identical
+    // to a from-scratch write (no lost update on any bucket).
+    val got = graft.engine.Icelite.read(spark, root).select("page_id")
+      .collect().map(_.getLong(0)).sorted
+    val want = base.select("page_id").collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == want.toSeq)
+    val root2 = java.nio.file.Files.createTempDirectory("icelite-conc2").toString
+    graft.engine.Icelite.writeResumable(spark, base, root2, "bucket")
+    def metrics(r: String) = graft.engine.Icelite.currentSnapshot(r).get.entries
+      .map(e => e.value -> (e.rows, e.checksum)).toMap
+    assert(metrics(root) == metrics(root2))
+    graft.engine.Icelite.drop(root); graft.engine.Icelite.drop(root2)
+  }
+
+  test("commit point is the snapshot file: a stale CURRENT hint is probed past") {
+    val root = java.nio.file.Files.createTempDirectory("icelite-hint").toString
+    graft.engine.Icelite.writeResumable(spark, base.filter(col("bucket") === 0),
+      root, "bucket")
+    val snap0 = graft.engine.Icelite.currentSnapshot(root).get
+    assert(snap0.id == 0)
+    // Simulate a writer that committed snapshot-1 (atomic create succeeded)
+    // but crashed before updating the CURRENT hint: readers and the next
+    // writer must honor it anyway.
+    val man = java.nio.file.Paths.get(root, "manifest")
+    val s0 = new String(java.nio.file.Files.readAllBytes(man.resolve("snapshot-000000.json")))
+    java.nio.file.Files.write(man.resolve("snapshot-000001.json"),
+      s0.replace("\"id\":0", "\"id\":1").getBytes)
+    assert(graft.engine.Icelite.currentSnapshot(root).get.id == 1)
+    // The next commit claims id 2 (not 1), chaining from the probed state.
+    graft.engine.Icelite.appendResumable(spark, base.filter(col("bucket") === 1),
+      root, "bucket", runId = "after-hint")
+    val cur = graft.engine.Icelite.currentSnapshot(root).get
+    assert(cur.id == 2, s"id=${cur.id}")
+    assert(cur.entries.map(_.value).toSet == Set("0", "1"))
+    graft.engine.Icelite.drop(root)
+  }
+}
+
 /** Crash inside an uncommitted manifest batch: resume must re-stage the
   * promoted-but-uncommitted buckets and converge to the full table. */
 class IceliteBatchCrashSpec extends org.scalatest.funsuite.AnyFunSuite {
