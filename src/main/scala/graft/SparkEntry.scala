@@ -645,6 +645,35 @@ object SparkEntry {
         "img_w", "img_h", "pix_sum", "resized_sum")
     }),
 
+    // PNG + GIF codec round-trip: pixels are synthesized BY FORMULA,
+    // compressed (PNG: deflate + per-id scanline filter; GIF: LZW against
+    // a formula palette), decoded back, and summed. The oracle re-derives
+    // the sums from the formulas alone — it never sees the bytes — so a
+    // hash match proves exact inversion of both compressed formats.
+    "png_gif_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      ids.map { id =>
+        val w = 8 + (id % 5).toInt * 4
+        val h = 6 + (id % 4).toInt * 3
+        val rgb = Array.tabulate(w * h * 3)(i => ((id * 11 + i.toLong * 17) % 256).toByte)
+        val png = ops.Multimodal.RealCodec.pngEncode(w, h, rgb, (id % 5).toInt)
+        val (dw, dh, drgb) = ops.Multimodal.RealCodec.pngDecode(png)
+        var pngSum = 0L
+        drgb.foreach(b => pngSum += (b & 0xFF))
+
+        val gw = 10 + (id % 4).toInt * 6
+        val gh = 8 + (id % 3).toInt * 4
+        val idx = Array.tabulate(gw * gh)(i => ((id * 5 + i.toLong * 3) % 256).toByte)
+        val palette = Array.tabulate(768)(j => ((j * 37 + 11) % 256).toByte)
+        val gif = ops.Multimodal.RealCodec.gifEncode(gw, gh, idx, palette)
+        val (gdw, gdh, grgb) = ops.Multimodal.RealCodec.gifDecode(gif)
+        var gifSum = 0L
+        grgb.foreach(b => gifSum += (b & 0xFF))
+        (id, dw, dh, pngSum, gdw, gdh, gifSum)
+      }.toDF("doc_id", "png_w", "png_h", "png_sum", "gif_w", "gif_h", "gif_sum")
+    }),
+
     // Multimodal plumbing: the decode stage is a declared stub, but the
     // dataflow (kind routing, frame counting, stride sampling, fixed
     // feature shape) is integer-exact and oracle-checked end-to-end.
@@ -1575,6 +1604,23 @@ object SparkEntry {
                       + (((j // 3) % 8) * (16 + (doc_id % 4) * 8) // 8)) * 3
                      + (j % 3)) * 13) % 256)),
                  (x,y) -> x + y) AS resized_sum
+        FROM documents
+      """,
+
+      "png_gif_roundtrip" -> """
+        SELECT doc_id,
+               CAST(8 + (doc_id % 5) * 4 AS INT) AS png_w,
+               CAST(6 + (doc_id % 4) * 3 AS INT) AS png_h,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, (8 + (doc_id % 5) * 4) * (6 + (doc_id % 4) * 3) * 3),
+                   i -> (doc_id * 11 + i * 17) % 256)),
+                 (x,y) -> x + y) AS png_sum,
+               CAST(10 + (doc_id % 4) * 6 AS INT) AS gif_w,
+               CAST(8 + (doc_id % 3) * 4 AS INT) AS gif_h,
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, (10 + (doc_id % 4) * 6) * (8 + (doc_id % 3) * 4) * 3),
+                   j -> ((((doc_id * 5 + (j // 3) * 3) % 256) * 3 + (j % 3)) * 37 + 11) % 256)),
+                 (x,y) -> x + y) AS gif_sum
         FROM documents
       """,
 

@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partition-aligned batching via
   * mapPartitions on typed Datasets, deterministic output shapes — is real
-  * and tested. The codec is REAL for the uncompressed formats, which need
-  * no external libraries: RIFF/WAVE PCM16 audio and binary PPM (P6)
-  * images decode bit-exactly in pure JVM code ([[RealCodec]]; the driver
-  * query `media_codec_roundtrip` proves the byte-level round-trip against
-  * a pure-arithmetic DuckDB oracle), and resize is a real
-  * nearest-neighbor resample for P6 payloads. COMPRESSED formats
-  * (JPEG/PNG/MP3/H.264) still fall back to the declared [[FakeCodec]]
-  * stub — this container has no codec libraries — so those pipelines stay
-  * reproducible and the fallback swaps out without touching the dataflow.
+  * and tested. The codec is REAL for every format expressible in pure JVM
+  * code with zero dependencies: RIFF/WAVE PCM16 audio, binary PPM (P6),
+  * PNG (8-bit RGB — chunk walk, java.util.zip inflate, all five scanline
+  * filters) and GIF (87a/89a — hand-rolled LZW), each byte-exact
+  * ([[RealCodec]]; the driver queries `media_codec_roundtrip` and
+  * `png_gif_roundtrip` prove the round-trips against pure-arithmetic
+  * DuckDB oracles), and resize is a real nearest-neighbor resample for
+  * image payloads. Only the formats whose decoders genuinely need
+  * external libraries (JPEG/MP3/H.264) fall back to the declared
+  * [[FakeCodec]] stub, so those pipelines stay reproducible and the
+  * fallback swaps out without touching the dataflow.
   */
 object Multimodal {
 
@@ -164,10 +166,392 @@ object Multimodal {
       (w, h, rgb)
     }
 
-    /** Real nearest-neighbor resample: target pixel (x,y) takes source
-      * pixel (x*w/w2, y*h/h2) (integer floors). Returns a P6 payload. */
-    def ppmResize(p: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
-      val (w, h, rgb) = ppmDecode(p)
+    // ---- PNG (8-bit RGB, non-interlaced) — pure JDK: chunk walk +
+    // java.util.zip Deflater/Inflater + per-scanline filter reversal ----
+
+    private val PngMagic = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
+
+    def isPng(p: Array[Byte]): Boolean =
+      p.length >= 8 && (0 until 8).forall(i => p(i) == PngMagic(i))
+
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val pp = a + b - c
+      val pa = Math.abs(pp - a); val pb = Math.abs(pp - b); val pc = Math.abs(pp - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Encodes 8-bit RGB as a valid PNG (color type 2, no interlace).
+      * `filterType` 0..4 selects the per-scanline filter — the decoder must
+      * reverse all five, so the roundtrip specs cycle through them. */
+    def pngEncode(w: Int, h: Int, rgb: Array[Byte], filterType: Int = 0): Array[Byte] = {
+      require(rgb.length == w * h * 3, s"rgb length ${rgb.length} != $w x $h x 3")
+      require(filterType >= 0 && filterType <= 4, s"filter $filterType")
+      val stride = w * 3
+      val raw = new Array[Byte](h * (1 + stride))
+      var y = 0
+      while (y < h) {
+        raw(y * (1 + stride)) = filterType.toByte
+        var i = 0
+        while (i < stride) {
+          val x = rgb(y * stride + i) & 0xFF
+          val a = if (i >= 3) rgb(y * stride + i - 3) & 0xFF else 0
+          val b = if (y > 0) rgb((y - 1) * stride + i) & 0xFF else 0
+          val c = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xFF else 0
+          val f = filterType match {
+            case 0 => x
+            case 1 => x - a
+            case 2 => x - b
+            case 3 => x - (a + b) / 2
+            case 4 => x - paeth(a, b, c)
+          }
+          raw(y * (1 + stride) + 1 + i) = f.toByte
+          i += 1
+        }
+        y += 1
+      }
+      val deflater = new java.util.zip.Deflater()
+      deflater.setInput(raw); deflater.finish()
+      val zBuf = new java.io.ByteArrayOutputStream()
+      val tmp = new Array[Byte](8192)
+      while (!deflater.finished()) zBuf.write(tmp, 0, deflater.deflate(tmp))
+      deflater.end()
+      val idat = zBuf.toByteArray
+
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(PngMagic)
+      def chunk(typ: String, data: Array[Byte]): Unit = {
+        val len = ByteBuffer.allocate(4).putInt(data.length).array()
+        out.write(len)
+        val tb = typ.getBytes("US-ASCII")
+        out.write(tb); out.write(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tb); crc.update(data)
+        out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+      }
+      val ihdr = ByteBuffer.allocate(13).putInt(w).putInt(h)
+        .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+        .array()
+      chunk("IHDR", ihdr)
+      chunk("IDAT", idat)
+      chunk("IEND", Array.emptyByteArray)
+      out.toByteArray
+    }
+
+    /** Returns (width, height, rgb). 8-bit color-type-2 non-interlaced
+      * only; malformed/truncated payloads throw IllegalArgumentException
+      * like the other codecs. */
+    def pngDecode(p: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(isPng(p), "not a PNG payload")
+      val buf = ByteBuffer.wrap(p)
+      buf.position(8)
+      var w = 0; var h = 0
+      var seenIhdr = false
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        require(buf.remaining() >= 8, "truncated PNG (chunk header)")
+        val len = buf.getInt()
+        val typ = new String(
+          Array(buf.get(), buf.get(), buf.get(), buf.get()), "US-ASCII")
+        require(len >= 0 && len + 4 <= buf.remaining(),
+          s"truncated PNG chunk '$typ' (len=$len, remaining=${buf.remaining()})")
+        typ match {
+          case "IHDR" =>
+            require(len == 13, s"IHDR length $len")
+            w = buf.getInt(); h = buf.getInt()
+            val bitDepth = buf.get(); val colorType = buf.get()
+            buf.get() // compression (0)
+            buf.get() // filter method (0)
+            val interlace = buf.get()
+            require(bitDepth == 8 && colorType == 2 && interlace == 0,
+              s"only 8-bit RGB non-interlaced supported " +
+                s"(depth=$bitDepth type=$colorType interlace=$interlace)")
+            require(w > 0 && h > 0 && w.toLong * h * 3 < Int.MaxValue,
+              s"bad dimensions ${w}x$h")
+            seenIhdr = true
+          case "IDAT" =>
+            idat.write(p, buf.position(), len)
+            buf.position(buf.position() + len)
+          case "IEND" => done = true
+          case _ => buf.position(buf.position() + len) // ancillary chunk
+        }
+        buf.getInt() // CRC (not verified: transport integrity is parquet's job)
+      }
+      require(seenIhdr, "no IHDR chunk")
+      val stride = w * 3
+      val raw = new Array[Byte](h * (1 + stride))
+      val inflater = new java.util.zip.Inflater()
+      inflater.setInput(idat.toByteArray)
+      var off = 0
+      try {
+        while (off < raw.length && !inflater.finished()) {
+          val n = inflater.inflate(raw, off, raw.length - off)
+          require(n > 0 || inflater.finished(),
+            "truncated/corrupt PNG pixel stream")
+          off += n
+        }
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw new IllegalArgumentException(s"corrupt PNG deflate stream: $e")
+      } finally inflater.end()
+      require(off == raw.length, s"PNG pixel stream short ($off of ${raw.length})")
+
+      val rgb = new Array[Byte](h * stride)
+      var y = 0
+      while (y < h) {
+        val ft = raw(y * (1 + stride)) & 0xFF
+        require(ft <= 4, s"bad filter type $ft")
+        var i = 0
+        while (i < stride) {
+          val f = raw(y * (1 + stride) + 1 + i) & 0xFF
+          val a = if (i >= 3) rgb(y * stride + i - 3) & 0xFF else 0
+          val b = if (y > 0) rgb((y - 1) * stride + i) & 0xFF else 0
+          val c = if (y > 0 && i >= 3) rgb((y - 1) * stride + i - 3) & 0xFF else 0
+          val x = ft match {
+            case 0 => f
+            case 1 => f + a
+            case 2 => f + b
+            case 3 => f + (a + b) / 2
+            case 4 => f + paeth(a, b, c)
+          }
+          rgb(y * stride + i) = x.toByte
+          i += 1
+        }
+        y += 1
+      }
+      (w, h, rgb)
+    }
+
+    // ---- GIF (87a/89a, global palette, first frame, non-interlaced) —
+    // pure-JVM LZW ----
+
+    def isGif(p: Array[Byte]): Boolean =
+      p.length >= 6 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8' &&
+        (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+
+    /** Encodes an 8-bit palette-indexed image as GIF89a with a 256-entry
+      * global color table (`palette` = 768 RGB bytes). */
+    def gifEncode(w: Int, h: Int, indices: Array[Byte],
+                  palette: Array[Byte]): Array[Byte] = {
+      require(indices.length == w * h, s"indices ${indices.length} != $w x $h")
+      require(palette.length == 768, s"palette ${palette.length} != 256 x 3")
+      val out = new java.io.ByteArrayOutputStream()
+      out.write("GIF89a".getBytes("US-ASCII"))
+      def short(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+      short(w); short(h)
+      out.write(0xF7) // global table, 8-bit, 256 entries
+      out.write(0)    // background color index
+      out.write(0)    // aspect
+      out.write(palette)
+      out.write(0x2C) // image descriptor
+      short(0); short(0); short(w); short(h)
+      out.write(0)    // no local table, not interlaced
+
+      // GIF-LZW: 8-bit min code size; codes grow 9->12 bits, clear at 4096.
+      val minCode = 8
+      out.write(minCode)
+      val clearCode = 1 << minCode     // 256
+      val endCode = clearCode + 1      // 257
+      val lzw = new java.io.ByteArrayOutputStream()
+      var bitBuf = 0L; var bitCnt = 0
+      var codeSize = minCode + 1
+      def emit(code: Int): Unit = {
+        bitBuf |= code.toLong << bitCnt
+        bitCnt += codeSize
+        while (bitCnt >= 8) { lzw.write((bitBuf & 0xFF).toInt); bitBuf >>>= 8; bitCnt -= 8 }
+      }
+      // Dictionary: string -> code, strings built as (prefixCode, byte).
+      var dict = new java.util.HashMap[Long, Integer]()
+      var nextCode = endCode + 1
+      def key(prefix: Int, b: Int): Long = (prefix.toLong << 8) | b
+      emit(clearCode)
+      var prefix = -1
+      var i = 0
+      while (i < indices.length) {
+        val b = indices(i) & 0xFF
+        if (prefix < 0) prefix = b
+        else {
+          val cd = dict.get(key(prefix, b))
+          if (cd != null) prefix = cd.intValue()
+          else {
+            emit(prefix)
+            dict.put(key(prefix, b), Integer.valueOf(nextCode))
+            nextCode += 1
+            // The next emitted code can be as large as nextCode-1 (or the
+            // decoder's KwKwK nextCode), so the width bumps the moment
+            // nextCode no longer fits — mirrored exactly by the decoder.
+            if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+            if (nextCode == 4096) {
+              emit(clearCode)
+              dict = new java.util.HashMap[Long, Integer]()
+              nextCode = endCode + 1
+              codeSize = minCode + 1
+            }
+            prefix = b
+          }
+        }
+        i += 1
+      }
+      if (prefix >= 0) emit(prefix)
+      emit(endCode)
+      if (bitCnt > 0) lzw.write((bitBuf & 0xFF).toInt)
+      val z = lzw.toByteArray
+      var off = 0
+      while (off < z.length) {
+        val n = Math.min(255, z.length - off)
+        out.write(n); out.write(z, off, n)
+        off += n
+      }
+      out.write(0)    // block terminator
+      out.write(0x3B) // trailer
+      out.toByteArray
+    }
+
+    /** Returns (width, height, rgb) of the FIRST frame. Global palette,
+      * non-interlaced only; extensions are skipped. */
+    def gifDecode(p: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(isGif(p), "not a GIF payload")
+      var pos = 6
+      def u8(): Int = { require(pos < p.length, "truncated GIF"); val v = p(pos) & 0xFF; pos += 1; v }
+      def u16(): Int = { val lo = u8(); lo | (u8() << 8) }
+      u16(); u16() // logical screen size (frame size governs)
+      val flags = u8()
+      u8(); u8() // background, aspect
+      var palette: Array[Byte] = null
+      if ((flags & 0x80) != 0) {
+        val n = 2 << (flags & 7)
+        require(pos + n * 3 <= p.length, "truncated GIF palette")
+        palette = java.util.Arrays.copyOfRange(p, pos, pos + n * 3)
+        pos += n * 3
+      }
+      // Skip extension blocks to the first image descriptor.
+      var sep = u8()
+      while (sep == 0x21) {
+        u8() // label
+        var n = u8()
+        while (n != 0) { pos += n; n = u8() }
+        sep = u8()
+      }
+      require(sep == 0x2C, f"expected image descriptor, got 0x$sep%02x")
+      u16(); u16() // left, top
+      val w = u16(); val h = u16()
+      val iflags = u8()
+      require((iflags & 0x40) == 0, "interlaced GIF unsupported")
+      if ((iflags & 0x80) != 0) {
+        val n = 2 << (iflags & 7)
+        require(pos + n * 3 <= p.length, "truncated GIF local palette")
+        palette = java.util.Arrays.copyOfRange(p, pos, pos + n * 3)
+        pos += n * 3
+      }
+      require(palette != null, "GIF without a color table")
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h")
+
+      val minCode = u8()
+      require(minCode >= 2 && minCode <= 8, s"LZW min code $minCode")
+      // Concatenate the data sub-blocks.
+      val z = new java.io.ByteArrayOutputStream()
+      var n = u8()
+      while (n != 0) {
+        require(pos + n <= p.length, "truncated GIF data block")
+        z.write(p, pos, n); pos += n
+        n = u8()
+      }
+      val data = z.toByteArray
+
+      val clearCode = 1 << minCode
+      val endCode = clearCode + 1
+      // Dictionary as (prefix code, appended byte); roots are implicit.
+      val prefixes = new Array[Int](4096)
+      val appended = new Array[Byte](4096)
+      var nextCode = endCode + 1
+      var codeSize = minCode + 1
+      var bitPos = 0
+      def read(): Int = {
+        if ((bitPos + codeSize + 7) / 8 > data.length) return endCode
+        var v = 0; var got = 0
+        while (got < codeSize) {
+          val byteI = (bitPos + got) / 8
+          val bitI = (bitPos + got) % 8
+          val take = Math.min(8 - bitI, codeSize - got)
+          v |= (((data(byteI) & 0xFF) >> bitI) & ((1 << take) - 1)) << got
+          got += take
+        }
+        bitPos += codeSize
+        v
+      }
+      def expand(code: Int, out: Array[Byte], at: Int): Int = {
+        // Writes the string for `code` ending at position `at` (exclusive),
+        // returns its length.
+        var c = code; var len = 0
+        while (c >= clearCode + 2) { len += 1; c = prefixes(c) } // walk chain
+        len += 1
+        var i2 = at - 1
+        c = code
+        while (c >= clearCode + 2) { out(i2) = appended(c); i2 -= 1; c = prefixes(c) }
+        out(i2) = c.toByte
+        len
+      }
+      val idx = new Array[Byte](w * h)
+      var outPos = 0
+      var prev = -1
+      var code = read()
+      while (code != endCode && outPos < idx.length) {
+        if (code == clearCode) {
+          nextCode = endCode + 1; codeSize = minCode + 1; prev = -1
+        } else {
+          var len = 0
+          if (code < nextCode) {
+            require(code < clearCode || code > endCode, s"special code $code in data")
+            len = lenOf(code, clearCode, prefixes)
+            require(outPos + len <= idx.length, "GIF pixel overflow")
+            expand(code, idx, outPos + len)
+          } else {
+            // The KwKwK case: string = prev's string + its own first byte.
+            require(prev >= 0 && code == nextCode, s"corrupt LZW code $code")
+            val plen = lenOf(prev, clearCode, prefixes)
+            require(outPos + plen + 1 <= idx.length, "GIF pixel overflow")
+            expand(prev, idx, outPos + plen)
+            idx(outPos + plen) = idx(outPos)
+            len = plen + 1
+          }
+          if (prev >= 0 && nextCode < 4096) {
+            prefixes(nextCode) = prev
+            appended(nextCode) = idx(outPos) // first byte of current string
+            nextCode += 1
+            // One LESS than the encoder's bump point: the decoder's entry
+            // count lags the encoder by exactly one code (the first code
+            // after a clear adds no entry), so bumping at (1<<size)-1
+            // re-aligns the width with the code the encoder wrote next.
+            if (nextCode == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+          }
+          prev = code
+          outPos += len
+        }
+        code = read()
+      }
+      require(outPos == idx.length, s"GIF pixel stream short ($outPos of ${idx.length})")
+
+      val rgb = new Array[Byte](w * h * 3)
+      var i3 = 0
+      while (i3 < idx.length) {
+        val pi = (idx(i3) & 0xFF) * 3
+        require(pi + 2 < palette.length, s"palette index out of range")
+        rgb(i3 * 3) = palette(pi); rgb(i3 * 3 + 1) = palette(pi + 1)
+        rgb(i3 * 3 + 2) = palette(pi + 2)
+        i3 += 1
+      }
+      (w, h, rgb)
+    }
+
+    private def lenOf(code: Int, clearCode: Int, prefixes: Array[Int]): Int = {
+      var c = code; var len = 1
+      while (c >= clearCode + 2) { len += 1; c = prefixes(c) }
+      len
+    }
+
+    /** Nearest-neighbor RGB resample: target pixel (x,y) takes source
+      * pixel (x*w/w2, y*h/h2) (integer floors). */
+    def rgbResize(w: Int, h: Int, rgb: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
       val out = new Array[Byte](w2 * h2 * 3)
       var y = 0
       while (y < h2) {
@@ -182,7 +566,13 @@ object Multimodal {
         }
         y += 1
       }
-      ppmEncode(w2, h2, out)
+      out
+    }
+
+    /** Real nearest-neighbor resample of a P6 payload. */
+    def ppmResize(p: Array[Byte], w2: Int, h2: Int): Array[Byte] = {
+      val (w, h, rgb) = ppmDecode(p)
+      ppmEncode(w2, h2, rgbResize(w, h, rgb, w2, h2))
     }
 
     /** `dim`-bin grayscale histogram, normalized to sum 1: gray =
@@ -211,20 +601,28 @@ object Multimodal {
     * fallback for everything else (compressed formats need libraries this
     * container does not have). */
   object Codec {
+    /** (w, h, rgb) for any of the real still-image formats, else None. */
+    def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+      if (RealCodec.isPpm(payload)) Some(RealCodec.ppmDecode(payload))
+      else if (RealCodec.isPng(payload)) Some(RealCodec.pngDecode(payload))
+      else if (RealCodec.isGif(payload)) Some(RealCodec.gifDecode(payload))
+      else None
+
     def decodeToFeatures(payload: Array[Byte], dim: Int): Array[Float] =
       if (RealCodec.isWav(payload))
         RealCodec.audioFeatures(RealCodec.wavDecode(payload)._2, dim)
-      else if (RealCodec.isPpm(payload)) {
-        val (w, h, rgb) = RealCodec.ppmDecode(payload)
-        RealCodec.imageFeatures(w, h, rgb, dim)
-      } else FakeCodec.decodeToFeatures(payload, dim)
+      else decodeImage(payload) match {
+        case Some((w, h, rgb)) => RealCodec.imageFeatures(w, h, rgb, dim)
+        case None => FakeCodec.decodeToFeatures(payload, dim)
+      }
 
     /** Audio frames are 1024-sample windows; an image is one frame. */
     def frameCount(payload: Array[Byte], kind: String): Int =
       if (RealCodec.isWav(payload)) {
         val n = RealCodec.wavDecode(payload)._2.length
         Math.max(1, (n + 1023) / 1024)
-      } else if (RealCodec.isPpm(payload)) 1
+      } else if (RealCodec.isPpm(payload) || RealCodec.isPng(payload) ||
+          RealCodec.isGif(payload)) 1
       else FakeCodec.frameCount(payload, kind)
   }
 
@@ -234,8 +632,9 @@ object Multimodal {
   final case class MediaFeatures(doc_id: Long, kind: String,
                                  feature: Array[Float], frames: Int)
 
-  /** STUB decoder: deterministic features from payload bytes. Replace with
-    * a real codec (JPEG/PNG/PCM decode) in a full deployment. */
+  /** STUB decoder: deterministic features from payload bytes. Only the
+    * library-bound compressed formats (JPEG/MP3/H.264) land here — WAV,
+    * PPM, PNG and GIF all decode for real in [[RealCodec]]. */
   object FakeCodec {
     def decodeToFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)
@@ -283,10 +682,11 @@ object Multimodal {
 
   final case class Frame(doc_id: Long, frame_idx: Int, feature: Array[Float])
 
-  /** Resize: a REAL nearest-neighbor resample for P6 images; other
-    * payloads go through the deterministic stub re-encode (the dataflow —
-    * schema, typed map, partition preservation — is what this stage pins
-    * down for the formats without a real codec). */
+  /** Resize: a REAL nearest-neighbor resample for P6/PNG/GIF images
+    * (PNG/GIF re-encode as PNG); other payloads go through the
+    * deterministic stub re-encode (the dataflow — schema, typed map,
+    * partition preservation — is what this stage pins down for the
+    * formats without a real codec). */
   def resize(spark: SparkSession, media: Dataset[MediaBlob],
              width: Int, height: Int): Dataset[ResizedBlob] = {
     import spark.implicits._
@@ -294,7 +694,12 @@ object Multimodal {
       if (RealCodec.isPpm(blob.payload))
         ResizedBlob(blob.doc_id, blob.kind, width, height,
           RealCodec.ppmResize(blob.payload, width, height))
-      else {
+      else if (RealCodec.isPng(blob.payload) || RealCodec.isGif(blob.payload)) {
+        val (w, h, rgb) = Codec.decodeImage(blob.payload).get
+        ResizedBlob(blob.doc_id, blob.kind, width, height,
+          RealCodec.pngEncode(width, height,
+            RealCodec.rgbResize(w, h, rgb, width, height)))
+      } else {
         val out = new Array[Byte](math.min(blob.payload.length, width * height / 8))
         var i = 0
         while (i < out.length) {
@@ -328,7 +733,8 @@ object Multimodal {
         val n = Codec.frameCount(blob.payload, blob.kind)
         (0 until n by stride).map { f =>
           Frame(blob.doc_id, f,
-            if (RealCodec.isPpm(blob.payload))
+            if (RealCodec.isPpm(blob.payload) || RealCodec.isPng(blob.payload) ||
+              RealCodec.isGif(blob.payload))
               Codec.decodeToFeatures(blob.payload, featureDim)
             else FakeCodec.decodeToFeatures(blob.payload :+ f.toByte, featureDim))
         }

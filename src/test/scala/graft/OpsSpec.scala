@@ -281,6 +281,64 @@ class MultimodalStagesSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("PNG round-trips bit-exactly under all five scanline filters") {
+    import graft.ops.Multimodal.RealCodec
+    val rnd = new scala.util.Random(1717)
+    for (trial <- 1 to 25) {
+      val (w, h) = (1 + rnd.nextInt(64), 1 + rnd.nextInt(48))
+      // Mix structured content (gradients compress; exercises real filter
+      // deltas) with noise.
+      val rgb = Array.tabulate(w * h * 3) { i =>
+        if (trial % 2 == 0) ((i / 3) % 256).toByte else rnd.nextInt(256).toByte
+      }
+      for (filter <- 0 to 4) {
+        val png = RealCodec.pngEncode(w, h, rgb, filter)
+        assert(RealCodec.isPng(png))
+        val (dw, dh, back) = RealCodec.pngDecode(png)
+        assert(dw == w && dh == h, s"filter $filter: ${dw}x$dh")
+        assert(java.util.Arrays.equals(back, rgb), s"filter $filter pixels differ")
+      }
+      // Truncation rejects (never a silent zero-pad or underflow).
+      val png = RealCodec.pngEncode(w, h, rgb, trial % 5)
+      val cut = 8 + rnd.nextInt(png.length - 9)
+      intercept[IllegalArgumentException] { RealCodec.pngDecode(png.take(cut)) }
+    }
+  }
+
+  test("GIF LZW round-trips bit-exactly incl. dictionary-reset and KwKwK inputs") {
+    import graft.ops.Multimodal.RealCodec
+    val rnd = new scala.util.Random(2929)
+    val palette = Array.tabulate(768)(i => ((i * 37 + 11) % 256).toByte)
+    for (trial <- 1 to 25) {
+      val (w, h) = (1 + rnd.nextInt(80), 1 + rnd.nextInt(60))
+      val idx = trial % 3 match {
+        case 0 => Array.fill(w * h)(rnd.nextInt(256).toByte) // noise: dict fills fast
+        case 1 => Array.tabulate(w * h)(i => (i % 7).toByte) // runs: KwKwK-heavy
+        case _ => Array.fill(w * h)(0.toByte)                // constant: aaa... KwKwK chain
+      }
+      val gif = RealCodec.gifEncode(w, h, idx, palette)
+      assert(RealCodec.isGif(gif))
+      val (dw, dh, rgb) = RealCodec.gifDecode(gif)
+      assert(dw == w && dh == h)
+      val want = idx.flatMap { b =>
+        val p = (b & 0xFF) * 3
+        Array(palette(p), palette(p + 1), palette(p + 2))
+      }
+      assert(java.util.Arrays.equals(rgb, want), s"trial $trial pixels differ")
+    }
+    // Force many dictionary resets: a big noise image (> 4096 new strings).
+    val big = Array.fill(300 * 200)(rnd.nextInt(256).toByte)
+    val (bw, bh, brgb) = RealCodec.gifDecode(RealCodec.gifEncode(300, 200, big, palette))
+    assert(bw == 300 && bh == 200)
+    assert(java.util.Arrays.equals(brgb, big.flatMap { b =>
+      val p = (b & 0xFF) * 3
+      Array(palette(p), palette(p + 1), palette(p + 2))
+    }))
+    // Truncation rejects.
+    val g = RealCodec.gifEncode(40, 30, Array.fill(1200)(5.toByte), palette)
+    intercept[IllegalArgumentException] { RealCodec.gifDecode(g.take(g.length / 2)) }
+  }
+
   test("real WAV and PPM codecs round-trip bit-exactly; dispatch falls back") {
     import graft.ops.Multimodal.{Codec, FakeCodec, RealCodec}
     // WAV: encode -> decode returns the exact samples and rate.
