@@ -11,11 +11,22 @@ import duckdb, json, sys, glob, os
 sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
 skip = set(filter(None, os.environ.get("SKIP", "").split(",")))
+# STRATUM="m:r" mirrors graft.SparkEntry's SPARK_GRAFT_STRATUM: the
+# doc-keyed views are restricted to key % m = r so the slow quadratic
+# oracles can be hash-compared on a deterministic stratum at sf0.1
+# (run graft.Verify with the same value).
+stratum = os.environ.get("STRATUM")
+stratum_keys = {"documents": "doc_id", "embeddings": "vec_id"}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
     p = f"{sf}/{t}.parquet"
     if os.path.exists(p):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+        if stratum and t in stratum_keys:
+            m, r = stratum.split(":")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}') "
+                        f"WHERE {stratum_keys[t]} % {m} = {r}")
+        else:
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 results = {}
 for name in sorted(os.listdir(out)):

@@ -20,8 +20,22 @@ object SparkEntry {
     OpsFunctions.register(spark)
   }
 
-  private def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Doc-keyed tables honor SPARK_GRAFT_STRATUM="m:r": restrict to the
+    * deterministic stratum key % m = r. This is the sampled-oracle
+    * mechanism for large scale factors — the quadratic brute-force
+    * oracles (simhash/ngram all-pairs, recursive clustering, per-row
+    * minhash lambdas) become practical to re-derive in DuckDB at sf0.1
+    * because compare_oracles.py applies the IDENTICAL filter when
+    * registering its views, so the hash compare stays bit-exact on the
+    * stratum. Unset (the sf0.01 correctness gate), reads are unchanged. */
+  private def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      case "documents" => Stratum(df, "doc_id")
+      case "embeddings" => Stratum(df, "vec_id")
+      case _ => df
+    }
+  }
 
   // -------------------------------------------------------------------
   // Deterministic valid-cell construction (identical arithmetic in Spark

@@ -662,7 +662,7 @@ object Multimodal {
     * the role of the opaque payload). */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaBlob] = {
     import spark.implicits._
-    spark.read.parquet(s"$sfDir/documents.parquet")
+    graft.Stratum(spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .map { case (id, text) =>
