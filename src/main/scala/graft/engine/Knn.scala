@@ -17,6 +17,19 @@ import graft.spark.H3Functions
   * distances, so even isolated mid-ocean queries resolve without a
   * cross join; a brute-force pass remains as a final guard for corpora
   * with fewer than K points in half the globe.
+  *
+  * Two call shapes:
+  *  - [[knnJoin]] — one-shot: the corpus is scanned as needed and cached
+  *    only if the ladder escalates; every cache taken is released before
+  *    returning. Right for single batches over a corpus too large to pin
+  *    (at 10^12 points the projected corpus is ~50 TB).
+  *  - [[prepareCorpus]] + [[knnJoinPrepared]] — the repeated-query
+  *    service shape: the per-level cell columns are computed and cached
+  *    ONCE, then every query batch joins against the hot corpus. (Round 3
+  *    accidentally measured this shape through a cache leak — per-call
+  *    caches were never released, so identical-plan reps reused them;
+  *    the explicit API replaces the leak.) Caller releases with
+  *    [[PreparedCorpus.release]].
   */
 object Knn {
 
@@ -43,7 +56,51 @@ object Knn {
     ring.toDouble * edgeM * 0.75
   }
 
-  /** @param points  columns: id, lat, lng (degrees)
+  /** Escalation ladder: native res, res-4, res 1 (near-hemispheric reach;
+    * res 0 cannot soundly settle — see safeRadiusM). */
+  private def ladder(res: Int, maxRounds: Int): List[Int] = {
+    require(res >= 1, s"knnJoin requires res >= 1, got $res")
+    require(maxRounds >= 1, s"knnJoin requires maxRounds >= 1, got $maxRounds")
+    (List(res) ++ List(math.max(res - 4, 1), 1)).distinct.take(maxRounds)
+  }
+
+  /** Corpus projected to (id, plat, plng, one bit-parent cell column per
+    * ladder level) — all levels derived from the finest by cheap bit
+    * truncation. */
+  private def corpusFrame(points: DataFrame, levels: List[Int]): DataFrame = {
+    var pts = points
+      .withColumn(s"__pcell${levels.head}",
+        expr(s"h3_latlng_to_cell(lat, lng, ${levels.head})"))
+    for (l <- levels.tail)
+      pts = pts.withColumn(s"__pcell$l",
+        expr(s"h3_cell_to_parent(__pcell${levels.head}, $l)"))
+    pts.select((Seq(col("id"), col("lat").as("plat"), col("lng").as("plng")) ++
+      levels.map(l => col(s"__pcell$l"))): _*)
+  }
+
+  /** A corpus indexed once for repeated [[knnJoinPrepared]] batches.
+    * `release()` drops the cache. Only for corpora that fit the cluster's
+    * cache tier — one-shot callers over an unpinnable corpus use
+    * [[knnJoin]]. */
+  final case class PreparedCorpus private[engine] (
+      ptsC: DataFrame, levels: List[Int], res: Int) {
+    def release(): Unit = ptsC.unpersist(blocking = false)
+  }
+
+  /** Index `points` (columns: id, lat, lng) for repeated query batches:
+    * computes the ladder cell columns, caches, and materializes them. */
+  def prepareCorpus(spark: SparkSession, points: DataFrame, res: Int,
+                    maxRounds: Int = 4): PreparedCorpus = {
+    H3Functions.register(spark)
+    val levels = ladder(res, maxRounds)
+    val ptsC = corpusFrame(points, levels).cache()
+    ptsC.count()
+    PreparedCorpus(ptsC, levels, res)
+  }
+
+  /** One-shot kNN join (see object doc for the call-shape trade-off).
+    *
+    * @param points  columns: id, lat, lng (degrees)
     * @param queries columns: qid, lat, lng (degrees)
     * @param broadcastMaxDisks max exploded disk rows (queries x disk size)
     *        broadcast per round; above it the disk join falls back to a
@@ -55,43 +112,43 @@ object Knn {
               maxRounds: Int = 4,
               broadcastMaxDisks: Long = 2L * 1000 * 1000): DataFrame = {
     H3Functions.register(spark)
+    val levels = ladder(res, maxRounds)
+    run(spark, corpusFrame(points, levels), corpusOwned = true,
+      levels, queries, k, initialRing, broadcastMaxDisks)
+  }
 
-    // Escalation ladder: native res, res-4, res 1 (near-hemispheric
-    // reach; res 0 cannot soundly settle — see safeRadiusM). Rings below 2
-    // are rejected: the settlement bound is only calibrated for ring >= 2.
-    require(res >= 1, s"knnJoin requires res >= 1, got $res")
-    require(maxRounds >= 1, s"knnJoin requires maxRounds >= 1, got $maxRounds")
-    // maxRounds caps the DISK rounds (the brute guard always remains):
-    // fewer rounds trade escalation for an earlier guard pass.
-    val levels = (List(res) ++ List(math.max(res - 4, 1), 1))
-      .distinct.take(maxRounds)
+  /** kNN join of one query batch against a [[prepareCorpus]] result. */
+  def knnJoinPrepared(spark: SparkSession, corpus: PreparedCorpus,
+                      queries: DataFrame, k: Int, initialRing: Int = 2,
+                      broadcastMaxDisks: Long = 2L * 1000 * 1000): DataFrame =
+    run(spark, corpus.ptsC, corpusOwned = false,
+      corpus.levels, queries, k, initialRing, broadcastMaxDisks)
+
+  private def run(spark: SparkSession, corpus: DataFrame, corpusOwned: Boolean,
+                  levels: List[Int], queries: DataFrame, k: Int,
+                  initialRing: Int, broadcastMaxDisks: Long): DataFrame = {
+    // Rings below 2 are rejected: the settlement bound is only calibrated
+    // for ring >= 2.
     val rings = levels.zipWithIndex.map { case (_, i) =>
       if (i == 0) math.max(initialRing, 2) else 2
     }
-
-    // One cell column per level, all derived from the finest by cheap
-    // bit-level parent truncation; computed once and cached.
-    val levelCols = levels.map(l => s"__pcell$l")
-    var pts = points
-      .withColumn(s"__pcell${levels.head}",
-        expr(s"h3_latlng_to_cell(lat, lng, ${levels.head})"))
-    for (l <- levels.tail)
-      pts = pts.withColumn(s"__pcell$l",
-        expr(s"h3_cell_to_parent(__pcell${levels.head}, $l)"))
-    // NOT cached upfront: when round 0 settles every query (the common
-    // case), caching would materialize the full projected corpus (~50 TB
-    // at 10^12 rows) for nothing. The cache is installed lazily the first
-    // time a round leaves unsettled queries, so escalation rounds still
-    // reuse one materialization.
-    var ptsC = pts
-      .select((Seq(col("id"), col("lat").as("plat"), col("lng").as("plng")) ++
-        levelCols.map(col)): _*)
+    // When this call owns the corpus, it is NOT cached upfront: if round 0
+    // settles every query (the common case), caching would materialize the
+    // full projected corpus for nothing. The cache is installed lazily the
+    // first time a round leaves unsettled queries, so escalation rounds
+    // still reuse one materialization.
+    var ptsC = corpus
     var ptsCached = false
 
+    // Every cache taken below is recorded and released before returning —
+    // long escalation ladders must not leak cached partitions for the
+    // session lifetime (the result is materialized first, see the tail).
+    val cachedFrames = scala.collection.mutable.ListBuffer.empty[DataFrame]
     var remaining = queries
       .withColumn("__qcell", expr(s"h3_latlng_to_cell(lat, lng, ${levels.head})"))
       .select(col("qid"), col("lat").as("qlat"), col("lng").as("qlng"), col("__qcell"))
       .cache()
+    cachedFrames += remaining
 
     // Per-query top-k via the typed aggregator: partial top-k runs
     // map-side, so each round's shuffle carries at most k rows per query
@@ -133,51 +190,51 @@ object Knn {
             ptsC.join(disks, col("__cell") === col(s"__pcell$level"))
         }
 
-      // Eager localCheckpoint instead of cache: ranked is small (<= k rows
-      // per remaining query) and the checkpoint truncates its lineage, so
-      // no per-round cache has to stay alive for the lifetime of the
-      // escalation ladder (they used to leak until the session ended) —
-      // checkpoint blocks are released by the ContextCleaner once the
-      // round's frames are garbage-collected.
-      val ranked = rank(cand).localCheckpoint()
+      val ranked = rank(cand).cache()
+      cachedFrames += ranked
 
       if (bruteRound) {
         result = if (result == null) ranked else result.unionByName(ranked)
-        remaining.unpersist(blocking = false)
         done = true
       } else {
         val safe = safeRadiusM(levels(round), rings(round))
-        // okQids is tiny (<= one row per remaining query); checkpointing
-        // and counting it replaces the old second materialization
+        // okQids is tiny (<= one row per remaining query); caching it and
+        // counting it replaces the old second materialization
         // (remaining.count() after a left_anti join) — one small job per
         // round instead of two.
         val okQids = ranked.groupBy("qid")
           .agg(count(lit(1)).as("n"), max("dist_m").as("kth"))
           .filter(col("n") === k && col("kth") <= lit(safe))
           .select("qid")
-          .localCheckpoint()
+          .cache()
+        cachedFrames += okQids
         val nOk = okQids.count()
         val settled = ranked.join(okQids, "qid")
         result = if (result == null) settled else result.unionByName(settled)
-        if (nOk == remainingCount) {
-          remaining.unpersist(blocking = false)
-          done = true
-        } else {
+        if (nOk == remainingCount) done = true
+        else {
           remainingCount -= nOk
-          // The unsettled set shrinks every round: checkpoint the new one
-          // (small) and release the previous round's cache immediately.
-          val next = remaining.join(okQids, Seq("qid"), "left_anti")
-            .localCheckpoint()
-          remaining.unpersist(blocking = false)
-          remaining = next
+          remaining = remaining.join(okQids, Seq("qid"), "left_anti")
           // Entering an escalation round: every later round rescans the
-          // full point set, so NOW the one-time cache pays for itself.
-          if (!ptsCached) { ptsC = ptsC.cache(); ptsCached = true }
+          // full point set, so NOW the one-time cache pays for itself
+          // (only when this call owns the corpus — a prepared corpus is
+          // already hot).
+          if (corpusOwned && !ptsCached) { ptsC = ptsC.cache(); ptsCached = true }
         }
       }
       round += 1
     }
+    // The per-round caches stay hot for the whole call (an eager per-round
+    // checkpoint instead costs ~3x wall on the common settle-in-round-0
+    // path — measured), but must not outlive it: the FINAL result — tiny,
+    // <= k rows per query — is cached and materialized from the hot
+    // caches, then every per-round cache is released (unpersisting a
+    // parent does not invalidate a child's own cache). The caller owns
+    // the returned frame's cache.
+    val out = result.cache()
+    out.count()
+    cachedFrames.foreach(_.unpersist(blocking = false))
     if (ptsCached) ptsC.unpersist(blocking = false)
-    result
+    out
   }
 }
