@@ -688,6 +688,48 @@ object SparkEntry {
       }.toDF("doc_id", "png_w", "png_h", "png_sum", "gif_w", "gif_h", "gif_sum")
     }),
 
+    // JPEG codec round-trip: grayscale images of UNIFORM 8x8 blocks are
+    // reproduced bit-exactly by the baseline JPEG codec at flat quant 1
+    // (every AC coefficient is exactly zero; the DC survives exactly), so
+    // the oracle can re-derive both the plain and the block-position-
+    // weighted pixel sums from the synthesis formula alone — the hash
+    // match proves Huffman + zigzag + quant + DCT all invert exactly on
+    // this subdomain of a genuinely lossy format.
+    "jpeg_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      ids.map { id =>
+        val bw = 2 + (id % 4).toInt
+        val bh = 2 + (id % 3).toInt
+        val w = bw * 8
+        val h = bh * 8
+        val gray = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val k = (y / 8) * bw + (x / 8)
+            gray(y * w + x) = ((id * 13 + k.toLong * 29) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val jpg = ops.Jpeg.encode(w, h, gray, quant = 1)
+        val (dw, dh, back) = ops.Jpeg.decode(jpg)
+        var pixSum = 0L
+        var wSum = 0L
+        var i = 0
+        while (i < back.length) {
+          val v = (back(i) & 0xFF).toLong
+          val k = ((i / w) / 8) * bw + ((i % w) / 8)
+          pixSum += v
+          wSum += v * (k + 1)
+          i += 1
+        }
+        (id, dw, dh, pixSum, wSum)
+      }.toDF("doc_id", "jw", "jh", "pix_sum", "blk_wsum")
+    }),
+
     // Multimodal plumbing: the decode stage is a declared stub, but the
     // dataflow (kind routing, frame counting, stride sampling, fixed
     // feature shape) is integer-exact and oracle-checked end-to-end.
@@ -1635,6 +1677,21 @@ object SparkEntry {
                  list_transform(range(0, (10 + (doc_id % 4) * 6) * (8 + (doc_id % 3) * 4) * 3),
                    j -> ((((doc_id * 5 + (j // 3) * 3) % 256) * 3 + (j % 3)) * 37 + 11) % 256)),
                  (x,y) -> x + y) AS gif_sum
+        FROM documents
+      """,
+
+      "jpeg_roundtrip" -> """
+        SELECT doc_id,
+               CAST((2 + doc_id % 4) * 8 AS INT) AS jw,
+               CAST((2 + doc_id % 3) * 8 AS INT) AS jh,
+               64 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, (2 + doc_id % 4) * (2 + doc_id % 3)),
+                   k -> (doc_id * 13 + k * 29) % 256)),
+                 (x,y) -> x + y) AS pix_sum,
+               64 * list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, (2 + doc_id % 4) * (2 + doc_id % 3)),
+                   k -> ((doc_id * 13 + k * 29) % 256) * (k + 1))),
+                 (x,y) -> x + y) AS blk_wsum
         FROM documents
       """,
 

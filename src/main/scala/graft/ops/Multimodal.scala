@@ -9,17 +9,19 @@ import org.apache.spark.sql.functions._
   *
   * The Spark-side plumbing — schema, partition-aligned batching via
   * mapPartitions on typed Datasets, deterministic output shapes — is real
-  * and tested. The codec is REAL for every format expressible in pure JVM
-  * code with zero dependencies: RIFF/WAVE PCM16 audio, binary PPM (P6),
-  * PNG (8-bit RGB — chunk walk, java.util.zip inflate, all five scanline
-  * filters) and GIF (87a/89a — hand-rolled LZW), each byte-exact
-  * ([[RealCodec]]; the driver queries `media_codec_roundtrip` and
-  * `png_gif_roundtrip` prove the round-trips against pure-arithmetic
-  * DuckDB oracles), and resize is a real nearest-neighbor resample for
-  * image payloads. Only the formats whose decoders genuinely need
-  * external libraries (JPEG/MP3/H.264) fall back to the declared
-  * [[FakeCodec]] stub, so those pipelines stay reproducible and the
-  * fallback swaps out without touching the dataflow.
+  * and tested. The codec is REAL for every still-image and PCM-audio
+  * format, all pure JVM with zero dependencies: RIFF/WAVE PCM16, binary
+  * PPM (P6), PNG (8-bit RGB — chunk walk, java.util.zip inflate, all
+  * five scanline filters), GIF (87a/89a — hand-rolled LZW), each
+  * byte-exact, and baseline JPEG ([[Jpeg]] — DCT + canonical Huffman +
+  * zigzag + flat quant; lossy by nature, but bit-exact on uniform-block
+  * images, which is what the `jpeg_roundtrip` oracle pins; the
+  * `media_codec_roundtrip` and `png_gif_roundtrip` oracles cover the
+  * lossless formats). Resize is a real nearest-neighbor resample for
+  * image payloads. Only the stream-media formats whose decoders
+  * genuinely need external libraries (MP3/H.264) fall back to the
+  * declared [[FakeCodec]] stub, so those pipelines stay reproducible and
+  * the fallback swaps out without touching the dataflow.
   */
 object Multimodal {
 
@@ -601,12 +603,18 @@ object Multimodal {
     * fallback for everything else (compressed formats need libraries this
     * container does not have). */
   object Codec {
-    /** (w, h, rgb) for any of the real still-image formats, else None. */
+    /** (w, h, rgb) for any of the real still-image formats, else None.
+      * Grayscale JPEG expands to rgb triples so the feature path sees one
+      * shape. */
     def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
       if (RealCodec.isPpm(payload)) Some(RealCodec.ppmDecode(payload))
       else if (RealCodec.isPng(payload)) Some(RealCodec.pngDecode(payload))
       else if (RealCodec.isGif(payload)) Some(RealCodec.gifDecode(payload))
-      else None
+      else if (Jpeg.isJpeg(payload)) {
+        val (w, h, px) = Jpeg.decode(payload)
+        if (px.length == w * h * 3) Some((w, h, px))
+        else Some((w, h, px.flatMap(b => Array(b, b, b))))
+      } else None
 
     def decodeToFeatures(payload: Array[Byte], dim: Int): Array[Float] =
       if (RealCodec.isWav(payload))
@@ -622,7 +630,7 @@ object Multimodal {
         val n = RealCodec.wavDecode(payload)._2.length
         Math.max(1, (n + 1023) / 1024)
       } else if (RealCodec.isPpm(payload) || RealCodec.isPng(payload) ||
-          RealCodec.isGif(payload)) 1
+          RealCodec.isGif(payload) || Jpeg.isJpeg(payload)) 1
       else FakeCodec.frameCount(payload, kind)
   }
 
@@ -633,8 +641,8 @@ object Multimodal {
                                  feature: Array[Float], frames: Int)
 
   /** STUB decoder: deterministic features from payload bytes. Only the
-    * library-bound compressed formats (JPEG/MP3/H.264) land here — WAV,
-    * PPM, PNG and GIF all decode for real in [[RealCodec]]. */
+    * library-bound stream-media formats (MP3/H.264) land here — WAV, PPM,
+    * PNG, GIF and baseline JPEG all decode for real. */
   object FakeCodec {
     def decodeToFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
       val out = new Array[Float](dim)

@@ -305,6 +305,60 @@ class MultimodalStagesSpec extends org.scalatest.funsuite.AnyFunSuite {
     }
   }
 
+  test("JPEG: uniform-block gray is EXACT; color/noise within JPEG tolerance; malformed rejects") {
+    import graft.ops.Jpeg
+    val rnd = new scala.util.Random(3434)
+    // Uniform 8x8 blocks at flat quant 1: every AC is exactly 0 and the
+    // DC survives exactly -> bit-exact round-trip despite a lossy format.
+    for (trial <- 1 to 15) {
+      val (bw, bh) = (1 + rnd.nextInt(6), 1 + rnd.nextInt(6))
+      val (w, h) = (bw * 8, bh * 8)
+      val gray = new Array[Byte](w * h)
+      for (y <- 0 until h; x <- 0 until w)
+        gray(y * w + x) = ((trial * 37 + (y / 8) * bw + (x / 8)) * 29 % 256).toByte
+      val jpg = Jpeg.encode(w, h, gray, quant = 1)
+      assert(Jpeg.isJpeg(jpg))
+      val (dw, dh, back) = Jpeg.decode(jpg)
+      assert(dw == w && dh == h && back.length == w * h)
+      assert(java.util.Arrays.equals(back, gray), s"trial $trial: uniform-block gray not exact")
+      // It really compresses: uniform blocks are DC-only (EOB after DC).
+      // Only meaningful once the ~300-byte header amortizes.
+      if (w * h >= 4096)
+        assert(jpg.length < w * h / 2, s"${jpg.length} bytes for ${w * h} px")
+    }
+    // Noise + gradients (gray and RGB): honest lossy behavior, error
+    // bounded at flat quant 1 (DCT rounding + color convert only).
+    for (trial <- 1 to 10) {
+      val (w, h) = (8 + rnd.nextInt(40), 8 + rnd.nextInt(40)) // incl. non-x8
+      val gray = Array.tabulate(w * h)(i =>
+        if (trial % 2 == 0) rnd.nextInt(256).toByte else ((i * 3) % 256).toByte)
+      val (gw2, gh2, gBack) = Jpeg.decode(Jpeg.encode(w, h, gray, quant = 1))
+      assert(gw2 == w && gh2 == h)
+      for (i <- 0 until w * h)
+        assert(Math.abs((gBack(i) & 0xFF) - (gray(i) & 0xFF)) <= 2,
+          s"gray err at $i: ${gBack(i) & 0xFF} vs ${gray(i) & 0xFF}")
+      val rgb = Array.tabulate(w * h * 3)(i =>
+        if (trial % 2 == 0) rnd.nextInt(256).toByte else ((i * 7) % 256).toByte)
+      val (cw, ch, cBack) = Jpeg.decode(Jpeg.encode(w, h, rgb, quant = 1))
+      assert(cw == w && ch == h && cBack.length == w * h * 3)
+      var err = 0L
+      for (i <- 0 until rgb.length)
+        err += Math.abs((cBack(i) & 0xFF) - (rgb(i) & 0xFF))
+      // Mean abs error per channel sample stays small (YCbCr round-trip
+      // costs ~1 LSB; random noise worst-case a few LSB).
+      assert(err.toDouble / rgb.length < 4.0, s"mean err ${err.toDouble / rgb.length}")
+    }
+    // Higher quant actually quantizes (more loss, smaller file).
+    val g = Array.tabulate(64 * 64)(i => ((i * 13) % 256).toByte)
+    val q1 = Jpeg.encode(64, 64, g, quant = 1)
+    val q16 = Jpeg.encode(64, 64, g, quant = 16)
+    assert(q16.length < q1.length)
+    // Truncation / corruption rejects.
+    val jpg = Jpeg.encode(16, 16, Array.fill(256)(77.toByte))
+    intercept[IllegalArgumentException] { Jpeg.decode(jpg.take(jpg.length / 2)) }
+    intercept[IllegalArgumentException] { Jpeg.decode(Array[Byte](1, 2, 3)) }
+  }
+
   test("GIF LZW round-trips bit-exactly incl. dictionary-reset and KwKwK inputs") {
     import graft.ops.Multimodal.RealCodec
     val rnd = new scala.util.Random(2929)
