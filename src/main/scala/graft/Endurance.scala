@@ -83,10 +83,16 @@ object Endurance {
     val nBuckets = icePts.select(countDistinct("cell_p")).collect()(0).getLong(0)
     val killAfter = (nBuckets / 2).toInt
     val (_, tWrite1) = time {
-      try {
-        Icelite.writeResumable(spark, icePts, iceRoot, "cell_p", failAfter = killAfter)
-        throw new IllegalStateException("injected kill did not fire")
-      } catch { case _: RuntimeException => () } // the injected kill
+      var killed = false
+      try Icelite.writeResumable(spark, icePts, iceRoot, "cell_p", failAfter = killAfter)
+      catch {
+        // ONLY the injected kill is expected; anything else (a genuine
+        // write failure) must fail the endurance run, not masquerade as
+        // the kill.
+        case e: RuntimeException if e.getMessage != null &&
+            e.getMessage.contains("injected failure") => killed = true
+      }
+      require(killed, "injected kill did not fire")
     }
     val committedAtKill = Icelite.completedPartitions(iceRoot).size
     val (resumed, tWrite2) = time {

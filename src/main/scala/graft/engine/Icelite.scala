@@ -609,17 +609,29 @@ object Icelite {
     } finally Files.deleteIfExists(tmp)
   }
 
+  /** Newest last-modified time anywhere in the subtree. A live staging
+    * job writes files deep under the staging dir's _temporary subtree,
+    * which does NOT advance the top directory's own mtime — liveness
+    * must be judged on the whole subtree. */
+  private def newestMtime(p: Path): Long = {
+    var m = Files.getLastModifiedTime(p).toMillis
+    if (Files.isDirectory(p))
+      listDir(p)(_.foreach(c => m = math.max(m, newestMtime(c))))
+    m
+  }
+
   /** Reclaims `.staging-*` leftovers from CRASHED runs only: a dir is
-    * swept when its last-modified age exceeds one hour, so a LIVE
-    * concurrent writer's staging (always young — partitionBy touches it
-    * continuously) is never deleted out from under it. [[vacuum]] sweeps
-    * unconditionally (it is a quiesced maintenance op by contract). */
+    * swept when the newest mtime in its whole subtree is older than one
+    * hour, so a LIVE concurrent writer's staging (whose task files are
+    * being written continuously, however deep) is never deleted out from
+    * under it. [[vacuum]] sweeps unconditionally (it is a quiesced
+    * maintenance op by contract). */
   private def sweepStaleStaging(root: String,
                                 minAgeMs: Long = 60L * 60 * 1000): Unit = {
     val cutoff = System.currentTimeMillis() - minAgeMs
     listDir(Paths.get(root))(_.filter { p =>
         p.getFileName.toString.startsWith(".staging-") &&
-          Files.getLastModifiedTime(p).toMillis < cutoff
+          newestMtime(p) < cutoff
       }.toList)
       .foreach(deleteRecursively)
   }

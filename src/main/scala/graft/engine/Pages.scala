@@ -92,7 +92,12 @@ object Pages {
     * lat, lng. */
   def pages(spark: SparkSession, sfDir: String): DataFrame = {
     val events = spark.read.parquet(s"$sfDir/events.parquet")
-    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    // Stratum-aware like every other documents read: the DuckDB oracle's
+    // view carries the identical predicate AND its count(*) subquery sees
+    // the same stratum, so pages-derived queries stay bit-exact in
+    // sampled-oracle runs too.
+    val docs = graft.Stratum(
+      spark.read.parquet(s"$sfDir/documents.parquet"), "doc_id")
     // Inlined as a literal: a scalar subquery in a broadcast join key trips
     // plan-reuse ("Subquery has not finished"); parquet-metadata count is
     // free. The DuckDB oracle computes the same value with a subquery.

@@ -189,8 +189,11 @@ object SpatialJoin {
     // resolution (the common case) the probe emits 1 candidate row per
     // point instead of |ladder| (up to 4x fewer rows through the join).
     val ladder = polygons
+      .filter(col("geojson").isNotNull) // null geometries contribute no cover
       .select(expr(s"h3_cover_res(geojson, $res)").as("r"))
       .distinct().collect().map(_.getInt(0)).sorted.toSeq
+    if (ladder.isEmpty)
+      return points.limit(0).withColumn("poly_id", lit(0L))
     def ancAt(r: Int): Column =
       if (r == res) col(cellCol) else expr(s"h3_cell_to_parent($cellCol, $r)")
     // Single present resolution: one bit-op column, no Generate node —

@@ -69,8 +69,11 @@ object BenchDebug {
         .select(col("page_id").as("id"), col("lat"), col("lng"))
       val qs = Bench.synthPoints(spark, 200)
         .select(col("page_id").as("qid"), col("lat"), col("lng"))
-      graft.engine.Knn.knnJoin(spark, pts, qs, k = 10, res = 8,
-        initialRing = 2, maxRounds = 3).agg(count(lit(1))).collect()
+      val r = graft.engine.Knn.knnJoin(spark, pts, qs, k = 10, res = 8,
+        initialRing = 2, maxRounds = 3)
+      r.agg(count(lit(1))).collect()
+      r.unpersist(blocking = false) // caller owns the returned cache
+
     }
     t("join without PIP filter") {
       import spark.implicits._

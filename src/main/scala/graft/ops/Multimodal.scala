@@ -603,6 +603,13 @@ object Multimodal {
     * fallback for everything else (compressed formats need libraries this
     * container does not have). */
   object Codec {
+    /** True iff the payload is one of the REAL still-image formats (the
+      * single source of truth for format routing — resize, frame
+      * sampling and feature extraction must not drift apart). */
+    def isRealImage(payload: Array[Byte]): Boolean =
+      RealCodec.isPpm(payload) || RealCodec.isPng(payload) ||
+        RealCodec.isGif(payload) || Jpeg.isJpeg(payload)
+
     /** (w, h, rgb) for any of the real still-image formats, else None.
       * Grayscale JPEG expands to rgb triples so the feature path sees one
       * shape. */
@@ -629,8 +636,7 @@ object Multimodal {
       if (RealCodec.isWav(payload)) {
         val n = RealCodec.wavDecode(payload)._2.length
         Math.max(1, (n + 1023) / 1024)
-      } else if (RealCodec.isPpm(payload) || RealCodec.isPng(payload) ||
-          RealCodec.isGif(payload) || Jpeg.isJpeg(payload)) 1
+      } else if (isRealImage(payload)) 1
       else FakeCodec.frameCount(payload, kind)
   }
 
@@ -702,7 +708,8 @@ object Multimodal {
       if (RealCodec.isPpm(blob.payload))
         ResizedBlob(blob.doc_id, blob.kind, width, height,
           RealCodec.ppmResize(blob.payload, width, height))
-      else if (RealCodec.isPng(blob.payload) || RealCodec.isGif(blob.payload)) {
+      else if (Codec.isRealImage(blob.payload)) {
+        // PNG/GIF/JPEG: decode, NN-resample, re-encode as PNG (lossless).
         val (w, h, rgb) = Codec.decodeImage(blob.payload).get
         ResizedBlob(blob.doc_id, blob.kind, width, height,
           RealCodec.pngEncode(width, height,
@@ -741,8 +748,7 @@ object Multimodal {
         val n = Codec.frameCount(blob.payload, blob.kind)
         (0 until n by stride).map { f =>
           Frame(blob.doc_id, f,
-            if (RealCodec.isPpm(blob.payload) || RealCodec.isPng(blob.payload) ||
-              RealCodec.isGif(blob.payload))
+            if (Codec.isRealImage(blob.payload))
               Codec.decodeToFeatures(blob.payload, featureDim)
             else FakeCodec.decodeToFeatures(blob.payload :+ f.toByte, featureDim))
         }

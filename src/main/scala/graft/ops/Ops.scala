@@ -469,18 +469,25 @@ object Ops {
     // still runs but moves only (line_fp, doc_id) pairs). The cap bounds
     // driver/executor memory (default 4M fps = 32 MB); above it the
     // shuffle formulation below remains the big-boiler fallback.
-    val fpRows = boiler.limit(broadcastMaxFps + 1).collect()
-    if (fpRows.length <= broadcastMaxFps) {
-      val fps = new Array[Long](fpRows.length)
-      var i = 0
-      while (i < fps.length) { fps(i) = fpRows(i).getLong(0); i += 1 }
+    // The cap probe collects PRIMITIVE longs (a capped Dataset[Long]
+    // collect), not 4M boxed Rows — the driver's transient peak is the
+    // 32 MB long[] itself, matching the budget the cap advertises.
+    import spark.implicits._
+    val fps0 = boiler.limit(broadcastMaxFps + 1)
+      .select(col("line_fp")).as[Long].collect()
+    if (fps0.length <= broadcastMaxFps) {
+      val fps = fps0
       java.util.Arrays.sort(fps)
       val bc = spark.sparkContext.broadcast(fps)
       val r = org.apache.spark.sql.GraftBridge.column(DropBoilerLinesExpr(
         org.apache.spark.sql.GraftBridge.expression(col("text")), bc))
       docs.select(col("doc_id"), r.as("__r"))
         .select(col("doc_id"), col("__r.n_lines").as("n_lines"),
-          col("__r.n_kept").as("n_kept"), col("__r.clean_text").as("clean_text"))
+          // NULL-text rows must match the shuffle formulation exactly:
+          // there the left join + coalesce yields (null, 0, ''); the
+          // null-safe kernel struct alone would yield (null, null, null).
+          coalesce(col("__r.n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("__r.clean_text"), lit("")).as("clean_text"))
     } else {
       val kept = lines.join(boiler, Seq("line_fp"), "left_anti")
       val agg = kept.groupBy("doc_id").agg(

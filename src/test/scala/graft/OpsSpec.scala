@@ -628,6 +628,14 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     val f1 = Ops.lineDedup(spark, docs1, minDocs = 2)
     val s1 = Ops.lineDedupShuffle(spark, docs1, minDocs = 2)
     assert(f1.exceptAll(s1).count() + s1.exceptAll(f1).count() == 0)
+    // NULL text: both paths must yield (null n_lines, 0, '') identically.
+    val withNull = spark.sql(
+      "SELECT 900 AS doc_id, CAST(NULL AS STRING) AS text " +
+        "UNION ALL SELECT 901, 'a\nb\na\nb' UNION ALL SELECT 902, 'a\nb\nc'")
+    val fn = Ops.lineDedup(spark, withNull, minDocs = 2).orderBy("doc_id").collect()
+    val sn = Ops.lineDedupShuffle(spark, withNull, minDocs = 2).orderBy("doc_id").collect()
+    assert(fn.toSeq == sn.toSeq, s"null-text divergence: ${fn.toSeq} vs ${sn.toSeq}")
+    assert(fn(0).isNullAt(1) && fn(0).getLong(2) == 0L && fn(0).getString(3) == "")
   }
 
   test("repetitionSignals computes exact fractions per row, shuffle-free") {
