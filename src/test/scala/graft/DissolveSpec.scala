@@ -216,6 +216,15 @@ class CompactedDissolveSpec extends AnyFunSuite {
 
 /** Distributed dissolve: groupBy canonical edge -> twin cancel -> link. */
 class DistributedDissolveSpec extends AnyFunSuite {
+  test("distributed dissolve of an EMPTY input returns an empty frame (not NPE)") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("grp", "cell")
+    val out = graft.engine.DistributedDissolve.dissolve(spark, empty, "grp", "cell")
+    assert(out.columns.toSeq == Seq("grp", "geojson"))
+    assert(out.count() == 0)
+  }
+
   test("distributed dissolve equals the scalar kernel per group") {
     val spark = SparkTestBase.spark
     import spark.implicits._

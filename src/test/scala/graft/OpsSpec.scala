@@ -393,6 +393,36 @@ class MultimodalStagesSpec extends org.scalatest.funsuite.AnyFunSuite {
     intercept[IllegalArgumentException] { RealCodec.gifDecode(g.take(g.length / 2)) }
   }
 
+  test("stereo WAV payloads are rejected, not silently decoded as mono") {
+    import graft.ops.Multimodal.RealCodec
+    import java.nio.{ByteBuffer, ByteOrder}
+    // Hand-build a 2-channel PCM16 WAV; wavDecode must refuse it (the
+    // old code read interleaved stereo as mono: wrong sample/frame math).
+    val samples = 64
+    val dataLen = samples * 2 * 2
+    val buf = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    buf.putShort(1).putShort(2) // PCM, STEREO
+    buf.putInt(16000).putInt(16000 * 4)
+    buf.putShort(4).putShort(16)
+    buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until samples * 2).foreach(i => buf.putShort(i.toShort))
+    val e = intercept[IllegalArgumentException] { RealCodec.wavDecode(buf.array()) }
+    assert(e.getMessage.contains("mono only"))
+  }
+
+  test("vocab ignores empty/whitespace-only documents (oracle words() parity)") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val docs = Seq((1L, "a b a"), (2L, ""), (3L, "   "), (4L, "a c")).toDF("doc_id", "text")
+    val got = graft.ops.Ops.vocab(docs, minCount = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    // split(trim(''), '\s+') yields [''] — the empty token must NOT count.
+    assert(got == Set(("a", 3L, 2L), ("b", 1L, 1L), ("c", 1L, 1L)), got.toString)
+  }
+
   test("real WAV and PPM codecs round-trip bit-exactly; dispatch falls back") {
     import graft.ops.Multimodal.{Codec, FakeCodec, RealCodec}
     // WAV: encode -> decode returns the exact samples and rate.
