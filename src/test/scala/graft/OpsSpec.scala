@@ -658,6 +658,14 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     val f1 = Ops.lineDedup(spark, docs1, minDocs = 2)
     val s1 = Ops.lineDedupShuffle(spark, docs1, minDocs = 2)
     assert(f1.exceptAll(s1).count() + s1.exceptAll(f1).count() == 0)
+    // Approx-df (the 10^12-doc path: HLL sketches combine map-side, so
+    // the df exchange is per-fingerprint-per-partition, not per-pair):
+    // equals the exact path when boilerplate df is well separated from
+    // the threshold — here df(boiler) ~ hundreds vs minDocs=5 vs
+    // df(content)=1, far beyond the 5% rsd.
+    val fa = Ops.lineDedup(spark, docs, minDocs = 5, approxDfRsd = 0.05)
+    assert(fa.exceptAll(slow).count() + slow.exceptAll(fa).count() == 0,
+      "approx-df path diverged on a well-separated corpus")
     // NULL text: both paths must yield (null n_lines, 0, '') identically.
     val withNull = spark.sql(
       "SELECT 900 AS doc_id, CAST(NULL AS STRING) AS text " +
