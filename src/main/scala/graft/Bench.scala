@@ -110,25 +110,80 @@ object Bench {
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MAX_OTHER", "0.15").toDouble
     var phaseOther = Vector.empty[(String, Seq[Double])]
     var suspects = Vector.empty[String]
+    var bandExceeded = Vector.empty[String]
     osBean.getCpuLoad(); osBean.getProcessCpuLoad() // open sampling windows
+
+    // Per-phase reference bands (seconds, the last verified-quiet run's
+    // clean min, committed in-repo): the foreign-share detector is
+    // necessary but NOT sufficient — this machine's documented failure
+    // mode is OWN-process CPU inflation (frequency / memory-bandwidth
+    // contention, 2-6x) that leaves foreign share at exactly 0.000
+    // (BENCH_r04 shipped a 2x-inflated knn_join that way, unflagged). A
+    // phase whose clean-rep min exceeds band x 1.5 gets one quiet-window
+    // re-run and is otherwise flagged, so self-inflation is
+    // machine-detectable from the artifact alone.
+    val bandsPath = sys.env.getOrElse("SPARK_GRAFT_BANDS",
+      "/root/repo/bench-bands.json")
+    val bands: Map[String, Double] = {
+      val raw: Map[String, Any] =
+        if (!java.nio.file.Files.exists(java.nio.file.Paths.get(bandsPath)))
+          Map.empty
+        else graft.h3.Geo.Json.parse(
+            new String(java.nio.file.Files.readAllBytes(
+              java.nio.file.Paths.get(bandsPath)), "UTF-8"))
+          .asInstanceOf[Map[String, Any]]
+      // Bands are only meaningful at the scale+parallelism they were
+      // measured at (recorded as "_sf"/"_cpus" in the file): any other
+      // configuration runs unbanded rather than false-flagging.
+      val sfOk = raw.get("_sf").forall(_.toString == sfDir)
+      val cpusOk = raw.get("_cpus").forall(_.toString == cpusN.toString)
+      if (!sfOk || !cpusOk) Map.empty
+      else raw.collect {
+        case (k, v: Double) if !k.startsWith("_") => k -> v
+        case (k, v: Long) if !k.startsWith("_") => k -> v.toDouble
+      }
+    }
+    val bandFactor =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BAND_FACTOR", "1.5").toDouble
 
     def measure(name: String, n: Int)(body: => Unit): Double = {
       def runOnce(): (Double, Double) = {
         osBean.getCpuLoad(); osBean.getProcessCpuLoad() // window start
         val t = time(body)._2
-        val other = math.max(0.0, osBean.getCpuLoad() - osBean.getProcessCpuLoad())
+        val cpu = osBean.getCpuLoad()
+        val proc = osBean.getProcessCpuLoad()
+        // A negative reading means the platform metric is UNAVAILABLE:
+        // propagate NaN ("unknown") instead of clamping to 0, which
+        // would classify every rep as clean and silently disable the
+        // contamination gate.
+        val other =
+          if (cpu < 0 || proc < 0) Double.NaN
+          else math.max(0.0, cpu - proc)
         (t, other)
       }
+      def isClean(o: Double): Boolean = !o.isNaN && o <= otherLoadMax
       var rs = (0 until n).map(_ => runOnce())
       var retries = 0
-      while (!rs.exists(_._2 <= otherLoadMax) && retries < 2) {
+      while (!rs.exists(r => isClean(r._2)) && retries < 2) {
         retries += 1
         rs = rs :+ runOnce()
       }
-      val clean = rs.filter(_._2 <= otherLoadMax)
-      val minT =
-        if (clean.nonEmpty) clean.map(_._1).min
-        else { suspects :+= name; rs.map(_._1).min }
+      def cleanMin: Option[Double] = {
+        val c = rs.filter(r => isClean(r._2))
+        if (c.nonEmpty) Some(c.map(_._1).min) else None
+      }
+      // Band check against the in-repo reference: one extra rep buys a
+      // quieter window; a min still out of band is flagged (it may be a
+      // real regression OR self-inflation — either way the artifact says
+      // so instead of shipping the number as truth).
+      bands.get(name).foreach { b =>
+        if (cleanMin.exists(_ > b * bandFactor)) rs = rs :+ runOnce()
+        if (cleanMin.exists(_ > b * bandFactor)) {
+          bandExceeded :+= name
+          suspects :+= name
+        }
+      }
+      val minT = cleanMin.getOrElse { suspects :+= name; rs.map(_._1).min }
       phases :+= name -> minT
       repTimes :+= name -> rs.map(_._1)
       phaseOther :+= name -> rs.map(_._2)
@@ -216,7 +271,10 @@ object Bench {
     // the repeated-query service shape: the corpus is indexed once
     // (prepareCorpus) outside the reps and each rep joins a query batch
     // against the hot corpus — the number a production endpoint sees.
-    measure("knn_join_cold", 1) {
+    // Two cold reps (fresh corpus scan each — knnJoin owns and releases
+    // every cache it takes): a single-rep number was the noisiest phase
+    // in the artifact; min-of-2 bounds it.
+    measure("knn_join_cold", 2) {
       val pts = synthPoints(spark, nDocs / 10)
         .select(col("page_id").as("id"), col("lat"), col("lng"))
       val qs = synthPoints(spark, 200)
@@ -233,6 +291,22 @@ object Bench {
     measure("knn_join", reps) {
       val qs = synthPoints(spark, 200)
         .select(col("page_id").as("qid"), col("lat"), col("lng"))
+      val r = Knn.knnJoinPrepared(spark, knnCorpus, qs, k = 10)
+      r.agg(count(lit(1))).collect()
+      r.unpersist(blocking = false)
+    }
+    // Localized batch against the same prepared corpus — the service
+    // reality (a batch of queries over one region): the stats-driven
+    // planner prunes the corpus scan to the few buckets the disks
+    // intersect instead of scanning all of it. The global 200-city batch
+    // above correctly keeps the full scan (its disks touch ~80% of the
+    // corpus row mass); this phase is the shape the bucketed store exists
+    // for.
+    measure("knn_join_local", reps) {
+      val qs = spark.range(0, 200, 1, 4).selectExpr(
+        "id AS qid",
+        "48.8566 + cast(id % 97 as double) * 2e-3 AS lat",
+        "2.3522 + cast(id % 89 as double) * 2e-3 AS lng")
       val r = Knn.knnJoinPrepared(spark, knnCorpus, qs, k = 10)
       r.agg(count(lit(1))).collect()
       r.unpersist(blocking = false)
@@ -371,11 +445,15 @@ object Bench {
     val repsJson = repTimes.map { case (k, ts) =>
       s""""$k":[${ts.map(t => f"$t%.3f").mkString(",")}]"""
     }.mkString("{", ",", "}")
+    // NaN = metric unavailable; serialized as -1 (NaN is not valid JSON).
     val otherJson = phaseOther.map { case (k, os) =>
-      s""""$k":[${os.map(o => f"$o%.3f").mkString(",")}]"""
+      s""""$k":[${os.map(o => if (o.isNaN) "-1" else f"$o%.3f").mkString(",")}]"""
     }.mkString("{", ",", "}")
-    val suspectJson = suspects.map(s => "\"" + s + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"spatial_join_docs_per_sec","value":$docsPerSec,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"joined":$joinedDocs,"reps":$repsJson,"headline_median_docs_per_sec":$headlineMedian,"load_avg_at_start":$loadAvgStart,"phase_other_load":$otherJson,"suspect_phases":$suspectJson,"salting_max_task_ms":{"unsalted":$maxTaskUnsalted,"salted":$maxTaskSalted}}""")
+    val suspectJson = suspects.distinct.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    val bandJson = bands.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
+    val bandExJson = bandExceeded.map(s => "\"" + s + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"spatial_join_docs_per_sec","value":$docsPerSec,"unit":"docs/sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"joined":$joinedDocs,"reps":$repsJson,"headline_median_docs_per_sec":$headlineMedian,"load_avg_at_start":$loadAvgStart,"phase_other_load":$otherJson,"suspect_phases":$suspectJson,"bands":$bandJson,"band_exceeded":$bandExJson,"salting_max_task_ms":{"unsalted":$maxTaskUnsalted,"salted":$maxTaskSalted}}""")
     spark.stop()
   }
 

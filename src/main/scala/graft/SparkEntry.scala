@@ -388,6 +388,27 @@ object SparkEntry {
         .withColumnRenamed("rank", "rnk").select("qid", "id", "rnk")
     }),
 
+    // --- kNN prepared-corpus path: bucketed Icelite store, a LOCALIZED
+    // (Paris-rect) query batch so the manifest-pruned file scan — not the
+    // full corpus scan — is the plan under test, hash-checked against the
+    // same brute haversine oracle. ---
+    "knn_join_prepared" -> ((s, dir) => {
+      registerAll(s)
+      val root = s"/tmp/graft_knn_prep_${Integer.toHexString(dir.hashCode)}"
+      engine.Icelite.drop(root)
+      val pages = Pages.pages(s, dir)
+      val points = pages.select(col("page_id").as("id"), col("lat"), col("lng"))
+      val queries = pages
+        .filter(col("page_id") % 7 === 0 &&
+          col("lat").between(48.7, 49.0) && col("lng").between(2.2, 2.5))
+        .select(col("page_id").as("qid"), col("lat"), col("lng"))
+      val corpus = Knn.prepareCorpus(s, points, res = 7, root = root)
+      val out = Knn.knnJoinPrepared(s, corpus, queries, k = 5)
+        .withColumnRenamed("rank", "rnk").select("qid", "id", "rnk")
+      corpus.release() // root is caller-owned; only the lazy cache drops
+      out
+    }),
+
     // --- Text invariant: byte-identical text per url through the engine ---
     "text_invariant" -> ((s, dir) => {
       registerAll(s)
@@ -1129,6 +1150,19 @@ object SparkEntry {
       "knn_join" -> s"""
         WITH ${Pages.duckPagesCte},
         q AS (SELECT page_id AS qid, lat AS qlat, lng AS qlng FROM pages WHERE page_id % 53 = 0),
+        ranked AS (
+          SELECT q.qid, p.page_id AS id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY ${haversineDuck("q.qlat", "q.qlng", "p.lat", "p.lng")}, p.page_id) AS rnk
+          FROM q, pages p)
+        SELECT qid, id, rnk FROM ranked WHERE rnk <= 5
+      """,
+
+      "knn_join_prepared" -> s"""
+        WITH ${Pages.duckPagesCte},
+        q AS (SELECT page_id AS qid, lat AS qlat, lng AS qlng FROM pages
+              WHERE page_id % 7 = 0 AND lat BETWEEN 48.7 AND 49.0
+                AND lng BETWEEN 2.2 AND 2.5),
         ranked AS (
           SELECT q.qid, p.page_id AS id,
                  row_number() OVER (PARTITION BY q.qid

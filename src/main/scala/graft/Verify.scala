@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Some operators (knnJoin) return an eagerly-cached frame whose
+      // cache the caller owns; queries cannot unpersist after returning,
+      // so the harness drops all caches between queries — no cross-query
+      // leak, no cross-query warm-cache contamination.
+      spark.sharedState.cacheManager.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -41,10 +41,16 @@ import scala.jdk.CollectionConverters._
   */
 object Icelite {
 
+  /** `rows`/`checksum`/`colStats` describe the DATA files' content;
+    * `deleteFiles` hold equality-delete rows (columns: the partition
+    * column + `deleteKey`) applied as a bucket-scoped anti-join at read
+    * time and physically compacted away by [[compactBuckets]]. */
   final case class PartitionEntry(value: String, rows: Long, checksum: Long,
                                   files: Seq[String], durationMs: Long = 0,
                                   lineage: String = "",
-                                  colStats: Map[String, (Long, Long)] = Map.empty)
+                                  colStats: Map[String, (Long, Long)] = Map.empty,
+                                  deleteFiles: Seq[String] = Nil,
+                                  deleteKey: Seq[String] = Nil)
 
   final case class Snapshot(id: Long, partitionCol: String,
                             entries: Seq[PartitionEntry])
@@ -146,7 +152,8 @@ object Icelite {
                      partitionCol: String,
                      failAfter: Int = Int.MaxValue,
                      lineage: String = "",
-                     statsFromStaged: Boolean = true): Int = {
+                     statsFromStaged: Boolean = true,
+                     sortCols: Seq[String] = Nil): Int = {
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
     sweepStaleStaging(root)
@@ -161,7 +168,7 @@ object Icelite {
 
     val (staging, stats) = stageWithStats(spark, remaining, remaining0.schema,
       root, partitionCol, df.columns.filterNot(_ == partitionCol),
-      statsFromStaged)
+      statsFromStaged, sortCols)
 
     // Promote loop: atomic rename per bucket + batched manifest commits
     // (driver-side only — no further Spark jobs). Each commit appends one
@@ -263,11 +270,20 @@ object Icelite {
                              schema: org.apache.spark.sql.types.StructType,
                              root: String, partitionCol: String,
                              dataCols: Seq[String],
-                             statsFromStaged: Boolean)
+                             statsFromStaged: Boolean,
+                             sortCols: Seq[String] = Nil)
       : (Path, Array[(String, ((Long, Long), Map[String, (Long, Long)]))]) = {
     val staging = Paths.get(root, s".staging-${System.nanoTime()}")
-    withPart.repartition(col("__part"))
-      .write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
+    // Optional in-file clustering: sortWithinPartitions on `sortCols`
+    // tightens parquet row-group min/max stats on those columns, so
+    // later range-predicate scans (the optimizer's H3 prefix->range
+    // rewrite, kNN disk reads) prune row groups inside a bucket too.
+    val clustered = withPart.repartition(col("__part"))
+    val staged =
+      if (sortCols.isEmpty) clustered
+      else clustered.sortWithinPartitions(
+        ("__part" +: sortCols).map(c => col(s"`$c`")): _*)
+    staged.write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
     if (Files.exists(staging.resolve("__part=__HIVE_DEFAULT_PARTITION__")))
       throw new IllegalArgumentException(
         s"icelite: partition column '$partitionCol' contains NULL values; " +
@@ -512,14 +528,22 @@ object Icelite {
     * the predicate are ever listed or opened (Iceberg-style scan planning
     * without touching the file system for pruned buckets). */
   def readWhere(spark: SparkSession, root: String,
-                predicate: String => Boolean): DataFrame = {
+                predicate: String => Boolean): DataFrame =
+    readWhereOpt(spark, root, predicate).getOrElse(
+      throw new IllegalArgumentException("no partitions match the predicate"))
+
+  /** [[readWhere]] for automated scan planning (e.g. the kNN prepared
+    * corpus): `Some(frame)` over exactly the matching buckets' files, or
+    * `None` when no bucket matches — a normal outcome for a pruned scan,
+    * not a user error. */
+  def readWhereOpt(spark: SparkSession, root: String,
+                   predicate: String => Boolean): Option[DataFrame] = {
     val snap = currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
     val paths = snap.entries.filter(e => predicate(e.value))
       .flatMap(e => entryPaths(root, snap.partitionCol, e))
-    if (paths.isEmpty)
-      throw new IllegalArgumentException("no partitions match the predicate")
-    spark.read.parquet(paths: _*)
+    if (paths.isEmpty) None
+    else Some(spark.read.parquet(paths: _*))
   }
 
   /** Column-statistics range pruning (the Iceberg min/max scan-planning
@@ -606,6 +630,17 @@ object Icelite {
       true
     } catch {
       case _: java.nio.file.FileAlreadyExistsException => false
+      case e @ (_: UnsupportedOperationException |
+                _: java.nio.file.FileSystemException)
+          if !e.isInstanceOf[java.nio.file.FileAlreadyExistsException] =>
+        // Filesystems without hard links (some network/object-store
+        // mounts) surface here as UnsupportedOperationException or a
+        // generic FileSystemException (EPERM) — fail with a diagnosis
+        // instead of an uncaught low-level error mid-commit.
+        throw new IllegalStateException(
+          s"icelite: store at $root does not support hard links, which " +
+            "back the atomic create-if-absent commit; use a store with " +
+            "link(2) or substitute its native conditional-put", e)
     } finally Files.deleteIfExists(tmp)
   }
 
@@ -614,9 +649,15 @@ object Icelite {
     * which does NOT advance the top directory's own mtime — liveness
     * must be judged on the whole subtree. */
   private def newestMtime(p: Path): Long = {
-    var m = Files.getLastModifiedTime(p).toMillis
+    // Entries can vanish mid-walk (a concurrent writer's task commit
+    // deletes its _temporary files): a vanished entry is simply old —
+    // it must not abort the sweep.
+    var m = try Files.getLastModifiedTime(p).toMillis catch {
+      case _: java.nio.file.NoSuchFileException => 0L
+    }
     if (Files.isDirectory(p))
-      listDir(p)(_.foreach(c => m = math.max(m, newestMtime(c))))
+      try listDir(p)(_.foreach(c => m = math.max(m, newestMtime(c))))
+      catch { case _: java.nio.file.NoSuchFileException => }
     m
   }
 

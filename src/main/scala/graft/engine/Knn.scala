@@ -24,11 +24,15 @@ import graft.spark.H3Functions
   *    returning. Right for single batches over a corpus too large to pin
   *    (at 10^12 points the projected corpus is ~50 TB).
   *  - [[prepareCorpus]] + [[knnJoinPrepared]] — the repeated-query
-  *    service shape: the per-level cell columns are computed and cached
-  *    ONCE, then every query batch joins against the hot corpus. (Round 3
-  *    accidentally measured this shape through a cache leak — per-call
-  *    caches were never released, so identical-plan reps reused them;
-  *    the explicit API replaces the leak.) Caller releases with
+  *    service shape: the per-level cell columns are computed ONCE and
+  *    written to a bucketed Icelite table; each query batch prunes its
+  *    round-0 scan to the buckets its disks intersect (file-precise
+  *    manifest pruning, stats-driven — see [[CorpusStore]]), falling
+  *    back to a cached full scan only for batches that genuinely touch
+  *    most of the corpus. (Round 3 accidentally measured this shape
+  *    through a cache leak; round 4's explicit API scanned the full
+  *    cached corpus every batch — at 10^12 points a ~50 TB scan per
+  *    batch. The bucketed store closes that.) Caller releases with
   *    [[PreparedCorpus.release]].
   */
 object Knn {
@@ -78,24 +82,92 @@ object Knn {
       levels.map(l => col(s"__pcell$l"))): _*)
   }
 
-  /** A corpus indexed once for repeated [[knnJoinPrepared]] batches.
-    * `release()` drops the cache. Only for corpora that fit the cluster's
-    * cache tier — one-shot callers over an unpinnable corpus use
-    * [[knnJoin]]. */
+  /** The bucketed storage behind a [[PreparedCorpus]]: an Icelite table
+    * partitioned by the res-`bucketRes` bit-parent of the corpus cell,
+    * with per-bucket row counts from the manifest. Query batches prune
+    * their round-0 scan to exactly the buckets their disks intersect
+    * (file-precise manifest pruning) whenever the selected row mass is
+    * under `pruneMaxRowFraction` of the table; above it the full scan
+    * (cache-backed) is the cheaper plan and is kept. At 10^12 points any
+    * real batch touches a tiny row fraction, so the service shape reads
+    * a few buckets' files instead of a ~50 TB corpus scan per batch. */
+  final case class CorpusStore private[engine] (
+      root: String, bucketRes: Int, ownsRoot: Boolean,
+      rowsByBucket: Map[String, Long], filesByBucket: Map[String, Int],
+      totalRows: Long, pruneMaxRowFraction: Double)
+
+  /** A corpus indexed once for repeated [[knnJoinPrepared]] batches:
+    * written to a bucketed Icelite table (the prune-able scan source)
+    * plus a lazily-cached full frame for escalation rounds and batches
+    * too dispersed to prune. `release()` drops the cache and, when the
+    * store root was self-allocated, the table. */
   final case class PreparedCorpus private[engine] (
-      ptsC: DataFrame, levels: List[Int], res: Int) {
-    def release(): Unit = ptsC.unpersist(blocking = false)
+      ptsC: DataFrame, levels: List[Int], res: Int,
+      store: Option[CorpusStore]) {
+    def release(): Unit = {
+      ptsC.unpersist(blocking = false)
+      store.foreach(s => if (s.ownsRoot) Icelite.drop(s.root))
+    }
   }
 
+  /** Test/diagnostic probe: how the last prepared round-0 corpus scan was
+    * planned — ("pruned", nFiles) for a manifest-pruned file scan,
+    * ("full", -1) for the full-corpus scan. */
+  private[graft] var lastPreparedScan: Option[(String, Int)] = None
+
   /** Index `points` (columns: id, lat, lng) for repeated query batches:
-    * computes the ladder cell columns, caches, and materializes them. */
+    * computes the ladder cell columns and writes them to a bucketed
+    * Icelite table (partitioned by the res-`bucketRes` cell prefix,
+    * rows sorted by the finest cell inside each bucket so parquet
+    * row-group stats stay tight). Each [[knnJoinPrepared]] batch then
+    * prunes its scan to the buckets its disks intersect instead of
+    * scanning the whole corpus — the difference between a few file reads
+    * and a full-corpus pass per batch at production scale.
+    *
+    * @param root      storage root for the bucketed table; null (default)
+    *                  allocates a temp dir owned (and dropped) by
+    *                  `release()`. A caller-provided root is resumable:
+    *                  re-preparing over it skips buckets already written.
+    * @param bucketRes bucket granularity; default res-6 (coarse enough
+    *                  that bucket-directory count stays in the thousands
+    *                  globally, fine enough that a localized batch keeps
+    *                  a small row fraction). */
   def prepareCorpus(spark: SparkSession, points: DataFrame, res: Int,
-                    maxRounds: Int = 4): PreparedCorpus = {
+                    maxRounds: Int = 4, root: String = null,
+                    bucketRes: Int = -1,
+                    pruneMaxRowFraction: Double = 0.5): PreparedCorpus = {
     H3Functions.register(spark)
     val levels = ladder(res, maxRounds)
-    val ptsC = corpusFrame(points, levels).cache()
-    ptsC.count()
-    PreparedCorpus(ptsC, levels, res)
+    val bRes = if (bucketRes >= 0) bucketRes else math.max(1, res - 6)
+    require(bRes <= levels.head, s"bucketRes=$bRes above corpus res ${levels.head}")
+    val owns = root == null
+    val tableRoot =
+      if (owns) java.nio.file.Files.createTempDirectory("graft-knn-corpus").toString
+      else root
+    val frame = corpusFrame(points, levels)
+      // Null cells (invalid coordinates) can never match a disk and would
+      // poison the partition key; at the table boundary they are dropped.
+      .filter(col(s"__pcell${levels.head}").isNotNull)
+      .withColumn("__bucket",
+        expr(s"h3_cell_to_parent(__pcell${levels.head}, $bRes)"))
+    Icelite.writeResumable(spark, frame, tableRoot, "__bucket",
+      sortCols = Seq(s"__pcell${levels.head}"))
+    Icelite.currentSnapshot(tableRoot) match {
+      case Some(snap) =>
+        val rows = snap.entries.map(e => e.value -> e.rows).toMap
+        val files = snap.entries.map(e => e.value -> e.files.length).toMap
+        // Lazy cache: materialized only if a batch actually needs the
+        // full scan (dispersed batch or escalation round).
+        val ptsC = Icelite.read(spark, tableRoot).cache()
+        PreparedCorpus(ptsC, levels, res,
+          Some(CorpusStore(tableRoot, bRes, owns, rows, files,
+            rows.valuesIterator.sum, pruneMaxRowFraction)))
+      case None =>
+        // Empty corpus: nothing was staged, so no snapshot exists — fall
+        // back to an (empty) in-memory frame with no store.
+        if (owns) Icelite.drop(tableRoot)
+        PreparedCorpus(frame.drop("__bucket").cache(), levels, res, None)
+    }
   }
 
   /** One-shot kNN join (see object doc for the call-shape trade-off).
@@ -114,19 +186,26 @@ object Knn {
     H3Functions.register(spark)
     val levels = ladder(res, maxRounds)
     run(spark, corpusFrame(points, levels), corpusOwned = true,
-      levels, queries, k, initialRing, broadcastMaxDisks)
+      levels, queries, k, initialRing, broadcastMaxDisks, store = None)
   }
 
-  /** kNN join of one query batch against a [[prepareCorpus]] result. */
+  /** kNN join of one query batch against a [[prepareCorpus]] result.
+    * Round-0 scan planning is stats-driven: the batch's disk buckets are
+    * derived from the (tiny, cached) query frame, their row mass summed
+    * from the manifest, and the scan reads only those buckets' files
+    * when the mass is under the store's prune fraction — the full
+    * (cached) scan is kept only for batches genuinely touching most of
+    * the corpus. */
   def knnJoinPrepared(spark: SparkSession, corpus: PreparedCorpus,
                       queries: DataFrame, k: Int, initialRing: Int = 2,
                       broadcastMaxDisks: Long = 2L * 1000 * 1000): DataFrame =
     run(spark, corpus.ptsC, corpusOwned = false,
-      corpus.levels, queries, k, initialRing, broadcastMaxDisks)
+      corpus.levels, queries, k, initialRing, broadcastMaxDisks, corpus.store)
 
   private def run(spark: SparkSession, corpus: DataFrame, corpusOwned: Boolean,
                   levels: List[Int], queries: DataFrame, k: Int,
-                  initialRing: Int, broadcastMaxDisks: Long): DataFrame = {
+                  initialRing: Int, broadcastMaxDisks: Long,
+                  store: Option[CorpusStore]): DataFrame = {
     // Rings below 2 are rejected: the settlement bound is only calibrated
     // for ring >= 2.
     val rings = levels.zipWithIndex.map { case (_, i) =>
@@ -184,10 +263,44 @@ object Knn {
           // otherwise shuffle both sides on the disk cell (query sets in
           // the millions would blow the driver through the broadcast).
           val diskRows = remainingCount * graft.h3.H3.maxGridDiskSize(ring)
+          // Stats-driven scan planning over a bucketed store: derive the
+          // batch's bucket set from the (cached, tiny) remaining-query
+          // frame, sum its row mass from the manifest, and scan only the
+          // matching buckets' files when the mass is a small fraction of
+          // the corpus (at 10^12 points every real batch is). Disks at
+          // `level` truncate exactly to the store's bucket (pure bit
+          // parentage — no geometric protrusion), so the prune loses no
+          // candidate. A batch touching most of the corpus (or an
+          // escalation below bucketRes) keeps the full cached scan.
+          val roundCorpus = store match {
+            case Some(st) if level >= st.bucketRes &&
+                diskRows <= broadcastMaxDisks =>
+              val bSet = remaining
+                .select(expr(
+                  s"h3_grid_disk(h3_cell_to_parent(__qcell, $level), $ring)")
+                  .as("__c"))
+                .selectExpr(
+                  s"cast(h3_cell_to_parent(__c, ${st.bucketRes}) as string) AS b")
+                .distinct().collect().map(_.getString(0)).toSet
+              val mass = bSet.iterator.map(st.rowsByBucket.getOrElse(_, 0L)).sum
+              if (mass <= st.pruneMaxRowFraction * st.totalRows) {
+                val pruned = Icelite.readWhereOpt(spark, st.root, bSet.contains)
+                  .getOrElse(ptsC.limit(0))
+                lastPreparedScan = Some(("pruned",
+                  bSet.iterator.map(st.filesByBucket.getOrElse(_, 0)).sum))
+                pruned
+              } else {
+                lastPreparedScan = Some(("full", -1))
+                ptsC
+              }
+            case _ =>
+              if (store.isDefined) lastPreparedScan = Some(("full", -1))
+              ptsC
+          }
           if (diskRows <= broadcastMaxDisks)
-            ptsC.join(broadcast(disks), col("__cell") === col(s"__pcell$level"))
+            roundCorpus.join(broadcast(disks), col("__cell") === col(s"__pcell$level"))
           else
-            ptsC.join(disks, col("__cell") === col(s"__pcell$level"))
+            roundCorpus.join(disks, col("__cell") === col(s"__pcell$level"))
         }
 
       val ranked = rank(cand).cache()

@@ -174,48 +174,85 @@ object SpatialJoin {
                           broadcastPolygons: Boolean = true): DataFrame = {
     H3Functions.register(spark)
     // Each polygon adapts its cover resolution down Geo.coverLadder(res)
-    // inside the generator (a continental polygon must not tile at the
-    // point resolution), emitting a protrusion-robust cover
-    // (Geo.bufferedAnnotatedCover) so the probe can use cheap bit-parent
-    // keys at every ladder resolution. Cell values at different
-    // resolutions never collide (the res nibble differs), so one join key
-    // column serves the whole ladder.
-    val covers = polygons
-      .select(col("poly_id"), expr(s"h3_polygon_to_cells_annotated(geojson, $res)"))
-      .select("poly_id", "cell", "full")
-    // Probe only the cover resolutions PRESENT in the table, discovered by
-    // a tiny size-hint-only scan (h3_cover_res applies the same policy the
-    // generator does, no tiling) — when every polygon covers at one
-    // resolution (the common case) the probe emits 1 candidate row per
-    // point instead of |ladder| (up to 4x fewer rows through the join).
-    val ladder = polygons
-      .filter(col("geojson").isNotNull) // null geometries contribute no cover
-      .select(expr(s"h3_cover_res(geojson, $res)").as("r"))
-      .distinct().collect().map(_.getInt(0)).sorted.toSeq
-    if (ladder.isEmpty)
-      return points.limit(0).withColumn("poly_id", lit(0L))
+    // (a continental polygon must not tile at the point resolution),
+    // emitting a protrusion-robust cover (Geo.bufferedAnnotatedCover) so
+    // the probe can use cheap bit-parent keys at every ladder resolution.
+    // Cell values at different resolutions never collide (the res nibble
+    // differs), so one join key column serves the whole ladder.
     def ancAt(r: Int): Column =
       if (r == res) col(cellCol) else expr(s"h3_cell_to_parent($cellCol, $r)")
-    // Single present resolution: one bit-op column, no Generate node —
-    // the join stage stays a straight codegen pipeline (mirrors pipJoin).
-    val probe =
+    def probeFor(ladder: Seq[Int]): DataFrame =
+      // Single present resolution (the common case): one bit-op column,
+      // no Generate node — the join stage stays a straight codegen
+      // pipeline (mirrors pipJoin).
       if (ladder.size == 1) points.withColumn("__anc", ancAt(ladder.head))
       else points.withColumn("__anc", explode(array(ladder.map(ancAt): _*)))
-    val geo = polygons.select(col("poly_id"), col("geojson"))
     if (broadcastPolygons) {
-      // Single pass: the candidate join and the geometry lookup are both
-      // broadcasts, so points are scanned once and the || short-circuits
-      // the ray cast on fully-contained cells.
-      probe
-        .join(broadcast(covers), col("__anc") === covers("cell"))
-        .join(broadcast(geo), "poly_id")
+      // ONE scan of the polygon table: geometry and annotated covers are
+      // computed together on executors (h3_cover_annotated — tiling
+      // fully distributed) and collected as one row per polygon — the
+      // same data a broadcast build would pin on the driver anyway. The
+      // ladder, the cover relation and the geometry relation all derive
+      // from that collected set, so the table is never re-scanned for a
+      // ladder probe or the geometry join (it used to be scanned three
+      // times per call).
+      import scala.jdk.CollectionConverters._
+      val polyRows = polygons
+        .select(col("poly_id"), col("geojson"),
+          expr(s"h3_cover_annotated(geojson, $res)").as("__cov"))
+        .collect()
+        .filter(!_.isNullAt(2)) // null geometry: no cover, can match nothing
+      val coverRows = polyRows.flatMap { r =>
+        r.getSeq[org.apache.spark.sql.Row](2).map(c =>
+          org.apache.spark.sql.Row(r.getLong(0), c.getLong(0), c.getBoolean(1)))
+      }
+      if (coverRows.isEmpty)
+        return points.limit(0).withColumn("poly_id", lit(0L))
+      val ladder = coverRows.map(r => graft.h3.H3.getResolution(r.getLong(1)))
+        .distinct.sorted.toSeq
+      val coversDf = spark.createDataFrame(coverRows.toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("poly_id",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("cell",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("full",
+            org.apache.spark.sql.types.BooleanType, false))))
+      val geoDf = spark.createDataFrame(
+        polyRows.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getString(1)))
+          .toSeq.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("poly_id",
+            org.apache.spark.sql.types.LongType, false),
+          org.apache.spark.sql.types.StructField("geojson",
+            org.apache.spark.sql.types.StringType, false))))
+      // Candidate join and geometry lookup are both broadcasts of local
+      // relations: points are scanned once and the || short-circuits the
+      // ray cast on fully-contained cells.
+      probeFor(ladder)
+        .join(broadcast(coversDf), col("__anc") === coversDf("cell"))
+        .join(broadcast(geoDf), "poly_id")
         .filter(col("full") || expr("h3_point_in_polygon(lat, lng, geojson)"))
         .drop("__anc", "cell", "full", "geojson")
     } else {
-      // Huge polygon tables: shuffle the id-only candidate join, accept
-      // full cells outright, and shuffle the geometry onto boundary rows
-      // only (the candidate exchange is reused across both branches).
-      val cand = probe
+      // Huge polygon tables (too big to collect/broadcast): distributed
+      // covers via the generator, shuffled id-only candidate join, full
+      // cells accepted outright, geometry shuffled onto boundary rows
+      // only. The ladder probe is a separate size-hint-only scan
+      // (h3_cover_res, no tiling) — 3 passes over the table total, the
+      // price of never materializing it on the driver.
+      val covers = polygons
+        .select(col("poly_id"),
+          expr(s"h3_polygon_to_cells_annotated(geojson, $res)"))
+        .select("poly_id", "cell", "full")
+      val ladder = polygons
+        .filter(col("geojson").isNotNull)
+        .select(expr(s"h3_cover_res(geojson, $res)").as("r"))
+        .distinct().collect().map(_.getInt(0)).sorted.toSeq
+      if (ladder.isEmpty)
+        return points.limit(0).withColumn("poly_id", lit(0L))
+      val geo = polygons.select(col("poly_id"), col("geojson"))
+      val cand = probeFor(ladder)
         .join(covers, col("__anc") === covers("cell"))
       val fullHits = cand.filter(col("full")).drop("__anc", "cell", "full")
       val boundary = cand.filter(!col("full"))

@@ -29,15 +29,23 @@ object OpsFunctions {
     "hyperplane_lsh" -> (es => HyperplaneSigExpr(es(0), int(es(1)), lng(es(2)))),
     "char_ngrams" -> (es => CharNgramsGen(str(es(0)), int(es(1)), int(es(2)))))
 
+  private val RegisteredKey = "graft.ops.functions.registered"
+
   def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    all.foreach { case (name, builder) =>
-      // Idempotent: re-registering every call spammed a "replaced a
-      // previously registered function" WARN per function per operator
-      // invocation into every log/artifact.
-      if (!registry.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+    // Idempotence is tracked with a session-conf marker, NOT
+    // functionExists: the registry is pre-seeded with every Spark
+    // built-in, so a future name collision (or a stale builder surviving
+    // in a long-lived session) would silently skip installing OUR kernel
+    // and lose createOrReplace semantics. The marker guarantees exactly
+    // one createOrReplace per session — replace semantics kept, and the
+    // per-call WARN spam (the reason the existence check was added)
+    // still avoided.
+    if (spark.conf.getOption(RegisteredKey).isEmpty) {
+      val registry = spark.sessionState.functionRegistry
+      all.foreach { case (name, builder) =>
         registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      spark.conf.set(RegisteredKey, "true")
     }
   }
 }

@@ -64,6 +64,7 @@ object H3Functions {
     "h3_polygon_to_cells" -> (es => PolygonToCellsGen(str(es(0)), int(es(1)), int(es(2)))),
     "h3_polygon_to_cells_annotated" -> (es => PolygonToCellsAnnotatedGen(str(es(0)), int(es(1)))),
     "h3_cover_res" -> (es => CoverResExpr(str(es(0)), int(es(1)))),
+    "h3_cover_annotated" -> (es => CoverAnnotatedExpr(str(es(0)), int(es(1)))),
     "h3_point_in_polygon" -> (es => PointInPolygonExpr(dbl(es(0)), dbl(es(1)), str(es(2)))),
     // Directed edges.
     "h3_cells_to_directed_edge" -> (es => CellsToEdge(lng(es(0)), lng(es(1)))),
@@ -115,16 +116,21 @@ object H3Functions {
     "h3_get_hexagon_area_avg_m2" -> (es => H3ResCall("hexAreaAvgM2", int(es(0)), DoubleType)),
     "h3_get_hexagon_edge_length_avg_m" -> (es => H3ResCall("edgeLengthAvgM", int(es(0)), DoubleType)))
 
+  private val RegisteredKey = "graft.h3.functions.registered"
+
   /** Session-scoped registration (idempotent). */
   def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    all.foreach { case (name, builder) =>
-      // Idempotent: skip names already present so repeated register()
-      // calls (one per operator entry) don't emit hundreds of
-      // "replaced a previously registered function" WARNs.
-      if (!registry.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+    // Session-conf marker instead of functionExists: the registry is
+    // pre-seeded with all Spark built-ins, so an existence check would
+    // silently skip installing our kernel on a name collision (losing
+    // createOrReplace semantics). One createOrReplace per session keeps
+    // replace semantics without the per-call WARN spam.
+    if (spark.conf.getOption(RegisteredKey).isEmpty) {
+      val registry = spark.sessionState.functionRegistry
+      all.foreach { case (name, builder) =>
         registry.createOrReplaceTempFunction(name, builder, "built-in")
+      }
+      spark.conf.set(RegisteredKey, "true")
     }
     // Idempotent optimizer-rule injection (experimental methods allow
     // post-session registration; dedup by reference).

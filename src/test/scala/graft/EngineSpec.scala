@@ -45,9 +45,10 @@ class EngineSpec extends AnyFunSuite {
       .select(col("page_id").as("qid"), col("lat"), col("lng"))
     val k = 4
 
-    val engine = Knn.knnJoin(spark, points, queries, k = k, res = 7)
-      .select("qid", "id", "rank")
+    val knnDf = Knn.knnJoin(spark, points, queries, k = k, res = 7)
+    val engine = knnDf.select("qid", "id", "rank")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    knnDf.unpersist(blocking = false) // caller owns the eager cache
 
     val raw = pages.select("page_id", "lat", "lng").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
@@ -75,9 +76,10 @@ class EngineSpec extends AnyFunSuite {
       (9003L, 40.7, -74.0)    // NYC
     ).toDF("qid", "lat", "lng")
     val k = 3
-    val engine = Knn.knnJoin(spark, points, queries, k = k, res = 7)
-      .select("qid", "id", "rank").collect()
+    val knnDf = Knn.knnJoin(spark, points, queries, k = k, res = 7)
+    val engine = knnDf.select("qid", "id", "rank").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+    knnDf.unpersist(blocking = false) // caller owns the eager cache
     val raw = pages.select("page_id", "lat", "lng").collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
     val brute = Seq((9001L, 48.86, 2.34), (9002L, -43.2, -140.5),
@@ -335,11 +337,14 @@ class KnnBoundSpec extends org.scalatest.funsuite.AnyFunSuite {
     val points = pages.select(col("page_id").as("id"), col("lat"), col("lng"))
     val queries = pages.filter(col("page_id") % 101 === 0)
       .select(col("page_id").as("qid"), col("lat"), col("lng"))
-    def run(cap: Long) =
-      graft.engine.Knn.knnJoin(spark, points, queries, k = 3, res = 7,
-          broadcastMaxDisks = cap)
-        .select("qid", "id", "rank").collect()
+    def run(cap: Long) = {
+      val df = graft.engine.Knn.knnJoin(spark, points, queries, k = 3, res = 7,
+        broadcastMaxDisks = cap)
+      val out = df.select("qid", "id", "rank").collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2).toInt)).toSet
+      df.unpersist(blocking = false) // caller owns the eager cache
+      out
+    }
     val viaShuffle = run(1) // cap below any query set -> shuffle join path
     val viaBroadcast = run(Long.MaxValue)
     assert(viaShuffle == viaBroadcast && viaShuffle.nonEmpty)
@@ -717,6 +722,40 @@ class PolygonTableJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
       .pipJoinPolygonTable(spark, pts, polyTable, res = 9)
     assert(generates(single) == 0, "single-res table must not explode the probe")
     single.limit(1).collect() // plan executes
+  }
+
+  test("broadcast path scans the polygon table exactly once") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-polytable").toString
+    Seq("Paris", "SanFranciscoHole", "Rabi").zipWithIndex
+      .map { case (n, i) => ((i + 1).toLong, shapeJson(n)) }
+      .toDF("poly_id", "geojson").write.mode("overwrite").parquet(dir)
+    val polyTable = spark.read.parquet(dir)
+    val pts = graft.engine.Pages.indexedPages(spark, "/root/testdata/sf0.001")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val l = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(l)
+    val df = try {
+      val d = graft.engine.SpatialJoin
+        .pipJoinPolygonTable(spark, pts, polyTable, res = 9)
+      org.apache.spark.sql.GraftBridge.waitListenerBus(spark.sparkContext)
+      d
+    } finally spark.sparkContext.removeSparkListener(l)
+    // Construction runs exactly ONE Spark job: the single pass that
+    // collects (poly_id, geojson, annotated cover) together. The ladder
+    // probe and the geometry relation derive from it — no extra scans.
+    assert(jobs.get == 1,
+      s"expected exactly one polygon-table scan job, got ${jobs.get}")
+    // Executing the join must not rescan the table either: its file path
+    // appears nowhere in the executed plan (covers + geometry are local
+    // relations built from the collected pass).
+    df.limit(5).collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains(dir), "polygon table re-scanned at execution")
   }
 
   test("candidate join carries ids only; geometry joins back for boundary rows") {
