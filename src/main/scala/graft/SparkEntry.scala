@@ -315,6 +315,30 @@ object SparkEntry {
           "h3_cell_to_parent(cell9, 3) = cell_p AS parent_ok")
     }),
 
+    // Row-level equality deletes through the Icelite manifest: the pages
+    // table is written, every page_id % 3 == 0 row is DELETED via
+    // bucket-routed delete files (data files untouched), and the read —
+    // which applies the deletes as a bucket-scoped anti-join — must
+    // hash-match the oracle's from-scratch re-derivation of the
+    // surviving rows (write -> delete commit -> anti-join read, checked
+    // end-to-end; delete/compaction content equivalence is spec-pinned
+    // in IceliteDeleteSpec).
+    "icelite_delete" -> ((s, dir) => {
+      registerAll(s)
+      val root = s"/tmp/graft_icelite_del_${Integer.toHexString(dir.hashCode)}"
+      engine.Icelite.drop(root)
+      val pages = Pages.indexedPages(s, dir)
+      engine.Icelite.writeResumable(s, pages, root, "cell_p")
+      engine.Icelite.deleteRowsResumable(s,
+        pages.filter(col("page_id") % 3 === 0).select("cell_p", "page_id"),
+        root, "cell_p", Seq("page_id"), runId = "driver-delete")
+      engine.Icelite.read(s, root).selectExpr(
+        "page_id", "url",
+        "cast(floor(lat * 1000) as bigint) AS lat_q",
+        "cast(floor(lng * 1000) as bigint) AS lng_q",
+        "h3_cell_to_parent(cell9, 3) = cell_p AS parent_ok")
+    }),
+
     // Manifest COLUMN-STATS pruning on a non-partition column: synthetic
     // bit-cells written partitioned by their res-5 parent; the res-9
     // descendant range of ONE parent prunes the manifest to a single
@@ -1425,6 +1449,15 @@ object SparkEntry {
                CAST(floor(lng * 1000) AS BIGINT) AS lng_q,
                TRUE AS valid, TRUE AS parent_ok
         FROM pages WHERE ${rectCondDuck(Rects.head)}
+      """,
+
+      "icelite_delete" -> s"""
+        WITH ${Pages.duckPagesCte}
+        SELECT page_id, url,
+               CAST(floor(lat * 1000) AS BIGINT) AS lat_q,
+               CAST(floor(lng * 1000) AS BIGINT) AS lng_q,
+               TRUE AS parent_ok
+        FROM pages WHERE page_id % 3 <> 0
       """,
 
       "icelite_stats_prune" -> s"""

@@ -12,7 +12,10 @@ import scala.jdk.CollectionConverters._
 /** Minimal Iceberg-style table layer over Parquet ("icelite"): snapshot
   * manifests with per-partition lineage + metrics, atomic commits via
   * temp-file rename, manifest-driven resumable writes and appends,
-  * content-verified bucket compaction, snapshot time travel
+  * row-level equality deletes ([[deleteRowsResumable]] — the Iceberg
+  * delete-file analogue, applied as bucket-scoped anti-joins at read
+  * time), content-verified bucket compaction (which also rewrites
+  * standing deletes away physically), snapshot time travel
   * ([[readAsOf]]), file-diff incremental reads, and orphan reclamation
   * ([[vacuum]]). Reads are FILE-precise — only manifest-listed files are
   * ever opened — which is what makes appends, compaction and historical
@@ -204,7 +207,8 @@ object Icelite {
     * not attributable to a single bucket). */
   private def promoteStaged(root: String, partitionCol: String, staging: Path,
                             values: Seq[String], failAfter: Int,
-                            replaceTarget: Boolean)
+                            replaceTarget: Boolean,
+                            movedPrefix: String = "")
                            (mkEntry: (String, Seq[String], Long,
                                       Option[PartitionEntry]) => PartitionEntry): Int = {
     val batchSize = math.max(1, values.length / 64)
@@ -227,7 +231,12 @@ object Icelite {
       val staged = staging.resolve(s"__part=${escapePart(v)}")
       val target = dataDir(root).resolve(s"$partitionCol=${escapePart(v)}")
       val files =
-        if (replaceTarget) {
+        if (!Files.isDirectory(staged)) {
+          // Zero staged rows for this value (e.g. a compaction of a
+          // bucket whose rows were all deleted): the bucket's new
+          // content is empty — commit an entry with no files.
+          Seq.empty[String]
+        } else if (replaceTarget) {
           if (Files.exists(target)) deleteRecursively(target)
           Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
           listDir(target)(_.map(_.getFileName.toString)
@@ -236,11 +245,12 @@ object Icelite {
           Files.createDirectories(target)
           listDir(staged)(_.filter(
               _.getFileName.toString.endsWith(".parquet")).toList).map { f =>
-            val t = target.resolve(f.getFileName.toString)
+            val name = movedPrefix + f.getFileName.toString
+            val t = target.resolve(name)
             if (Files.exists(t))
               throw new IllegalStateException(s"icelite: file collision at $t")
             Files.move(f, t, StandardCopyOption.ATOMIC_MOVE)
-            f.getFileName.toString
+            name
           }
         }
       pending += ((v, files, (System.nanoTime() - tBucket) / 1000000))
@@ -381,29 +391,98 @@ object Icelite {
         old.map(_.rows).getOrElse(0L) + rows,
         old.map(_.checksum).getOrElse(0L) ^ checksum,
         old.map(_.files).getOrElse(Seq.empty) ++ moved,
-        durationMs = ms, lineage = runId, colStats = mergedStats)
+        durationMs = ms, lineage = runId, colStats = mergedStats,
+        // An append leaves the bucket's standing deletes in force.
+        deleteFiles = old.map(_.deleteFiles).getOrElse(Nil),
+        deleteKey = old.map(_.deleteKey).getOrElse(Nil))
     }
     deleteRecursively(staging)
     computed
   }
 
+  /** Row-level EQUALITY deletes (the Iceberg delete-file analogue): every
+    * row of `keys` — columns: `partitionCol` plus `keyCols` — marks all
+    * table rows in that bucket whose key columns match as deleted. The
+    * delete rows are staged in one partitionBy job, promoted as new
+    * `delete-*.parquet` files inside the affected bucket directories,
+    * and committed through the same CAS path as appends; readers apply
+    * them as a bucket-scoped anti-join ([[readEntriesDf]]) and
+    * [[compactBuckets]] rewrites them away physically. Data files are
+    * never touched, so historical snapshots ([[readAsOf]]) still see the
+    * pre-delete rows, and a 100-TB takedown costs one tiny file per
+    * affected bucket instead of a bucket rewrite.
+    *
+    * Partition-ROUTED by contract: the caller supplies the partition
+    * value per key (a curation pipeline knows its cell prefix; when it
+    * does not, derive it with a join against the table first). Keys for
+    * buckets the table does not contain are ignored. NULL key values
+    * never match any row (SQL equality). `runId` is the resume identity,
+    * exactly like [[appendResumable]]. Returns the number of buckets
+    * that gained delete files this run. */
+  def deleteRowsResumable(spark: SparkSession, keys: DataFrame, root: String,
+                          partitionCol: String, keyCols: Seq[String],
+                          runId: String,
+                          failAfter: Int = Int.MaxValue): Int = {
+    require(runId.nonEmpty,
+      "deleteRowsResumable needs a unique runId (resume identity)")
+    require(keyCols.nonEmpty, "deleteRowsResumable needs at least one key column")
+    val current = currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+      .entries.map(e => e.value -> e).toMap
+    if (current.isEmpty) return 0
+    current.valuesIterator.filter(_.deleteFiles.nonEmpty).foreach { e =>
+      require(e.deleteKey == keyCols,
+        s"bucket '${e.value}' already holds deletes keyed by " +
+          s"${e.deleteKey.mkString(",")}; one table uses one delete key " +
+          s"(got ${keyCols.mkString(",")})")
+    }
+    sweepStaleStaging(root)
+    val done = current.collect { case (v, e) if e.lineage == runId => v }.toSet
+    val projected = keys.select(
+      (partitionCol +: keyCols).map(c => col(s"`$c`")): _*)
+    val withPart0 = projected.withColumn("__part",
+      col(s"`$partitionCol`").cast("string"))
+    val withPart = withPart0
+      .filter(col("__part").isInCollection(current.keySet -- done))
+    val (staging, stats) = stageWithStats(spark, withPart, withPart0.schema,
+      root, partitionCol, keyCols, statsFromStaged = true)
+    try {
+      val computed = promoteStaged(root, partitionCol, staging,
+        stats.map(_._1).filter(current.contains), failAfter,
+        replaceTarget = false, movedPrefix = "delete-") { (v, moved, ms, fresh) =>
+        // Derive against the FRESH entry (CAS): a concurrent append's
+        // files stay; our delete files accumulate onto whatever is
+        // current.
+        val e = fresh.getOrElse(current(v))
+        e.copy(deleteFiles = e.deleteFiles ++ moved, deleteKey = keyCols,
+          durationMs = ms, lineage = runId)
+      }
+      computed
+    } finally deleteRecursively(staging)
+  }
+
   /** Rewrites every bucket holding more than `maxFiles` data files (the
-    * append-induced small-files debt) in ONE partitionBy job over just
-    * those buckets' files. The rewrite is verified content-preserving
-    * BEFORE anything is committed: each staged bucket's row count and
-    * order-independent checksum must equal the manifest's, else the whole
-    * compaction aborts untouched. Old files stay on disk so historical
-    * snapshots keep working; [[vacuum]] reclaims them. Returns the number
-    * of buckets compacted. */
+    * append-induced small-files debt) OR any delete files in ONE
+    * partitionBy job over just those buckets' files, with standing
+    * equality deletes APPLIED — the physical reclamation that turns a
+    * logical delete into a smaller bucket. The rewrite is verified
+    * BEFORE anything is committed: a delete-free bucket's staged row
+    * count and order-independent checksum must equal the manifest's; a
+    * delete-bearing bucket's must equal an independently computed pass
+    * over (data minus deletes). On any mismatch the whole compaction
+    * aborts untouched. Old files stay on disk so historical snapshots
+    * keep working; [[vacuum]] reclaims them. Returns the number of
+    * buckets compacted. */
   def compactBuckets(spark: SparkSession, root: String,
                      maxFiles: Int = 1): Int = {
     val snap = currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
-    val fat = snap.entries.filter(_.files.length > maxFiles)
+    val fat = snap.entries.filter(e =>
+      e.files.length > maxFiles || e.deleteFiles.nonEmpty)
     if (fat.isEmpty) return 0
     sweepStaleStaging(root)
-    val df = spark.read.parquet(
-      fat.flatMap(e => entryPaths(root, snap.partitionCol, e)): _*)
+    val df = readEntriesDf(spark, root, snap.partitionCol, fat,
+      e => entryPaths(root, snap.partitionCol, e)).get
     val withPart = df.withColumn("__part", col(snap.partitionCol).cast("string"))
     val (staging, stats) = stageWithStats(spark, withPart, withPart.schema,
       root, snap.partitionCol, df.columns.filterNot(_ == snap.partitionCol),
@@ -413,30 +492,57 @@ object Icelite {
     // bucket per attempt (vacuum does not reclaim staging dirs).
     try {
       val statsMap = stats.map { case (v, (rc, _)) => v -> rc }.toMap
+      // Delete-bearing buckets cannot verify against the manifest (its
+      // rows/checksum describe the PRE-delete data files by design); an
+      // independent second pass over the live rows is the expectation.
+      val withDel = fat.filter(_.deleteFiles.nonEmpty)
+      val expect: Map[String, (Long, Long)] =
+        fat.filter(_.deleteFiles.isEmpty).map(e => e.value -> (e.rows, e.checksum)).toMap ++
+          (if (withDel.isEmpty) Map.empty
+           else {
+             val live = readEntriesDf(spark, root, snap.partitionCol, withDel,
+               e => entryPaths(root, snap.partitionCol, e)).get
+             val quoted = live.columns.filterNot(_ == snap.partitionCol)
+               .map(c => s"`$c`")
+             live.groupBy(col(snap.partitionCol).cast("string").as("__part"))
+               .agg(count(lit(1)).as("rows"),
+                 expr(s"bit_xor(xxhash64(struct(${quoted.mkString(",")})))")
+                   .as("checksum"))
+               .collect()
+               .map(r => r.getString(0) ->
+                 (r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)))
+               .toMap
+           })
       fat.foreach { e =>
         val (rows, sum) = statsMap.getOrElse(e.value, (0L, 0L))
-        if (rows != e.rows || sum != e.checksum)
+        val (expRows, expSum) = expect.getOrElse(e.value, (0L, 0L))
+        if (rows != expRows || sum != expSum)
           throw new IllegalStateException(
             s"icelite: compaction rewrite of bucket '${e.value}' does not " +
-              s"reproduce its content (rows $rows vs ${e.rows}); aborting " +
+              s"reproduce its content (rows $rows vs $expRows); aborting " +
               "with nothing committed")
       }
       val byValue = fat.map(e => e.value -> e).toMap
-      // Content is verified unchanged, so the column stats carry over.
       // Batched commits mean a crash mid-compaction leaves a partially
       // compacted (still consistent) table; a retry compacts the rest.
       promoteStaged(root, snap.partitionCol, staging,
         fat.map(_.value).sorted, Int.MaxValue, replaceTarget = false) {
         (v, moved, ms, fresh) =>
           val e = byValue(v)
-          // A concurrent append between verification and commit changed
-          // the bucket: our rewrite no longer represents it. Keep the
-          // fresh entry untouched (the rewrite's files become vacuum-able
-          // orphans) rather than committing a lost update.
+          // Absent = zero live rows (a fully-deleted bucket).
+          val (expRows, expSum) = expect.getOrElse(v, (0L, 0L))
+          // A concurrent append/delete between verification and commit
+          // changed the bucket: our rewrite no longer represents it. Keep
+          // the fresh entry untouched (the rewrite's files become
+          // vacuum-able orphans) rather than committing a lost update.
           fresh match {
-            case Some(f) if f.rows != e.rows || f.checksum != e.checksum => f
-            case _ => PartitionEntry(e.value, e.rows, e.checksum, moved,
-              durationMs = ms, lineage = "compact", colStats = e.colStats)
+            case Some(f) if f.rows != e.rows || f.checksum != e.checksum ||
+                f.deleteFiles != e.deleteFiles => f
+            case _ =>
+              // Post-compaction metrics describe the LIVE content; the
+              // old colStats remain valid bounds (deletion only narrows).
+              PartitionEntry(e.value, expRows, expSum, moved,
+                durationMs = ms, lineage = "compact", colStats = e.colStats)
           }
       }
     } finally deleteRecursively(staging)
@@ -454,7 +560,8 @@ object Icelite {
     // (the routine write/append sweep is age-gated for live writers).
     sweepStaleStaging(root, minAgeMs = 0)
     val keep: Map[String, Set[String]] = snap.entries.map(e =>
-      s"${snap.partitionCol}=${escapePart(e.value)}" -> e.files.toSet).toMap
+      s"${snap.partitionCol}=${escapePart(e.value)}" ->
+        (e.files.toSet ++ e.deleteFiles)).toMap
     var removed = 0
     if (!Files.isDirectory(dataDir(root))) return 0
     listDir(dataDir(root))(_.toList).foreach { dir =>
@@ -478,8 +585,39 @@ object Icelite {
     * invisible without any cleanup having run). */
   private def entryPaths(root: String, partitionCol: String,
                          e: PartitionEntry): Seq[String] =
-    e.files.map(f => dataDir(root)
-      .resolve(s"$partitionCol=${escapePart(e.value)}").resolve(f).toString)
+    bucketPaths(root, partitionCol, e.value, e.files)
+
+  private def bucketPaths(root: String, partitionCol: String, value: String,
+                          files: Seq[String]): Seq[String] =
+    files.map(f => dataDir(root)
+      .resolve(s"$partitionCol=${escapePart(value)}").resolve(f).toString)
+
+  /** The one read primitive: the given entries' data files, with their
+    * equality deletes applied as an anti-join on (partitionCol ++
+    * deleteKey) — bucket-scoped, because the partition column is present
+    * in both the data rows and the delete rows. Entries without delete
+    * files cost nothing extra (the common case compiles to the plain
+    * scan). `dataPathsOf` lets incremental reads restrict WHICH data
+    * files deliver rows while the full delete set still applies. */
+  private def readEntriesDf(spark: SparkSession, root: String,
+                            partitionCol: String,
+                            entries: Seq[PartitionEntry],
+                            dataPathsOf: PartitionEntry => Seq[String])
+      : Option[DataFrame] = {
+    val dataPaths = entries.flatMap(dataPathsOf)
+    if (dataPaths.isEmpty) return None
+    var df = spark.read.parquet(dataPaths: _*)
+    val withDel = entries.filter(_.deleteFiles.nonEmpty)
+    for ((key, es) <- withDel.groupBy(_.deleteKey).toSeq.sortBy(_._1.mkString(","))) {
+      val delPaths = es.flatMap(e =>
+        bucketPaths(root, partitionCol, e.value, e.deleteFiles))
+      val joinCols = partitionCol +: key
+      val del = spark.read.parquet(delPaths: _*)
+        .select(joinCols.map(c => col(s"`$c`")): _*)
+      df = df.join(del, joinCols, "left_anti")
+    }
+    Some(df)
+  }
 
   /** Rows committed after snapshot `sinceId` (exclusive) — the
     * incremental-scan primitive. FILE-diff based: reads exactly the data
@@ -493,13 +631,13 @@ object Icelite {
     val old: Map[String, Set[String]] = snapshotById(root, sinceId)
       .map(_.entries.map(e => e.value -> e.files.toSet).toMap)
       .getOrElse(Map.empty)
-    val paths = snap.entries.flatMap { e =>
-      val seen = old.getOrElse(e.value, Set.empty)
-      entryPaths(root, snap.partitionCol,
-        e.copy(files = e.files.filterNot(seen)))
-    }
-    if (paths.isEmpty) read(spark, root).limit(0)
-    else spark.read.parquet(paths: _*)
+    // New data files deliver; the CURRENT delete set applies on top, so
+    // a row appended after `sinceId` and already deleted again is not
+    // re-surfaced.
+    readEntriesDf(spark, root, snap.partitionCol, snap.entries, e =>
+      bucketPaths(root, snap.partitionCol, e.value,
+        e.files.filterNot(old.getOrElse(e.value, Set.empty))))
+      .getOrElse(read(spark, root).limit(0))
   }
 
   /** Reads the table back (all committed partitions). */
@@ -515,10 +653,10 @@ object Icelite {
   def readAsOf(spark: SparkSession, root: String, id: Long): DataFrame = {
     val snap = snapshotById(root, id).getOrElse(
       throw new IllegalArgumentException(s"no snapshot $id at $root"))
-    val paths = snap.entries.flatMap(e => entryPaths(root, snap.partitionCol, e))
-    if (paths.isEmpty)
-      throw new IllegalArgumentException(s"snapshot $id has no partitions")
-    spark.read.parquet(paths: _*)
+    readEntriesDf(spark, root, snap.partitionCol, snap.entries,
+      e => entryPaths(root, snap.partitionCol, e))
+      .getOrElse(
+        throw new IllegalArgumentException(s"snapshot $id has no partitions"))
   }
 
   /** Drops the table: data, manifests, any staging leftovers. */
@@ -540,10 +678,9 @@ object Icelite {
                    predicate: String => Boolean): Option[DataFrame] = {
     val snap = currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
-    val paths = snap.entries.filter(e => predicate(e.value))
-      .flatMap(e => entryPaths(root, snap.partitionCol, e))
-    if (paths.isEmpty) None
-    else Some(spark.read.parquet(paths: _*))
+    readEntriesDf(spark, root, snap.partitionCol,
+      snap.entries.filter(e => predicate(e.value)),
+      e => entryPaths(root, snap.partitionCol, e))
   }
 
   /** Column-statistics range pruning (the Iceberg min/max scan-planning
@@ -563,11 +700,10 @@ object Icelite {
                              predicate: PartitionEntry => Boolean): DataFrame = {
     val snap = currentSnapshot(root).getOrElse(
       throw new IllegalStateException(s"no snapshot at $root"))
-    val paths = snap.entries.filter(predicate)
-      .flatMap(e => entryPaths(root, snap.partitionCol, e))
-    if (paths.isEmpty)
-      throw new IllegalArgumentException("no partitions match the predicate")
-    spark.read.parquet(paths: _*)
+    readEntriesDf(spark, root, snap.partitionCol, snap.entries.filter(predicate),
+      e => entryPaths(root, snap.partitionCol, e))
+      .getOrElse(
+        throw new IllegalArgumentException("no partitions match the predicate"))
   }
 
   /** Appends one immutable segment of new entries and commits a snapshot
@@ -693,7 +829,10 @@ object Icelite {
       val cs = e.colStats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
         "\"" + esc(c) + s"""":[$lo,$hi]"""
       }.mkString(",")
-      s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"durationMs":${e.durationMs},"lineage":"${esc(e.lineage)}","colStats":{$cs},"files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]}"""
+      val del =
+        if (e.deleteFiles.isEmpty) ""
+        else s""","deleteFiles":[${e.deleteFiles.map(f => "\"" + esc(f) + "\"").mkString(",")}],"deleteKey":[${e.deleteKey.map(k => "\"" + esc(k) + "\"").mkString(",")}]"""
+      s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"durationMs":${e.durationMs},"lineage":"${esc(e.lineage)}","colStats":{$cs},"files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]$del}"""
     }.mkString(",")
 
   private def parseEntries(json: String): Seq[PartitionEntry] = {
@@ -715,7 +854,11 @@ object Icelite {
               case l: Long => l; case d: Double => d.toLong
             }
             c -> (nums(0), nums(1))
-        }).getOrElse(Map.empty))
+        }).getOrElse(Map.empty),
+        m.get("deleteFiles").map(_.asInstanceOf[List[Any]].map(_.toString))
+          .getOrElse(Nil),
+        m.get("deleteKey").map(_.asInstanceOf[List[Any]].map(_.toString))
+          .getOrElse(Nil))
     }
   }
 
