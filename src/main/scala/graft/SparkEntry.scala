@@ -339,6 +339,26 @@ object SparkEntry {
         "h3_cell_to_parent(cell9, 3) = cell_p AS parent_ok")
     }),
 
+    // STRING-column manifest stats (lang slicing — the second most common
+    // curation predicate after the cell prefix): write -> manifest string
+    // bounds -> stats-pruned scan -> exact filter, hash-checked against a
+    // from-scratch re-derivation. (Bucket-level pruning effectiveness is
+    // spec-pinned in IceliteStringStatsSpec; here every cell_p bucket
+    // holds several langs, so the gate checks end-to-end correctness of
+    // the pruned-scan path on realistic mixed buckets.)
+    "icelite_lang_prune" -> ((s, dir) => {
+      registerAll(s)
+      val root = s"/tmp/graft_icelite_lang_${Integer.toHexString(dir.hashCode)}"
+      engine.Icelite.drop(root)
+      engine.Icelite.writeResumable(s, Pages.indexedPages(s, dir), root, "cell_p")
+      engine.Icelite.readWhereEquals(s, root, "lang", "en")
+        .filter(col("lang") === "en")
+        .selectExpr(
+          "page_id", "url", "lang",
+          "cast(floor(lat * 1000) as bigint) AS lat_q",
+          "cast(floor(lng * 1000) as bigint) AS lng_q")
+    }),
+
     // Manifest COLUMN-STATS pruning on a non-partition column: synthetic
     // bit-cells written partitioned by their res-5 parent; the res-9
     // descendant range of ONE parent prunes the manifest to a single
@@ -1458,6 +1478,14 @@ object SparkEntry {
                CAST(floor(lng * 1000) AS BIGINT) AS lng_q,
                TRUE AS parent_ok
         FROM pages WHERE page_id % 3 <> 0
+      """,
+
+      "icelite_lang_prune" -> s"""
+        WITH ${Pages.duckPagesCte}
+        SELECT page_id, url, lang,
+               CAST(floor(lat * 1000) AS BIGINT) AS lat_q,
+               CAST(floor(lng * 1000) AS BIGINT) AS lng_q
+        FROM pages WHERE lang = 'en'
       """,
 
       "icelite_stats_prune" -> s"""

@@ -53,7 +53,8 @@ object Icelite {
                                   lineage: String = "",
                                   colStats: Map[String, (Long, Long)] = Map.empty,
                                   deleteFiles: Seq[String] = Nil,
-                                  deleteKey: Seq[String] = Nil)
+                                  deleteKey: Seq[String] = Nil,
+                                  strStats: Map[String, (String, String)] = Map.empty)
 
   final case class Snapshot(id: Long, partitionCol: String,
                             entries: Seq[PartitionEntry])
@@ -185,9 +186,10 @@ object Icelite {
       stats.map(_._1), failAfter, replaceTarget = true) { (v, files, ms, _) =>
       // Replace semantics: the staged bucket IS the bucket (fresh current
       // entry irrelevant).
-      val ((rows, checksum), colStats) = statsMap(v)
-      PartitionEntry(v, rows, checksum, files,
-        durationMs = ms, lineage = lineage, colStats = colStats)
+      val st = statsMap(v)
+      PartitionEntry(v, st.rows, st.checksum, files,
+        durationMs = ms, lineage = lineage, colStats = st.colStats,
+        strStats = st.strStats)
     }
     deleteRecursively(staging)
     computed
@@ -275,6 +277,39 @@ object Icelite {
     * break resume identity). The explicit `schema` pins `__part` as
     * STRING so partition-dir inference cannot corrupt numeric-looking
     * keys ("007" -> "7"). */
+  /** Per-bucket staging statistics (one stats-job row per bucket). */
+  private final case class BucketStats(rows: Long, checksum: Long,
+                                       colStats: Map[String, (Long, Long)],
+                                       strStats: Map[String, (String, String)])
+
+  /** String bounds are stored TRUNCATED to this many UTF-16 units (urls
+    * can be kilobytes; the manifest must stay O(buckets) small). */
+  private val StrStatLen = 32
+
+  /** Safe truncated UPPER bound: take the prefix and increment its last
+    * non-max unit (Iceberg's truncate-and-increment); all-max prefixes
+    * admit no bound (None -> stats omitted, pruning disabled — safe). */
+  private def truncUpper(s: String): Option[String] =
+    if (s.length <= StrStatLen) Some(s)
+    else {
+      val p = s.substring(0, StrStatLen).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) == 0xFFFF.toChar) i -= 1
+      if (i < 0) None
+      else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+    }
+
+  /** String stats are only stored for pure-ASCII bounds: there UTF-8
+    * byte order (Spark's min/max), UTF-16 order (the driver-side bound
+    * comparisons) and code-point order all coincide, so pruning can
+    * never lose a row. Exotic strings simply disable pruning for their
+    * bucket. */
+  private def asciiOnly(s: String): Boolean = {
+    var i = 0
+    while (i < s.length) { if (s.charAt(i) >= 0x80) return false; i += 1 }
+    true
+  }
+
   private def stageWithStats(spark: SparkSession,
                              withPart: DataFrame,
                              schema: org.apache.spark.sql.types.StructType,
@@ -282,7 +317,7 @@ object Icelite {
                              dataCols: Seq[String],
                              statsFromStaged: Boolean,
                              sortCols: Seq[String] = Nil)
-      : (Path, Array[(String, ((Long, Long), Map[String, (Long, Long)]))]) = {
+      : (Path, Array[(String, BucketStats)]) = {
     val staging = Paths.get(root, s".staging-${System.nanoTime()}")
     // Optional in-file clustering: sortWithinPartitions on `sortCols`
     // tightens parquet row-group min/max stats on those columns, so
@@ -312,9 +347,24 @@ object Icelite {
         (f.dataType == org.apache.spark.sql.types.LongType ||
           f.dataType == org.apache.spark.sql.types.IntegerType))
       .map(_.name).toSeq
+    // String columns get truncated min/max too (url/lang slicing is the
+    // second most common curation predicate after the cell prefix); the
+    // stored bounds are post-processed for safe truncation + ASCII-only
+    // ordering equivalence below.
+    val strCols = statsSrc.schema.fields
+      .filter(f => dataCols.contains(f.name) &&
+        f.dataType == org.apache.spark.sql.types.StringType)
+      .map(_.name).toSeq
     val statAggs = statCols.flatMap(c => Seq(
       min(col(s"`$c`")).cast("long").as(s"__min_$c"),
-      max(col(s"`$c`")).cast("long").as(s"__max_$c")))
+      max(col(s"`$c`")).cast("long").as(s"__max_$c"))) ++
+      strCols.flatMap(c => Seq(
+        // Truncate INSIDE the agg row (a multi-KB url must not transit
+        // whole), but over the full-value ordering: min/max first, then
+        // substring of the exact bound. One extra unit beyond StrStatLen
+        // tells the driver truncation happened.
+        substring(min(col(s"`$c`")), 1, StrStatLen + 1).as(s"__smin_$c"),
+        substring(max(col(s"`$c`")), 1, StrStatLen + 1).as(s"__smax_$c")))
     val stats = statsSrc
       .groupBy("__part")
       .agg(count(lit(1)).as("rows"),
@@ -327,7 +377,19 @@ object Icelite {
           if (r.isNullAt(lo) || r.isNullAt(lo + 1)) None
           else Some(c -> (r.getLong(lo), r.getLong(lo + 1)))
         }.toMap
-        r.getString(0) -> ((r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2)), cs)
+        val ss = strCols.zipWithIndex.flatMap { case (c, i) =>
+          val lo = 3 + statCols.length * 2 + i * 2
+          if (r.isNullAt(lo) || r.isNullAt(lo + 1)) None
+          else {
+            val mn = r.getString(lo)
+            val mx = r.getString(lo + 1)
+            if (!asciiOnly(mn) || !asciiOnly(mx)) None
+            else truncUpper(mx).map(up =>
+              c -> (mn.substring(0, math.min(mn.length, StrStatLen)), up))
+          }
+        }.toMap
+        r.getString(0) -> BucketStats(r.getLong(1),
+          if (r.isNullAt(2)) 0L else r.getLong(2), cs, ss)
       }
       .sortBy(_._1)
     (staging, stats)
@@ -375,26 +437,37 @@ object Icelite {
       // `old` is the FRESH current entry at commit time (not the capture
       // at run start), so two LIVE concurrent appenders to one bucket
       // compose: the CAS loser re-derives against the winner's entry.
-      val ((rows, checksum), colStats) = statsMap(v)
+      val st = statsMap(v)
       // Column stats compose under append: min of mins / max of maxes,
       // kept only for columns BOTH sides have stats for (an absent range
-      // disables pruning — safe).
+      // disables pruning — safe). String bounds compose the same way —
+      // min/max of valid lower/upper bounds is a valid lower/upper bound
+      // even when either side was truncated.
       val mergedStats = old match {
-        case None => colStats
-        case Some(o) => colStats.flatMap { case (c, (lo, hi)) =>
+        case None => st.colStats
+        case Some(o) => st.colStats.flatMap { case (c, (lo, hi)) =>
           o.colStats.get(c).map { case (olo, ohi) =>
             c -> (math.min(olo, lo), math.max(ohi, hi))
           }
         }
       }
+      val mergedStr = old match {
+        case None => st.strStats
+        case Some(o) => st.strStats.flatMap { case (c, (lo, hi)) =>
+          o.strStats.get(c).map { case (olo, ohi) =>
+            c -> (Ordering[String].min(olo, lo), Ordering[String].max(ohi, hi))
+          }
+        }
+      }
       PartitionEntry(v,
-        old.map(_.rows).getOrElse(0L) + rows,
-        old.map(_.checksum).getOrElse(0L) ^ checksum,
+        old.map(_.rows).getOrElse(0L) + st.rows,
+        old.map(_.checksum).getOrElse(0L) ^ st.checksum,
         old.map(_.files).getOrElse(Seq.empty) ++ moved,
         durationMs = ms, lineage = runId, colStats = mergedStats,
         // An append leaves the bucket's standing deletes in force.
         deleteFiles = old.map(_.deleteFiles).getOrElse(Nil),
-        deleteKey = old.map(_.deleteKey).getOrElse(Nil))
+        deleteKey = old.map(_.deleteKey).getOrElse(Nil),
+        strStats = mergedStr)
     }
     deleteRecursively(staging)
     computed
@@ -491,7 +564,7 @@ object Icelite {
     // or a move failure would otherwise leak a full copy of every fat
     // bucket per attempt (vacuum does not reclaim staging dirs).
     try {
-      val statsMap = stats.map { case (v, (rc, _)) => v -> rc }.toMap
+      val statsMap = stats.map { case (v, st) => v -> (st.rows, st.checksum) }.toMap
       // Delete-bearing buckets cannot verify against the manifest (its
       // rows/checksum describe the PRE-delete data files by design); an
       // independent second pass over the live rows is the expectation.
@@ -540,9 +613,11 @@ object Icelite {
                 f.deleteFiles != e.deleteFiles => f
             case _ =>
               // Post-compaction metrics describe the LIVE content; the
-              // old colStats remain valid bounds (deletion only narrows).
+              // old col/str stats remain valid bounds (deletion only
+              // narrows the value ranges).
               PartitionEntry(e.value, expRows, expSum, moved,
-                durationMs = ms, lineage = "compact", colStats = e.colStats)
+                durationMs = ms, lineage = "compact", colStats = e.colStats,
+                strStats = e.strStats)
           }
       }
     } finally deleteRecursively(staging)
@@ -696,6 +771,31 @@ object Icelite {
     readWhereEntry(spark, root, e =>
       e.colStats.get(column).forall { case (mn, mx) => mx >= lo && mn <= hi })
 
+  /** STRING-column statistics pruning (url/lang slicing — the second
+    * most common curation predicate after the cell prefix): opens only
+    * buckets whose manifest truncated [min,max] for `column` intersects
+    * [lo,hi] in lexicographic order. Bounds are stored ASCII-only and
+    * truncation-safe (lower bounds truncate down, upper bounds
+    * truncate-and-increment), so a bucket is never pruned that could
+    * hold a matching row; buckets without stats are kept, and non-ASCII
+    * query bounds disable pruning entirely (ordering equivalence cannot
+    * be guaranteed there). Rows still need the exact predicate applied —
+    * this prunes IO only. */
+  def readWhereStringRange(spark: SparkSession, root: String, column: String,
+                           lo: String, hi: String): DataFrame = {
+    val prune = asciiOnly(lo) && asciiOnly(hi)
+    readWhereEntry(spark, root, e =>
+      !prune || e.strStats.get(column).forall { case (mn, mx) =>
+        mx >= lo && mn <= hi
+      })
+  }
+
+  /** Equality slice over a string column via [[readWhereStringRange]]
+    * (e.g. `lang = 'en'`). */
+  def readWhereEquals(spark: SparkSession, root: String, column: String,
+                      value: String): DataFrame =
+    readWhereStringRange(spark, root, column, value, value)
+
   private def readWhereEntry(spark: SparkSession, root: String,
                              predicate: PartitionEntry => Boolean): DataFrame = {
     val snap = currentSnapshot(root).getOrElse(
@@ -832,7 +932,12 @@ object Icelite {
       val del =
         if (e.deleteFiles.isEmpty) ""
         else s""","deleteFiles":[${e.deleteFiles.map(f => "\"" + esc(f) + "\"").mkString(",")}],"deleteKey":[${e.deleteKey.map(k => "\"" + esc(k) + "\"").mkString(",")}]"""
-      s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"durationMs":${e.durationMs},"lineage":"${esc(e.lineage)}","colStats":{$cs},"files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]$del}"""
+      val ss =
+        if (e.strStats.isEmpty) ""
+        else s""","strStats":{${e.strStats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+          "\"" + esc(c) + "\":[\"" + esc(lo) + "\",\"" + esc(hi) + "\"]"
+        }.mkString(",")}}"""
+      s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"durationMs":${e.durationMs},"lineage":"${esc(e.lineage)}","colStats":{$cs},"files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]$del$ss}"""
     }.mkString(",")
 
   private def parseEntries(json: String): Seq[PartitionEntry] = {
@@ -858,7 +963,12 @@ object Icelite {
         m.get("deleteFiles").map(_.asInstanceOf[List[Any]].map(_.toString))
           .getOrElse(Nil),
         m.get("deleteKey").map(_.asInstanceOf[List[Any]].map(_.toString))
-          .getOrElse(Nil))
+          .getOrElse(Nil),
+        m.get("strStats").map(_.asInstanceOf[Map[String, Any]].map {
+          case (c, v) =>
+            val ss = v.asInstanceOf[List[Any]].map(_.toString)
+            c -> (ss(0), ss(1))
+        }).getOrElse(Map.empty))
     }
   }
 
