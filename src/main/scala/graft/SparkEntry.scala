@@ -535,6 +535,19 @@ object SparkEntry {
           "sha2(clean_text, 256) AS clean_sha")
     }),
 
+    // Domain-scoped boilerplate removal: the df key is (domain, line) —
+    // deterministic synthetic domains over the lined corpus, mirrored
+    // arithmetic (fp(domain)*48271 + fp(line) mod P) in the oracle.
+    "line_dedup_domain" -> ((s, dir) => {
+      registerAll(s)
+      Ops.lineDedupByDomain(s,
+          linedDocs(s, dir).withColumn("domain",
+            expr("concat('host-', doc_id % 7, '.example')")),
+          minDocs = 3)
+        .selectExpr("doc_id", "domain", "n_lines", "n_kept",
+          "sha2(clean_text, 256) AS clean_sha")
+    }),
+
     // Gopher-style repetition signals (per-row, shuffle-free).
     "repetition_signals" -> ((s, dir) => {
       registerAll(s)
@@ -1241,6 +1254,31 @@ object SparkEntry {
                 FROM kept GROUP BY doc_id),
         tot AS (SELECT doc_id, count(*) AS n_lines FROM lines GROUP BY doc_id)
         SELECT t.doc_id, t.n_lines, coalesce(a.n_kept, 0) AS n_kept,
+               coalesce(a.clean_sha, sha256('')) AS clean_sha
+        FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      """
+      },
+
+      "line_dedup_domain" -> {
+        import OracleDialect._
+        s"""
+        WITH $linedDuckCte,
+        docs AS (SELECT doc_id,
+                        concat('host-', CAST(doc_id % 7 AS VARCHAR), '.example') AS domain,
+                        text FROM lined),
+        lines AS (
+          SELECT doc_id, domain, i AS pos, l[i] AS line,
+                 (${docFingerprint("domain")} * 48271 + ${docFingerprint("l[i]")}) % 2147483647 AS line_key
+          FROM (SELECT doc_id, domain, string_split(text, chr(10)) AS l FROM docs),
+               unnest(range(1, len(l)+1)) AS r(i)),
+        boiler AS (SELECT line_key FROM lines
+                   GROUP BY line_key HAVING count(DISTINCT doc_id) >= 3),
+        kept AS (SELECT l.* FROM lines l ANTI JOIN boiler b ON l.line_key = b.line_key),
+        agg AS (SELECT doc_id, count(*) AS n_kept,
+                       sha256(string_agg(line, chr(10) ORDER BY pos)) AS clean_sha
+                FROM kept GROUP BY doc_id),
+        tot AS (SELECT doc_id, domain, count(*) AS n_lines FROM lines GROUP BY doc_id, domain)
+        SELECT t.doc_id, t.domain, t.n_lines, coalesce(a.n_kept, 0) AS n_kept,
                coalesce(a.clean_sha, sha256('')) AS clean_sha
         FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
       """

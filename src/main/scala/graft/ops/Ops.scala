@@ -522,6 +522,86 @@ object Ops {
                        minDocs: Int = 2): DataFrame =
     lineDedup(spark, docs, minDocs, broadcastMaxFps = -1)
 
+  /** DOMAIN-scoped boilerplate line removal — the shape [[lineDedup]]'s
+    * scaladoc prescribes for web corpora: header/footer chrome is
+    * domain-local, so the doc-frequency key is (domain, line) rather
+    * than the line alone ("Home | About | Contact" on 10^6 unrelated
+    * sites is navigation, not corpus boilerplate — the global key would
+    * strip it everywhere once ANY minDocs sites share it; the scoped key
+    * only strips it where it actually repeats within one site). Input:
+    * (doc_id, domain, text); output (doc_id, domain, n_lines, n_kept,
+    * clean_text). Null domains group as ''.
+    *
+    * Scale shape identical to [[lineDedup]]: the df aggregation and the
+    * boilerplate set move only (key, doc_id) pairs; the fast path
+    * broadcasts one sorted key array serving EVERY domain at once (the
+    * per-row salt picks the domain slice), so corpus text still crosses
+    * zero exchanges. Key = (fp(domain) * 48271 + fp(line)) mod P —
+    * wrap-exact, mirrored verbatim in the DuckDB oracle; its mod-P
+    * collision odds equal the global variant's line_fp collisions. */
+  def lineDedupByDomain(spark: SparkSession, docs: DataFrame,
+                        minDocs: Int = 2,
+                        broadcastMaxFps: Int = 4 << 20,
+                        approxDfRsd: Double = 0.0): DataFrame = {
+    OpsFunctions.register(spark)
+    require(minDocs >= 2, s"minDocs=$minDocs (a line always appears in its own doc)")
+    val P = 2147483647L
+    val docsN = docs.withColumn("domain", coalesce(col("domain"), lit("")))
+    val lines = docsN.select(col("doc_id"), col("domain"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .withColumn("line_key",
+        expr(s"(doc_fingerprint(domain) * 48271 + doc_fingerprint(line)) % $P"))
+    val dfAgg =
+      if (approxDfRsd > 0) approx_count_distinct(col("doc_id"), approxDfRsd)
+      else countDistinct(col("doc_id"))
+    val boiler = lines.groupBy("line_key")
+      .agg(dfAgg.as("df"))
+      .filter(col("df") >= minDocs)
+      .select("line_key")
+
+    import spark.implicits._
+    val fps0 = boiler.limit(broadcastMaxFps + 1)
+      .select(col("line_key")).as[Long].collect()
+    if (fps0.length <= broadcastMaxFps) {
+      val fps = fps0
+      java.util.Arrays.sort(fps)
+      val bc = spark.sparkContext.broadcast(fps)
+      val r = org.apache.spark.sql.GraftBridge.column(DropBoilerLinesSaltedExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("text")),
+        org.apache.spark.sql.GraftBridge.expression(expr("doc_fingerprint(domain)")),
+        bc))
+      docsN.select(col("doc_id"), col("domain"), r.as("__r"))
+        .select(col("doc_id"), col("domain"),
+          col("__r.n_lines").as("n_lines"),
+          coalesce(col("__r.n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("__r.clean_text"), lit("")).as("clean_text"))
+    } else {
+      val kept = lines.join(boiler, Seq("line_key"), "left_anti")
+      val agg = kept.groupBy("doc_id").agg(
+        count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, line))), " +
+          "s -> s.line), '\\n')").as("clean_text"))
+      val tot = docsN.select(col("doc_id"), col("domain"),
+        size(split(col("text"), "\n")).as("n_lines"))
+      tot.join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("domain"), col("n_lines"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_text"), lit("")).as("clean_text"))
+    }
+  }
+
+  /** [[lineDedupByDomain]] over a pages-shaped frame (doc_id, url, text):
+    * extracts the lowercased URL host with the same pattern as
+    * [[domainCap]] (schemeless/invalid urls group as ''). */
+  def lineDedupByUrl(spark: SparkSession, pages: DataFrame,
+                     minDocs: Int = 2,
+                     broadcastMaxFps: Int = 4 << 20,
+                     approxDfRsd: Double = 0.0): DataFrame =
+    lineDedupByDomain(spark,
+      pages.withColumn("domain", lower(regexp_extract(col("url"),
+        "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))),
+      minDocs, broadcastMaxFps, approxDfRsd)
+
   /** Gopher-style repetition quality signals, computed per row (no shuffle
     * at all): duplicate-line fraction, fraction of characters inside
     * duplicated lines, most-common-word fraction, most-common-bigram

@@ -49,6 +49,33 @@ object OpsKernel {
     InternalRow(lines.length, kept, UTF8String.fromString(sb.toString))
   }
 
+  /** [[dropBoilerLines]] with a per-row SALT (the domain fingerprint):
+    * the membership key is (salt * 48271 + lineFp) mod P, so one global
+    * broadcast array holds domain-scoped boilerplate — header/footer
+    * chrome is domain-local, and a global doc-frequency would conflate
+    * identical lines across unrelated sites. The mixing arithmetic is
+    * wrap-exact mod P (both factors < P < 2^31, product < 2^47) and is
+    * mirrored verbatim by the driver oracle SQL. */
+  def dropBoilerLinesSalted(textU: UTF8String, salt: Long,
+                            fps: Array[Long]): InternalRow = {
+    val text = textU.toString
+    val lines = text.split("\n", -1)
+    val sb = new java.lang.StringBuilder(text.length)
+    var kept = 0L
+    var i = 0
+    while (i < lines.length) {
+      val fp = TextKernel.fingerprint(lines(i))
+      val key = (salt * 48271L + fp) % TextKernel.P
+      if (java.util.Arrays.binarySearch(fps, key) < 0) {
+        if (kept > 0) sb.append('\n')
+        sb.append(lines(i))
+        kept += 1
+      }
+      i += 1
+    }
+    InternalRow(lines.length, kept, UTF8String.fromString(sb.toString))
+  }
+
   def jaccard(a: UTF8String, b: UTF8String, k: Int): Double =
     TextKernel.jaccard(a.toString, b.toString, k)
 
@@ -585,6 +612,33 @@ case class DropBoilerLinesExpr(text: Expression,
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(text = c)
+}
+
+/** Salted (domain-scoped) boilerplate-line removal: drops lines whose
+  * (salt * 48271 + lineFp) mod P key is in the broadcast sorted array.
+  * `salt` is a per-row expression (the domain fingerprint), so one
+  * broadcast serves every domain at once. */
+case class DropBoilerLinesSaltedExpr(text: Expression, salt: Expression,
+                                     fps: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends BinaryExpression {
+  override def left: Expression = text
+  override def right: Expression = salt
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("n_kept", LongType, nullable = false),
+    StructField("clean_text", StringType, nullable = false)))
+  override def prettyName: String = "drop_boiler_lines_salted"
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    OpsKernel.dropBoilerLinesSalted(t.asInstanceOf[UTF8String],
+      s.asInstanceOf[Long], fps.value)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("boilerFpsSalted", fps,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, (t, s) =>
+      s"graft.ops.OpsKernel.dropBoilerLinesSalted($t, $s, (long[]) $ref.value())")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(text = l, salt = r)
 }
 
 /** `n` nearest centroid ids of a vector against a broadcast [[CentroidSet]]

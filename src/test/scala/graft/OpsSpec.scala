@@ -676,6 +676,56 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(fn(0).isNullAt(1) && fn(0).getLong(2) == 0L && fn(0).getString(3) == "")
   }
 
+  test("lineDedupByDomain scopes boilerplate per domain; fast equals shuffle") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // "nav bar" appears in all 6 docs (3 per domain); "site a promo" only
+    // inside domain a (3 docs). With minDocs = 4: the GLOBAL key drops
+    // "nav bar" everywhere (df 6 >= 4), while the DOMAIN key keeps it
+    // (per-domain df 3 < 4) — cross-site navigation chrome is not corpus
+    // boilerplate. With minDocs = 3 the domain key drops both within
+    // their domains.
+    val docs = Seq(
+      (1L, "a.example", "nav bar\nsite a promo\nbody one"),
+      (2L, "a.example", "nav bar\nsite a promo\nbody two"),
+      (3L, "a.example", "nav bar\nsite a promo\nbody three"),
+      (4L, "b.example", "nav bar\nbody four"),
+      (5L, "b.example", "nav bar\nbody five"),
+      (6L, "b.example", "nav bar\nbody six")
+    ).toDF("doc_id", "domain", "text")
+
+    val global4 = Ops.lineDedup(spark, docs.drop("domain"), minDocs = 4)
+      .orderBy("doc_id").collect().map(_.getString(3))
+    val domain4 = Ops.lineDedupByDomain(spark, docs, minDocs = 4)
+      .orderBy("doc_id").collect().map(_.getString(4))
+    assert(global4(0) == "site a promo\nbody one") // global strips nav bar
+    assert(domain4(0) == "nav bar\nsite a promo\nbody one") // scoped keeps it
+    assert(domain4(3) == "nav bar\nbody four")
+
+    val domain3 = Ops.lineDedupByDomain(spark, docs, minDocs = 3)
+      .orderBy("doc_id").collect().map(_.getString(4))
+    assert(domain3(0) == "body one" && domain3(3) == "body four")
+
+    // Fast (broadcast kernel) == shuffle formulation, including a null
+    // domain (groups as '') and a null text row.
+    val messy = docs.unionByName(Seq(
+      (7L, null.asInstanceOf[String], "nav bar\nbody seven"),
+      (8L, "a.example", null.asInstanceOf[String])
+    ).toDF("doc_id", "domain", "text"))
+    val fast = Ops.lineDedupByDomain(spark, messy, minDocs = 2)
+    assert(shuffleOutputs(fast).isEmpty, shuffleOutputs(fast).toString)
+    val slow = Ops.lineDedupByDomain(spark, messy, minDocs = 2,
+      broadcastMaxFps = -1)
+    assert(fast.exceptAll(slow).count() + slow.exceptAll(fast).count() == 0)
+
+    // lineDedupByUrl extracts the host with domainCap's pattern.
+    val pages = docs.withColumn("url",
+      concat(lit("https://"), col("domain"), lit("/page"))).drop("domain")
+    val viaUrl = Ops.lineDedupByUrl(spark, pages, minDocs = 4)
+      .orderBy("doc_id").collect().map(_.getString(4))
+    assert(viaUrl.toSeq == domain4.toSeq)
+  }
+
   test("repetitionSignals computes exact fractions per row, shuffle-free") {
     val spark = SparkTestBase.spark
     import spark.implicits._
