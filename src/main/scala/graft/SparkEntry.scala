@@ -577,10 +577,13 @@ object SparkEntry {
       // IVF coarse cells + 16x16 product-quantized codes (16 bytes/vector,
       // 16x compression) + ADC top-50 re-ranked exactly; the oracle
       // re-derives codebooks, codes, query tables and scores from scratch.
-      // Recall 0.83 vs brute at these params — the 0.85 IVF probe recall
-      // is the binding constraint, PQ loses ~nothing after re-rank.
+      // Recall 0.91 vs brute at these params (nAssign=3 was the cheap
+      // lever: it grows the INDEX 1.5x but leaves per-query probe cost
+      // unchanged, vs nProbe which multiplies candidates per query; the
+      // IVF probe recall remains the binding constraint, PQ loses
+      // ~nothing after re-rank).
       Ops.annIvfPq(s, emb, queries, k = 5, nCentroids = 32, nProbe = 8,
-          nAssign = 2, nSub = 16, nCodewords = 16, rerankDepth = 50)
+          nAssign = 3, nSub = 16, nCodewords = 16, rerankDepth = 50)
         .withColumnRenamed("rank", "rnk").select("qid", "vec_id", "rnk")
     }),
 
@@ -1695,7 +1698,7 @@ object SparkEntry {
             SELECT e.vec_id, c.cid,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY ${cosine("e.embedding", "c.c_vec")} DESC, c.cid) AS rn
-            FROM embeddings e, cent c) WHERE rn <= 2),
+            FROM embeddings e, cent c) WHERE rn <= 3),
         probes AS (
           SELECT qid, cid FROM (
             SELECT q.vec_id AS qid, c.cid,

@@ -914,14 +914,16 @@ class AnnIvfSpec extends org.scalatest.funsuite.AnyFunSuite {
     val brute = Ops.annBruteForce(spark, emb, queries, k = 5)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val pq = Ops.annIvfPq(spark, emb, queries, k = 5, nCentroids = 32,
-        nProbe = 8, nAssign = 2, nSub = 16, nCodewords = 16, rerankDepth = 50)
+        nProbe = 8, nAssign = 3, nSub = 16, nCodewords = 16, rerankDepth = 50)
       .select("qid", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val recall = pq.intersect(brute).size.toDouble / brute.size
     println(s"IVF_PQ_RECALL=$recall")
     // The exact re-rank bounds PQ loss to candidate selection: the IVF
-    // probe recall (0.85 at these coarse params) is the ceiling; observed
-    // 0.83 — ADC top-50 loses ~nothing.
-    assert(recall >= 0.78, s"recall $recall")
+    // probe recall is the ceiling. nAssign=3 (multi-assignment on the
+    // index side) lifts it to 0.91 observed at driver params without
+    // touching per-query probe cost (param sweep: (8,2)->0.83,
+    // (16,2)->0.88, (8,3)->0.91, (12,3)->0.93).
+    assert(recall >= 0.88, s"recall $recall")
   }
 
   test("IVF-PQ: raw vectors only reach the exact re-rank stage") {
