@@ -157,7 +157,8 @@ object Icelite {
                      failAfter: Int = Int.MaxValue,
                      lineage: String = "",
                      statsFromStaged: Boolean = true,
-                     sortCols: Seq[String] = Nil): Int = {
+                     sortCols: Seq[String] = Nil,
+                     parquetBlockBytes: Long = -1L): Int = {
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
     sweepStaleStaging(root)
@@ -172,7 +173,7 @@ object Icelite {
 
     val (staging, stats) = stageWithStats(spark, remaining, remaining0.schema,
       root, partitionCol, df.columns.filterNot(_ == partitionCol),
-      statsFromStaged, sortCols)
+      statsFromStaged, sortCols, parquetBlockBytes)
 
     // Promote loop: atomic rename per bucket + batched manifest commits
     // (driver-side only — no further Spark jobs). Each commit appends one
@@ -316,19 +317,25 @@ object Icelite {
                              root: String, partitionCol: String,
                              dataCols: Seq[String],
                              statsFromStaged: Boolean,
-                             sortCols: Seq[String] = Nil)
+                             sortCols: Seq[String] = Nil,
+                             parquetBlockBytes: Long = -1L)
       : (Path, Array[(String, BucketStats)]) = {
     val staging = Paths.get(root, s".staging-${System.nanoTime()}")
     // Optional in-file clustering: sortWithinPartitions on `sortCols`
     // tightens parquet row-group min/max stats on those columns, so
     // later range-predicate scans (the optimizer's H3 prefix->range
-    // rewrite, kNN disk reads) prune row groups inside a bucket too.
+    // rewrite, kNN disk reads) prune row groups inside a bucket too;
+    // `parquetBlockBytes` shrinks the row-group size when the table is
+    // built FOR such range scans (smaller groups = finer pruning).
     val clustered = withPart.repartition(col("__part"))
     val staged =
       if (sortCols.isEmpty) clustered
       else clustered.sortWithinPartitions(
         ("__part" +: sortCols).map(c => col(s"`$c`")): _*)
-    staged.write.mode("overwrite").partitionBy("__part").parquet(staging.toString)
+    val writer = staged.write.mode("overwrite").partitionBy("__part")
+    (if (parquetBlockBytes > 0)
+       writer.option("parquet.block.size", parquetBlockBytes.toString)
+     else writer).parquet(staging.toString)
     if (Files.exists(staging.resolve("__part=__HIVE_DEFAULT_PARTITION__")))
       throw new IllegalArgumentException(
         s"icelite: partition column '$partitionCol' contains NULL values; " +

@@ -128,17 +128,22 @@ object Knn {
     *                  allocates a temp dir owned (and dropped) by
     *                  `release()`. A caller-provided root is resumable:
     *                  re-preparing over it skips buckets already written.
-    * @param bucketRes bucket granularity; default res-6 (coarse enough
-    *                  that bucket-directory count stays in the thousands
-    *                  globally, fine enough that a localized batch keeps
-    *                  a small row fraction). */
+    * @param bucketRes bucket (directory) granularity; default res-7 —
+    *                  coarse on purpose: at most 842 directories
+    *                  globally keeps the one-time table write fast, and
+    *                  the FINE pruning happens below the directory
+    *                  level anyway (rows are sorted by the finest cell
+    *                  inside 8 MB parquet row groups, and each batch
+    *                  pushes its disk-cell range as a filter, so the
+    *                  scan skips row groups outside the batch's
+    *                  locality even inside a kept bucket). */
   def prepareCorpus(spark: SparkSession, points: DataFrame, res: Int,
                     maxRounds: Int = 4, root: String = null,
                     bucketRes: Int = -1,
                     pruneMaxRowFraction: Double = 0.5): PreparedCorpus = {
     H3Functions.register(spark)
     val levels = ladder(res, maxRounds)
-    val bRes = if (bucketRes >= 0) bucketRes else math.max(1, res - 6)
+    val bRes = if (bucketRes >= 0) bucketRes else math.max(1, res - 7)
     require(bRes <= levels.head, s"bucketRes=$bRes above corpus res ${levels.head}")
     val owns = root == null
     val tableRoot =
@@ -151,7 +156,8 @@ object Knn {
       .withColumn("__bucket",
         expr(s"h3_cell_to_parent(__pcell${levels.head}, $bRes)"))
     Icelite.writeResumable(spark, frame, tableRoot, "__bucket",
-      sortCols = Seq(s"__pcell${levels.head}"))
+      sortCols = Seq(s"__pcell${levels.head}"),
+      parquetBlockBytes = 8L * 1024 * 1024)
     Icelite.currentSnapshot(tableRoot) match {
       case Some(snap) =>
         val rows = snap.entries.map(e => e.value -> e.rows).toMap
@@ -275,16 +281,29 @@ object Knn {
           val roundCorpus = store match {
             case Some(st) if level >= st.bucketRes &&
                 diskRows <= broadcastMaxDisks =>
-              val bSet = remaining
+              // One tiny job over the (cached) remaining queries yields
+              // the bucket set AND the disk-cell range of the batch.
+              val bRows = remaining
                 .select(expr(
                   s"h3_grid_disk(h3_cell_to_parent(__qcell, $level), $ring)")
                   .as("__c"))
                 .selectExpr(
-                  s"cast(h3_cell_to_parent(__c, ${st.bucketRes}) as string) AS b")
-                .distinct().collect().map(_.getString(0)).toSet
+                  s"cast(h3_cell_to_parent(__c, ${st.bucketRes}) as string) AS b",
+                  "min(__c) OVER () AS lo", "max(__c) OVER () AS hi")
+                .distinct().collect()
+              val bSet = bRows.map(_.getString(0)).toSet
               val mass = bSet.iterator.map(st.rowsByBucket.getOrElse(_, 0L)).sum
-              if (mass <= st.pruneMaxRowFraction * st.totalRows) {
+              if (mass <= st.pruneMaxRowFraction * st.totalRows && bRows.nonEmpty) {
+                // Two-level scan pruning: manifest file pruning to the
+                // disk buckets, then the batch's [min,max] disk-cell
+                // range pushed into the parquet scan — rows are sorted
+                // by the finest cell in 8 MB row groups, so a localized
+                // batch skips most of a kept bucket's bytes too. Cells
+                // share one resolution, so raw-long order is total and
+                // the BETWEEN is a semantic no-op over the equi-join.
+                val (lo, hi) = (bRows.head.getLong(1), bRows.head.getLong(2))
                 val pruned = Icelite.readWhereOpt(spark, st.root, bSet.contains)
+                  .map(_.filter(col(s"__pcell$level").between(lo, hi)))
                   .getOrElse(ptsC.limit(0))
                 lastPreparedScan = Some(("pruned",
                   bSet.iterator.map(st.filesByBucket.getOrElse(_, 0)).sum))

@@ -197,7 +197,18 @@ object SpatialJoin {
       // ladder probe or the geometry join (it used to be scanned three
       // times per call).
       import scala.jdk.CollectionConverters._
-      val polyRows = polygons
+      // A driver-LOCAL polygon frame (createDataFrame / toDF) would let
+      // the optimizer fold the projection into the local relation
+      // (ConvertToLocalRelation) and run the — expensive — tiling
+      // single-threaded on the driver; spread it across executors first.
+      // Real tables (parquet/Icelite) are already distributed and skip
+      // the repartition.
+      val allLocal = polygons.queryExecution.analyzed.collectLeaves().forall(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
+      val polySrc =
+        if (allLocal) polygons.repartition(spark.sparkContext.defaultParallelism)
+        else polygons
+      val polyRows = polySrc
         .select(col("poly_id"), col("geojson"),
           expr(s"h3_cover_annotated(geojson, $res)").as("__cov"))
         .collect()
