@@ -811,6 +811,39 @@ object SparkEntry {
       }.toDF("doc_id", "jw", "jh", "pix_sum", "blk_wsum")
     }),
 
+    // FLAC codec round-trip: mono/stereo PCM synthesized BY FORMULA is
+    // encoded into a real FLAC stream (fixed + LPC prediction, Rice
+    // coding, per-frame stereo-mode decision, wasted-bits detection,
+    // CRC-8/16 + audio MD5) and decoded back; the oracle re-derives the
+    // absolute-sample sums from the formulas alone — it never sees the
+    // bytes — so a hash match proves the whole lossless codec inverts
+    // exactly. Real compression is asserted in-flight (every payload
+    // must beat raw PCM size).
+    "flac_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val ids = table(s, dir, "documents").select(col("doc_id")).as[Long]
+      ids.map { id =>
+        val n = 4000 + (id % 7).toInt * 600
+        val f = if (id % 5 == 0) 4 else 1
+        val nch = 1 + (id % 2).toInt
+        val base = Array.tabulate(n)(i => (((id * 3 + i.toLong * 7) % 4096) - 2048).toInt)
+        val left = base.map(_ * f)
+        val chans =
+          if (nch == 1) Array(left)
+          else Array(left, Array.tabulate(n)(i =>
+            f * (base(i) + (((id * 31 + i.toLong * i * 13) % 64) - 32).toInt)))
+        val sr = 16000 + (id % 3).toInt * 16000
+        val flac = ops.Flac.encode(chans, sr, 16, blockSize = 1024)
+        require(flac.length < 2 * n * nch, "FLAC failed to compress synthetic PCM")
+        val a = ops.Flac.decode(flac)
+        var lAbs = 0L
+        a.channels(0).foreach(v => lAbs += Math.abs(v.toLong))
+        var rAbs = 0L
+        if (nch == 2) a.channels(1).foreach(v => rAbs += Math.abs(v.toLong))
+        (id, a.numSamples, a.sampleRate, a.bps, lAbs, rAbs)
+      }.toDF("doc_id", "n_samples", "sr", "bps", "l_abs", "r_abs")
+    }),
+
     // Multimodal plumbing: the decode stage is a declared stub, but the
     // dataflow (kind routing, frame counting, stride sampling, fixed
     // feature shape) is integer-exact and oracle-checked end-to-end.
@@ -1828,6 +1861,26 @@ object SparkEntry {
                  list_transform(range(0, (2 + doc_id % 4) * (2 + doc_id % 3)),
                    k -> ((doc_id * 13 + k * 29) % 256) * (k + 1))),
                  (x,y) -> x + y) AS blk_wsum
+        FROM documents
+      """,
+
+      "flac_roundtrip" -> """
+        SELECT doc_id,
+               CAST(4000 + (doc_id % 7) * 600 AS INT) AS n_samples,
+               CAST(16000 + (doc_id % 3) * 16000 AS INT) AS sr,
+               16 AS bps,
+               (CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 1 END) *
+               list_reduce(list_prepend(CAST(0 AS BIGINT),
+                 list_transform(range(0, 4000 + (doc_id % 7) * 600),
+                   i -> abs(((doc_id * 3 + i * 7) % 4096) - 2048))),
+                 (x,y) -> x + y) AS l_abs,
+               CASE WHEN doc_id % 2 = 0 THEN 0 ELSE
+                 (CASE WHEN doc_id % 5 = 0 THEN 4 ELSE 1 END) *
+                 list_reduce(list_prepend(CAST(0 AS BIGINT),
+                   list_transform(range(0, 4000 + (doc_id % 7) * 600),
+                     i -> abs((((doc_id * 3 + i * 7) % 4096) - 2048)
+                              + (((doc_id * 31 + i * i * 13) % 64) - 32)))),
+                   (x,y) -> x + y) END AS r_abs
         FROM documents
       """,
 

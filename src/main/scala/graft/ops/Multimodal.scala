@@ -599,9 +599,9 @@ object Multimodal {
     }
   }
 
-  /** Format dispatch: real decode for WAV/PPM payloads, [[FakeCodec]]
-    * fallback for everything else (compressed formats need libraries this
-    * container does not have). */
+  /** Format dispatch: real decode for WAV/FLAC audio and PPM/PNG/GIF/JPEG
+    * image payloads, [[FakeCodec]] fallback for the remaining stream-media
+    * formats (MP3/H.264 need libraries this container does not have). */
   object Codec {
     /** True iff the payload is one of the REAL still-image formats (the
       * single source of truth for format routing — resize, frame
@@ -623,21 +623,36 @@ object Multimodal {
         else Some((w, h, px.flatMap(b => Array(b, b, b))))
       } else None
 
+    /** First-channel PCM as 16-bit samples for any REAL audio format
+      * (RIFF/WAVE or FLAC), else None. FLAC at other bit depths is
+      * rescaled to 16-bit so the feature path sees one shape. */
+    def decodeAudio(payload: Array[Byte]): Option[Array[Short]] =
+      if (RealCodec.isWav(payload)) Some(RealCodec.wavDecode(payload)._2)
+      else if (Flac.isFlac(payload)) {
+        val a = Flac.decode(payload)
+        val ch = if (a.channels.isEmpty) Array.empty[Int] else a.channels(0)
+        val shift = a.bps - 16
+        Some(
+          if (shift == 0) ch.map(_.toShort)
+          else if (shift > 0) ch.map(v => (v >> shift).toShort)
+          else ch.map(v => (v << -shift).toShort))
+      } else None
+
     def decodeToFeatures(payload: Array[Byte], dim: Int): Array[Float] =
-      if (RealCodec.isWav(payload))
-        RealCodec.audioFeatures(RealCodec.wavDecode(payload)._2, dim)
-      else decodeImage(payload) match {
-        case Some((w, h, rgb)) => RealCodec.imageFeatures(w, h, rgb, dim)
-        case None => FakeCodec.decodeToFeatures(payload, dim)
+      decodeAudio(payload) match {
+        case Some(samples) => RealCodec.audioFeatures(samples, dim)
+        case None => decodeImage(payload) match {
+          case Some((w, h, rgb)) => RealCodec.imageFeatures(w, h, rgb, dim)
+          case None => FakeCodec.decodeToFeatures(payload, dim)
+        }
       }
 
     /** Audio frames are 1024-sample windows; an image is one frame. */
     def frameCount(payload: Array[Byte], kind: String): Int =
-      if (RealCodec.isWav(payload)) {
-        val n = RealCodec.wavDecode(payload)._2.length
-        Math.max(1, (n + 1023) / 1024)
-      } else if (isRealImage(payload)) 1
-      else FakeCodec.frameCount(payload, kind)
+      decodeAudio(payload) match {
+        case Some(samples) => Math.max(1, (samples.length + 1023) / 1024)
+        case None => if (isRealImage(payload)) 1 else FakeCodec.frameCount(payload, kind)
+      }
   }
 
   final case class MediaBlob(doc_id: Long, kind: String, payload: Array[Byte],
@@ -733,8 +748,9 @@ object Multimodal {
                    stride: Int = 2, featureDim: Int = 16): Dataset[Frame] = {
     import spark.implicits._
     media.flatMap { blob =>
-      if (RealCodec.isWav(blob.payload)) {
-        val samples = RealCodec.wavDecode(blob.payload)._2
+      val audio = Codec.decodeAudio(blob.payload)
+      if (audio.isDefined) {
+        val samples = audio.get
         val n = Math.max(1, (samples.length + 1023) / 1024)
         (0 until n by stride).map { f =>
           val from = Math.min(f * 1024, samples.length)
