@@ -188,58 +188,41 @@ object SpatialJoin {
       if (ladder.size == 1) points.withColumn("__anc", ancAt(ladder.head))
       else points.withColumn("__anc", explode(array(ladder.map(ancAt): _*)))
     if (broadcastPolygons) {
-      // ONE scan of the polygon table: geometry and annotated covers are
-      // computed together on executors (h3_cover_annotated — tiling
-      // fully distributed) and collected as one row per polygon — the
-      // same data a broadcast build would pin on the driver anyway. The
-      // ladder, the cover relation and the geometry relation all derive
-      // from that collected set, so the table is never re-scanned for a
-      // ladder probe or the geometry join (it used to be scanned three
-      // times per call).
-      import scala.jdk.CollectionConverters._
-      // A driver-LOCAL polygon frame (createDataFrame / toDF) would let
-      // the optimizer fold the projection into the local relation
-      // (ConvertToLocalRelation) and run the — expensive — tiling
-      // single-threaded on the driver; spread it across executors first.
-      // Real tables (parquet/Icelite) are already distributed and skip
-      // the repartition.
-      val allLocal = polygons.queryExecution.analyzed.collectLeaves().forall(
-        _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation])
-      val polySrc =
-        if (allLocal) polygons.repartition(spark.sparkContext.defaultParallelism)
-        else polygons
-      val polyRows = polySrc
+      // ONE scan of the polygon table, and it is CHEAP: geometry plus the
+      // h3_cover_res ladder hint (a size-only policy evaluation, no
+      // tiling) are collected together — the same geometry a broadcast
+      // build would pin on the driver anyway. The expensive part — the
+      // annotated-cover tiling — is NOT collected through the driver:
+      // materializing ~10^5 cover rows as external Rows and re-encoding
+      // them into a local relation costs more than the tiling itself
+      // (measured 2x on the bench phase). Instead the covers broadcast
+      // runs the generator over an RDD-parallelized rebuild of the
+      // collected geometry: tiling executes distributed at broadcast
+      // build time, emits InternalRows directly, and never rescans the
+      // user's table (RDD rebuild, not the original source).
+      import spark.implicits._
+      val polyRows = polygons
+        .filter(col("geojson").isNotNull)
         .select(col("poly_id"), col("geojson"),
-          expr(s"h3_cover_annotated(geojson, $res)").as("__cov"))
+          expr(s"h3_cover_res(geojson, $res)").as("__r"))
         .collect()
-        .filter(!_.isNullAt(2)) // null geometry: no cover, can match nothing
-      val coverRows = polyRows.flatMap { r =>
-        r.getSeq[org.apache.spark.sql.Row](2).map(c =>
-          org.apache.spark.sql.Row(r.getLong(0), c.getLong(0), c.getBoolean(1)))
-      }
-      if (coverRows.isEmpty)
-        return points.limit(0).withColumn("poly_id", lit(0L))
-      val ladder = coverRows.map(r => graft.h3.H3.getResolution(r.getLong(1)))
+      val ladder = polyRows.filter(!_.isNullAt(2)).map(_.getInt(2))
         .distinct.sorted.toSeq
-      val coversDf = spark.createDataFrame(coverRows.toSeq.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("poly_id",
-            org.apache.spark.sql.types.LongType, false),
-          org.apache.spark.sql.types.StructField("cell",
-            org.apache.spark.sql.types.LongType, false),
-          org.apache.spark.sql.types.StructField("full",
-            org.apache.spark.sql.types.BooleanType, false))))
-      val geoDf = spark.createDataFrame(
-        polyRows.map(r => org.apache.spark.sql.Row(r.getLong(0), r.getString(1)))
-          .toSeq.asJava,
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("poly_id",
-            org.apache.spark.sql.types.LongType, false),
-          org.apache.spark.sql.types.StructField("geojson",
-            org.apache.spark.sql.types.StringType, false))))
-      // Candidate join and geometry lookup are both broadcasts of local
-      // relations: points are scanned once and the || short-circuits the
-      // ray cast on fully-contained cells.
+      if (ladder.isEmpty)
+        return points.limit(0).withColumn("poly_id", lit(0L))
+      val geoPairs = polyRows.map(r => (r.getLong(0), r.getString(1))).toSeq
+      // parallelize (not a local relation + repartition): distributes the
+      // tiling without a shuffle job and cannot be folded onto the driver
+      // by ConvertToLocalRelation.
+      val geoRdd = spark.sparkContext.parallelize(
+        geoPairs, Math.min(spark.sparkContext.defaultParallelism, Math.max(1, geoPairs.size)))
+      val coversDf = geoRdd.toDF("poly_id", "geojson")
+        .select(col("poly_id"), expr(s"h3_polygon_to_cells_annotated(geojson, $res)"))
+        .select("poly_id", "cell", "full")
+      val geoDf = geoPairs.toDF("poly_id", "geojson")
+      // Candidate join and geometry lookup are both broadcasts: points are
+      // scanned once and the || short-circuits the ray cast on
+      // fully-contained cells.
       probeFor(ladder)
         .join(broadcast(coversDf), col("__anc") === coversDf("cell"))
         .join(broadcast(geoDf), "poly_id")

@@ -745,9 +745,10 @@ class PolygonTableJoinSpec extends org.scalatest.funsuite.AnyFunSuite {
       org.apache.spark.sql.GraftBridge.waitListenerBus(spark.sparkContext)
       d
     } finally spark.sparkContext.removeSparkListener(l)
-    // Construction runs exactly ONE Spark job: the single pass that
-    // collects (poly_id, geojson, annotated cover) together. The ladder
-    // probe and the geometry relation derive from it — no extra scans.
+    // Construction runs exactly ONE Spark job: the single cheap pass that
+    // collects (poly_id, geojson, cover_res) together. The ladder, the
+    // geometry relation and the covers build all derive from it — no
+    // extra scans (tiling runs at broadcast build over an RDD rebuild).
     assert(jobs.get == 1,
       s"expected exactly one polygon-table scan job, got ${jobs.get}")
     // Executing the join must not rescan the table either: its file path
