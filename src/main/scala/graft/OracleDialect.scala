@@ -99,4 +99,20 @@ object OracleDialect {
   /** Normalized-text fingerprint — equals TextKernel.fingerprint. */
   def docFingerprint(text: String): String =
     fp(s"array_to_string(${words(s"lower($text)")}, ' ')")
+
+  /** Double-stepped MINSTD Lehmer mix of a non-negative BIGINT expression:
+    * seed = (x + salt) folded into [1, P-1], then two multiplications by
+    * the primitive root 48271 mod P. A bijection on [1, P-1], so any id
+    * range maps to an equidistributed mod-P progression — unlike a rolling
+    * hash of the DECIMAL id string, whose low bits barely move across a
+    * small id range. Engine-portable SQL (only + * % CAST), emitted
+    * identically for Spark and DuckDB; every intermediate < 2^47. */
+  def lehmerMix(x: String, salt: Long): String = {
+    val s = ((salt % (P - 1)) + (P - 1)) % (P - 1)
+    s"((((($x) % ${P - 1} + $s) % ${P - 1} + 1) * 48271 % $P) * 48271 % $P)"
+  }
+
+  /** Deterministic uniform in (0,1) from [[lehmerMix]]. */
+  def lehmerU(x: String, salt: Long): String =
+    s"(${lehmerMix(x, salt)} / 2147483647.0)"
 }

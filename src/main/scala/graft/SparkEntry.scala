@@ -109,6 +109,12 @@ object SparkEntry {
     s"($latCond AND $lngCond)"
   }
 
+  /** Mixture-sampling target weights (shared by the `mixture_sample`
+    * query and its oracle): upsample src0/src1, keep src2, downsample
+    * src3/src4; everything else is dropped by omission. */
+  private val MixtureWeights: Map[String, Double] = Map(
+    "src0" -> 2.5, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 0.6, "src4" -> 0.35)
+
   // -------------------------------------------------------------------
   // '\n'-lined re-segmentation of `documents` (2-word lines) feeding the
   // line-level operators — the sf corpora are single-line, so the driver
@@ -703,6 +709,26 @@ object SparkEntry {
 
     "fingerprints" -> ((s, dir) => {
       Ops.fingerprints(s, table(s, dir, "documents"))
+    }),
+
+    // Benchmark decontamination: the eval set is a deterministic slice of
+    // the corpus itself (doc_id % 97 == 0), so the operator provably
+    // flags the leaked docs (self-contamination) plus any 5-gram overlap.
+    "decontaminate" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Ops.decontaminate(s, docs, docs.filter(col("doc_id") % 97 === 0), shingle = 5)
+    }),
+
+    // Deterministic mixture sampling: per-source up/down-sampling to the
+    // MixtureWeights targets (sources outside the map are dropped).
+    "mixture_sample" -> ((s, dir) => {
+      Ops.mixtureSample(s, table(s, dir, "documents"), MixtureWeights)
+    }),
+
+    // Sequence packing: concat-and-chunk into 256-token training
+    // sequences across 8 hash-derived shards.
+    "pack_sequences" -> ((s, dir) => {
+      Ops.packSequences(s, table(s, dir, "documents"), seqLen = 256, nShards = 8)
     }),
 
     // REAL media codec round-trip: per doc, PCM16 samples and RGB pixels
@@ -1495,6 +1521,73 @@ object SparkEntry {
                CAST(ceil(length(text) / 4.0) AS BIGINT) AS byte_tokens
         FROM documents
       """,
+
+      // Re-derives the eval 5-gram dictionary (doc_id % 97 slice) and the
+      // per-doc distinct-overlap counts from scratch.
+      "decontaminate" -> {
+        import OracleDialect._
+        s"""
+        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(${shingleFps("w", 5)}) AS fps FROM wrds),
+        ev AS (SELECT DISTINCT unnest(fps) AS fp FROM sh WHERE doc_id % 97 = 0),
+        ex AS (SELECT doc_id, unnest(fps) AS fp FROM sh),
+        hits AS (SELECT ex.doc_id, count(*) AS n_hits
+                 FROM ex JOIN ev USING (fp) GROUP BY ex.doc_id)
+        SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+      """
+      },
+
+      "mixture_sample" -> {
+        import OracleDialect._
+        val cases = MixtureWeights.toSeq.sortBy(_._1)
+          .map { case (src, w) => s"WHEN '$src' THEN CAST($w AS DOUBLE)" }
+          .mkString(" ")
+        s"""
+        WITH rated AS (
+          SELECT doc_id, source,
+            CASE source $cases ELSE CAST(0.0 AS DOUBLE) END AS rate,
+            ${lehmerU("doc_id", ops.TextKernel.stringFp("mix"))} AS u
+          FROM documents),
+        cop AS (
+          SELECT doc_id, source,
+            CAST(floor(rate) AS BIGINT)
+              + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+          FROM rated)
+        SELECT doc_id, source, n_copies,
+               CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
+        FROM cop WHERE n_copies > 0
+      """
+      },
+
+      "pack_sequences" -> {
+        import OracleDialect._
+        s"""
+        WITH keyed AS (
+          SELECT doc_id,
+            CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+            ${docFingerprint("concat('pack#', CAST(doc_id AS VARCHAR))")} % 8 AS shard,
+            ${docFingerprint("concat('ord#', CAST(doc_id AS VARCHAR))")} AS ord
+          FROM documents),
+        cums AS (
+          SELECT doc_id, shard, n_tokens,
+            CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM keyed),
+        spans AS (
+          SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
+            (cum - n_tokens) // 256 AS seq_first,
+            CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
+                 ELSE (cum - 1) // 256 END AS seq_last
+          FROM cums)
+        SELECT doc_id, shard, n_tokens, start_off, seq_first, seq_last,
+          CAST(CASE WHEN n_tokens = 0 THEN 0
+               ELSE seq_last - seq_first + 1 END AS BIGINT) AS n_seqs
+        FROM spans
+      """
+      },
 
       "ann_brute" -> """
         SELECT q.vec_id AS qid, p.vec_id,

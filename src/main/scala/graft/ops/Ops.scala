@@ -878,4 +878,110 @@ object Ops {
       .filter(col("rk") === 1)
       .select(col("doc_id"), col("lang"), col("p_lang").as("predicted"), col("score"))
   }
+
+  /** Benchmark decontamination: flag training documents sharing any word
+    * `shingle`-gram with the evaluation set (the GPT-3/Pile n-gram-overlap
+    * methodology). Output: one row per training doc —
+    * (doc_id, n_hits = distinct contaminated n-grams, contaminated).
+    *
+    * Scale design: the eval dictionary is inherently small (benchmarks are
+    * thousands of documents against a 10^12-doc corpus), so it is
+    * broadcast TWICE — once as the n-gram set the exploded corpus probes
+    * map-side, and once as the per-doc hit counts joined back. The corpus
+    * text itself never crosses an exchange: the only shuffled rows are the
+    * (doc_id, fp) matches, partial-aggregated map-side first. */
+  def decontaminate(spark: SparkSession, train: DataFrame, eval: DataFrame,
+                    shingle: Int = 5): DataFrame = {
+    OpsFunctions.register(spark)
+    val evalFps = eval
+      .select(explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
+      .distinct()
+    // shingle_fps is already distinct per doc, so count(*) after the
+    // set-membership join IS the distinct-contaminated-n-gram count.
+    val hits = train
+      .select(col("doc_id"), explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
+      .join(broadcast(evalFps), "fp")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+    train.select("doc_id")
+      .join(broadcast(hits), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** Deterministic mixture sampling: resample the corpus to per-source
+    * target weights. A source with weight w keeps each document
+    * floor(w) times plus one more iff its salted id-uniform
+    * u < frac(w); sources absent from `weights` are dropped. Re-runs,
+    * re-shards and re-partitions reproduce the exact same copies — the
+    * property that makes a 10^12-doc mixture auditable.
+    * Output: (doc_id, source, n_copies, copy) — one row per emitted copy.
+    *
+    * Scale design: pure per-row expressions (the weight table folds into
+    * a CASE literal) + a generator — shuffle-free end to end. The uniform
+    * is a Lehmer mix of doc_id (OracleDialect.lehmerU) — a rolling hash of
+    * the decimal id string would cluster u by id length and bias the
+    * fractional rounding. */
+  def mixtureSample(spark: SparkSession, docs: DataFrame,
+                    weights: Map[String, Double],
+                    salt: String = "mix"): DataFrame = {
+    OpsFunctions.register(spark)
+    require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
+      s"weights must be non-negative: $weights")
+    require(weights.keys.forall(k => !k.contains("'")), "quote in source key")
+    val cases = weights.toSeq.sortBy(_._1)
+      .map { case (src, w) => s"WHEN '$src' THEN CAST($w AS DOUBLE)" }
+      .mkString(" ")
+    docs
+      .withColumn("rate", expr(s"CASE source $cases ELSE CAST(0.0 AS DOUBLE) END"))
+      // deterministic uniform in (0,1) — the DuckDB oracle re-derives the
+      // identical arithmetic bit-for-bit.
+      .withColumn("u", expr(
+        graft.OracleDialect.lehmerU("doc_id", TextKernel.stringFp(salt))))
+      .withColumn("n_copies", expr(
+        "CAST(floor(rate) AS BIGINT) + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END"))
+      .filter(col("n_copies") > 0)
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")).as("copy"))
+  }
+
+  /** Sequence packing (concat-and-chunk): assign every document a token
+    * span in a stream of fixed-length `seqLen` training sequences. The
+    * corpus is dealt into `nShards` hash-derived shards and hash-ordered
+    * within each (deterministic global shuffle), then packed by running
+    * token offset. Output per doc: (doc_id, shard, n_tokens, start_off,
+    * seq_first, seq_last, n_seqs) — seq ids are shard-local.
+    *
+    * Scale design: ONE shuffle (the window partition by shard); each
+    * shard packs independently, so parallelism = nShards — at 100 TB set
+    * nShards to the writer parallelism (each shard is one output sequence
+    * stream) instead of windowing over a global order, which would
+    * serialize the corpus through a single partition. */
+  def packSequences(spark: SparkSession, docs: DataFrame,
+                    seqLen: Int = 2048, nShards: Int = 8): DataFrame = {
+    OpsFunctions.register(spark)
+    require(seqLen > 0 && nShards > 0, s"seqLen=$seqLen nShards=$nShards")
+    val keyed = docs.select(
+      col("doc_id"),
+      expr("CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT) " +
+        "ELSE CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) END").as("n_tokens"),
+      // fingerprints are already non-negative (mod 2^31-1), so plain %
+      // shards them without a sign fix-up.
+      expr(s"doc_fingerprint(concat('pack#', CAST(doc_id AS STRING))) % $nShards").as("shard"),
+      expr("doc_fingerprint(concat('ord#', CAST(doc_id AS STRING)))").as("ord"))
+    val w = Window.partitionBy("shard").orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .withColumn("cum", sum("n_tokens").over(w))
+      .withColumn("start_off", col("cum") - col("n_tokens"))
+      .withColumn("seq_first", expr(s"start_off DIV $seqLen"))
+      .withColumn("seq_last", expr(
+        s"CASE WHEN n_tokens = 0 THEN seq_first ELSE (cum - 1) DIV $seqLen END"))
+      .withColumn("n_seqs", expr(
+        "CASE WHEN n_tokens = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE seq_last - seq_first + 1 END"))
+      .select("doc_id", "shard", "n_tokens", "start_off",
+        "seq_first", "seq_last", "n_seqs")
+  }
 }
