@@ -719,6 +719,12 @@ object SparkEntry {
       Ops.decontaminate(s, docs, docs.filter(col("doc_id") % 97 === 0), shingle = 5)
     }),
 
+    // Repeated-substring span dedup: maximal token spans of 5-token
+    // windows occurring >= 2 times corpus-wide (ExactSubstr relationally).
+    "dedup_spans" -> ((s, dir) => {
+      Ops.dedupSpans(s, table(s, dir, "documents"), window = 5)
+    }),
+
     // Deterministic mixture sampling: per-source up/down-sampling to the
     // MixtureWeights targets (sources outside the map are dropped).
     "mixture_sample" -> ((s, dir) => {
@@ -1536,6 +1542,39 @@ object SparkEntry {
         SELECT d.doc_id, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
                coalesce(h.n_hits, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
+      """
+      },
+
+      // Re-derives the positional 5-gram windows, global occurrence
+      // counts, and the gaps-and-islands merge of overlapping duplicated
+      // windows into maximal spans.
+      "dedup_spans" -> {
+        import OracleDialect._
+        s"""
+        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        sh AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+                      ${shingleFps("w", 5)} AS fps FROM wrds),
+        occ AS (SELECT doc_id, n_words, unnest(fps) AS fp,
+                       CAST(unnest(range(0, len(fps))) AS BIGINT) AS pos
+                FROM sh),
+        cnt AS (SELECT fp, count(*) AS n_occ FROM occ GROUP BY fp),
+        mk AS (SELECT o.doc_id, o.pos,
+                      least(o.pos + 4, o.n_words - 1) AS w_end
+               FROM occ o JOIN cnt USING (fp) WHERE n_occ >= 2),
+        pm AS (SELECT doc_id, pos, w_end,
+                 max(w_end) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+               FROM mk),
+        fl AS (SELECT doc_id, pos, w_end,
+                 CASE WHEN pmax IS NULL OR pos > pmax + 1 THEN 1 ELSE 0 END AS brk
+               FROM pm),
+        isl AS (SELECT doc_id, pos, w_end,
+                  CAST(sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS span_id
+                FROM fl)
+        SELECT doc_id, span_id, min(pos) AS start_tok, max(w_end) AS end_tok,
+               CAST(count(*) AS BIGINT) AS n_windows
+        FROM isl GROUP BY doc_id, span_id
       """
       },
 

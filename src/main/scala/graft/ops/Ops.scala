@@ -946,6 +946,52 @@ object Ops {
         explode(expr("sequence(CAST(0 AS BIGINT), n_copies - 1)")).as("copy"))
   }
 
+  /** Repeated-substring (span-level) exact dedup: report every maximal
+    * token span covered by sliding `window`-token windows occurring at
+    * least `minCount` times corpus-wide — the ExactSubstr methodology of
+    * the training-data-dedup literature re-expressed relationally, with
+    * rolling-window fingerprints in place of a monolithic suffix array.
+    * Docs shorter than `window` words hash as one whole-doc window, so
+    * whole-doc duplicates surface as full-doc spans. Output: one row per
+    * maximal duplicated span — (doc_id, span_id, start_tok, end_tok,
+    * n_windows); masking/removal against `text` is a per-row follow-on.
+    *
+    * Scale design: text explodes to (doc_id, pos, fp) map-side and never
+    * crosses an exchange. Global window counts are a hash aggregate on fp
+    * (map-side partials), joined back by a shuffle join — the duplicated-
+    * window set is corpus-sized, deliberately NOT broadcast — then one
+    * shuffle on doc_id merges overlapping windows into maximal spans
+    * (gaps-and-islands over the running max end). Three id-only
+    * exchanges, no quadratic step, nothing corpus-sized in one place. */
+  def dedupSpans(spark: SparkSession, docs: DataFrame,
+                 window: Int = 50, minCount: Long = 2): DataFrame = {
+    OpsFunctions.register(spark)
+    require(window > 0 && minCount >= 2, s"window=$window minCount=$minCount")
+    val occ = docs.select(
+        col("doc_id"),
+        expr("word_count(text)").as("n_words"),
+        posexplode(expr(s"shingle_fps_pos(text, $window)")).as(Seq("pos", "fp")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        least(col("pos") + lit(window - 1), col("n_words") - 1)
+          .cast("long").as("w_end"),
+        col("fp"))
+    val dupFps = occ.groupBy("fp").agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minCount)
+      .select("fp")
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    occ.join(dupFps, "fp")
+      .withColumn("pmax",
+        max("w_end").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("brk",
+        when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L).otherwise(0L))
+      .withColumn("span_id",
+        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "span_id")
+      .agg(min("pos").as("start_tok"), max("w_end").as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "span_id", "start_tok", "end_tok", "n_windows")
+  }
+
   /** Sequence packing (concat-and-chunk): assign every document a token
     * span in a stream of fixed-length `seqLen` training sequences. The
     * corpus is dealt into `nShards` hash-derived shards and hash-ordered

@@ -147,6 +147,14 @@ object OpsKernel {
     new GenericArrayData(out)
   }
 
+  /** Ordered per-POSITION word-shingle fingerprints (window i = words
+    * [i, i+k); fewer than k words yields one fingerprint of all words) —
+    * span-level dedup needs positions, not the distinct set. */
+  def shingleFpsPos(text: UTF8String, k: Int): ArrayData =
+    new GenericArrayData(TextKernel.shingleFps(text.toString, k))
+
+  def wordCount(text: UTF8String): Long = TextKernel.wordCount(text.toString)
+
   /** Distinct word-shingle overlap counts as a (n_inter, n_union) row. */
   def overlapRow(a: UTF8String, b: UTF8String, k: Int): InternalRow = {
     val (inter, union) = TextKernel.overlapCounts(a.toString, b.toString, k)
@@ -351,6 +359,35 @@ case class ShingleFpsExpr(text: Expression, shingle: Expression)
     defineCodeGen(ctx, ev, (t, k) => s"graft.ops.OpsKernel.shingleFpsDistinct($t, $k)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(text = l, shingle = r)
+}
+
+/** Positional (ordered, non-distinct) variant of [[ShingleFpsExpr]]. */
+case class ShingleFpsPosExpr(text: Expression, shingle: Expression)
+    extends BinaryExpression {
+  override def left: Expression = text
+  override def right: Expression = shingle
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_fps_pos"
+  override protected def nullSafeEval(t: Any, k: Any): Any =
+    OpsKernel.shingleFpsPos(t.asInstanceOf[UTF8String], k.asInstanceOf[Int])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, k) => s"graft.ops.OpsKernel.shingleFpsPos($t, $k)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(text = l, shingle = r)
+}
+
+/** Whitespace word count with TextKernel.wordBounds parity (the engine's
+  * shingle/boilerplate word semantics — Character.isWhitespace, not the
+  * regex-\\s of `split`). */
+case class WordCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "word_count"
+  override protected def nullSafeEval(t: Any): Any =
+    OpsKernel.wordCount(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ops.OpsKernel.wordCount($t)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 case class CosineSimExpr(a: Expression, b: Expression) extends BinaryExpression {

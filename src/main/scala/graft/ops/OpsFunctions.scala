@@ -22,6 +22,8 @@ object OpsFunctions {
     "doc_fingerprint" -> (es => FingerprintExpr(str(es(0)))),
     "ngram_jaccard" -> (es => JaccardExpr(str(es(0)), str(es(1)), int(es(2)))),
     "shingle_fps" -> (es => ShingleFpsExpr(str(es(0)), int(es(1)))),
+    "shingle_fps_pos" -> (es => ShingleFpsPosExpr(str(es(0)), int(es(1)))),
+    "word_count" -> (es => WordCountExpr(str(es(0)))),
     "ngram_overlap" -> (es => OverlapCountsExpr(str(es(0)), str(es(1)), int(es(2)))),
     "text_repetition" -> (es => RepetitionStatsExpr(str(es(0)))),
     "hamming64" -> (es => HammingDistExpr(lng(es(0)), lng(es(1)))),

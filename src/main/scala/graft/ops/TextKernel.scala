@@ -57,6 +57,9 @@ object TextKernel {
     (starts.result(), ends.result())
   }
 
+  /** Whitespace word count — the `len(words())` the oracle dialect sees. */
+  def wordCount(s: String): Long = wordBounds(s)._1.length.toLong
+
   /** Fingerprint of words [from, until) joined by a single space — equals
     * stringFp(words.mkString(" ")) without materializing the join. */
   private def joinedFp(text: String, starts: Array[Int], ends: Array[Int],

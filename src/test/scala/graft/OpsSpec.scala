@@ -638,6 +638,16 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(shuffles.count(_.exists(_ == "line")) <= 1, shuffles.toString)
   }
 
+  test("dedupSpans shuffles carry (doc_id, pos, fp) only — never text") {
+    val spark = SparkTestBase.spark
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Ops.dedupSpans(spark, docs, window = 4)
+    assert(out.count() > 0, "sf0.001 tiny-vocab corpus must have dup spans")
+    val shuffles = shuffleOutputs(out)
+    assert(shuffles.nonEmpty)
+    assert(shuffles.forall(!_.exists(_ == "text")), shuffles.toString)
+  }
+
   test("lineDedup fast path: zero exchanges in the result plan, equals the shuffle path") {
     val spark = SparkTestBase.spark
     import spark.implicits._
