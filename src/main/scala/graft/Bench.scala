@@ -353,6 +353,21 @@ object Bench {
       Ops.repetitionSignals(spark, linedBench(nDocs / 20))
         .agg(count(lit(1)), sum("top_word_frac"), sum("dup_line_frac")).collect()
     }
+    // Repeated-substring span dedup over nDocs/100 docs: the heaviest
+    // assembly-path dataflow (every doc explodes to ~n_words window
+    // fingerprints; three id-only shuffles). The synthesized corpus
+    // repeats each base text n/nTable times, so duplicated spans dominate
+    // — the worst case for the island merge.
+    measure("dedup_spans", reps) {
+      Ops.dedupSpans(spark, linedBench(nDocs / 100), window = 20)
+        .agg(count(lit(1)), sum("n_windows")).collect()
+    }
+    // Sequence packing over nDocs/20 docs into 2048-token sequences on 64
+    // shards (the writer-parallelism shape): one shuffle + per-shard sort.
+    measure("pack_sequences", reps) {
+      Ops.packSequences(spark, linedBench(nDocs / 20), seqLen = 2048, nShards = 64)
+        .agg(count(lit(1)), sum("n_seqs"), max("seq_last")).collect()
+    }
 
     // Phase 8: compacted (mixed-res) dissolve via the boundary-refinement
     // fast path, through the SQL surface.
