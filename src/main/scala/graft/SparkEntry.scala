@@ -737,6 +737,24 @@ object SparkEntry {
       Ops.packSequences(s, table(s, dir, "documents"), seqLen = 256, nShards = 8)
     }),
 
+    // Composed training-data ASSEMBLY: decontaminate-gate (drop docs
+    // overlapping the eval slice) -> deterministic mixture resampling ->
+    // sequence packing of the emitted copies (synthetic id = doc_id*8 +
+    // copy). One DAG, end-to-end deterministic; the oracle re-derives
+    // every stage from scratch.
+    "assembly_pipeline" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val evalSet = docs.filter(col("doc_id") % 97 === 0)
+      val contaminated = Ops.decontaminate(s, docs, evalSet, shingle = 5)
+        .filter(col("contaminated")).select("doc_id")
+      val clean = docs.join(broadcast(contaminated), Seq("doc_id"), "left_anti")
+      val sampled = Ops.mixtureSample(s, clean, MixtureWeights)
+      val packedInput = sampled
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .select((col("doc_id") * 8 + col("copy")).as("doc_id"), col("text"))
+      Ops.packSequences(s, packedInput, seqLen = 256, nShards = 8)
+    }),
+
     // REAL media codec round-trip: per doc, PCM16 samples and RGB pixels
     // are synthesized by pure integer formulas, encoded into REAL
     // RIFF/WAVE and P6/PPM payloads, decoded back by the byte-level
@@ -1610,6 +1628,65 @@ object SparkEntry {
             ${docFingerprint("concat('pack#', CAST(doc_id AS VARCHAR))")} % 8 AS shard,
             ${docFingerprint("concat('ord#', CAST(doc_id AS VARCHAR))")} AS ord
           FROM documents),
+        cums AS (
+          SELECT doc_id, shard, n_tokens,
+            CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM keyed),
+        spans AS (
+          SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
+            (cum - n_tokens) // 256 AS seq_first,
+            CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
+                 ELSE (cum - 1) // 256 END AS seq_last
+          FROM cums)
+        SELECT doc_id, shard, n_tokens, start_off, seq_first, seq_last,
+          CAST(CASE WHEN n_tokens = 0 THEN 0
+               ELSE seq_last - seq_first + 1 END AS BIGINT) AS n_seqs
+        FROM spans
+      """
+      },
+
+      // Full re-derivation of the assembly DAG: eval dictionary ->
+      // contaminated ids -> clean corpus -> Lehmer-uniform mixture copies
+      // -> synthetic ids -> pack spans.
+      "assembly_pipeline" -> {
+        import OracleDialect._
+        val cases = MixtureWeights.toSeq.sortBy(_._1)
+          .map { case (src, w) => s"WHEN '$src' THEN CAST($w AS DOUBLE)" }
+          .mkString(" ")
+        s"""
+        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(${shingleFps("w", 5)}) AS fps FROM wrds),
+        ev AS (SELECT DISTINCT unnest(fps) AS fp FROM sh WHERE doc_id % 97 = 0),
+        contam AS (SELECT DISTINCT ex.doc_id
+                   FROM (SELECT doc_id, unnest(fps) AS fp FROM sh) ex
+                   JOIN ev USING (fp)),
+        clean AS (SELECT d.doc_id, d.source
+                  FROM documents d LEFT JOIN contam c USING (doc_id)
+                  WHERE c.doc_id IS NULL),
+        rated AS (
+          SELECT doc_id,
+            CASE source $cases ELSE CAST(0.0 AS DOUBLE) END AS rate,
+            ${lehmerU("doc_id", ops.TextKernel.stringFp("mix"))} AS u
+          FROM clean),
+        cop AS (
+          SELECT doc_id,
+            CAST(floor(rate) AS BIGINT)
+              + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+          FROM rated),
+        copies AS (
+          SELECT doc_id, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
+          FROM cop WHERE n_copies > 0),
+        pin AS (
+          SELECT c.doc_id * 8 + c.copy AS doc_id, d.text
+          FROM copies c JOIN documents d ON d.doc_id = c.doc_id),
+        keyed AS (
+          SELECT doc_id,
+            CAST(CASE WHEN trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+            ${docFingerprint("concat('pack#', CAST(doc_id AS VARCHAR))")} % 8 AS shard,
+            ${docFingerprint("concat('ord#', CAST(doc_id AS VARCHAR))")} AS ord
+          FROM pin),
         cums AS (
           SELECT doc_id, shard, n_tokens,
             CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id

@@ -60,6 +60,34 @@ object StreamingTiles {
       .dropDuplicatesWithinWatermark("fingerprint")
   }
 
+  /** Streaming benchmark decontamination: flag documents in-flight
+    * against a STATIC eval set. The eval n-gram dictionary is collected
+    * once at query-construction time into a sorted broadcast array and
+    * probed per row by the same codegen kernel as the batch fast path —
+    * completely stateless (no watermark, no streaming state), so the
+    * per-trigger cost is one narrow pass over the micro-batch. Output =
+    * input columns + (n_hits, contaminated); filter on !contaminated to
+    * gate an ingest stream.
+    *
+    * @param docs streaming DataFrame with a `text` column.
+    * @param eval STATIC (batch) DataFrame with a `text` column. */
+  def streamingDecontaminate(spark: SparkSession, docs: DataFrame,
+                             eval: DataFrame, shingle: Int = 5): DataFrame = {
+    graft.ops.OpsFunctions.register(spark)
+    import spark.implicits._
+    val fps = eval
+      .select(explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
+      .distinct().select(col("fp")).as[Long].collect()
+    java.util.Arrays.sort(fps)
+    val bc = spark.sparkContext.broadcast(fps)
+    val probe = org.apache.spark.sql.GraftBridge.column(
+      graft.ops.ShingleHitsExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), shingle, bc))
+    docs
+      .withColumn("n_hits", coalesce(probe, lit(0L)))
+      .withColumn("contaminated", col("n_hits") > 0)
+  }
+
   /** Streaming curation: the batch gates compose statelessly per row
     * (the repetition kernel and the quality score are pure codegen'd
     * expressions), duplicate suppression is watermark-bounded fingerprint

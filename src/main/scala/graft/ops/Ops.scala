@@ -884,31 +884,55 @@ object Ops {
     * methodology). Output: one row per training doc —
     * (doc_id, n_hits = distinct contaminated n-grams, contaminated).
     *
-    * Scale design: the eval dictionary is inherently small (benchmarks are
-    * thousands of documents against a 10^12-doc corpus), so it is
-    * broadcast TWICE — once as the n-gram set the exploded corpus probes
-    * map-side, and once as the per-doc hit counts joined back. The corpus
-    * text itself never crosses an exchange: the only shuffled rows are the
-    * (doc_id, fp) matches, partial-aggregated map-side first. */
+    * Scale design: the eval dictionary is inherently small (benchmarks
+    * are thousands of documents against a 10^12-doc corpus). Fast path
+    * (the common case): collect it once (capped, primitive longs),
+    * broadcast the sorted array, and probe each training document with
+    * one codegen kernel — the corpus crosses ZERO exchanges and is
+    * scanned once. Above the cap (default 4M fps = 32 MB) the shuffle
+    * fallback broadcasts the dictionary into an exploded set-membership
+    * join instead; there the only shuffled rows are the (doc_id, fp)
+    * matches, partial-aggregated map-side first. */
   def decontaminate(spark: SparkSession, train: DataFrame, eval: DataFrame,
-                    shingle: Int = 5): DataFrame = {
+                    shingle: Int = 5, broadcastMaxFps: Int = 4000000): DataFrame = {
     OpsFunctions.register(spark)
     val evalFps = eval
       .select(explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
       .distinct()
-    // shingle_fps is already distinct per doc, so count(*) after the
-    // set-membership join IS the distinct-contaminated-n-gram count.
-    val hits = train
-      .select(col("doc_id"), explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
-      .join(broadcast(evalFps), "fp")
-      .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_hits"))
-    train.select("doc_id")
-      .join(broadcast(hits), Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+    import spark.implicits._
+    val fps0 =
+      if (broadcastMaxFps < 0) Array.emptyLongArray
+      else evalFps.limit(broadcastMaxFps + 1).select(col("fp")).as[Long].collect()
+    if (broadcastMaxFps >= 0 && fps0.length <= broadcastMaxFps) {
+      java.util.Arrays.sort(fps0)
+      val bc = spark.sparkContext.broadcast(fps0)
+      val probe = org.apache.spark.sql.GraftBridge.column(ShingleHitsExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("text")), shingle, bc))
+      // NULL-text rows must match the shuffle formulation exactly (there
+      // the explode emits no rows and the left join coalesces to 0).
+      train.select(col("doc_id"), coalesce(probe, lit(0L)).as("n_hits"))
+        .select(col("doc_id"), col("n_hits"), (col("n_hits") > 0).as("contaminated"))
+    } else {
+      // shingle_fps is already distinct per doc, so count(*) after the
+      // set-membership join IS the distinct-contaminated-n-gram count.
+      val hits = train
+        .select(col("doc_id"), explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
+        .join(broadcast(evalFps), "fp")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_hits"))
+      train.select("doc_id")
+        .join(broadcast(hits), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+    }
   }
+
+  /** The shuffle formulation of [[decontaminate]], exposed for the
+    * fast-path-equivalence spec (and for dictionaries past the cap). */
+  def decontaminateShuffle(spark: SparkSession, train: DataFrame,
+                           eval: DataFrame, shingle: Int = 5): DataFrame =
+    decontaminate(spark, train, eval, shingle, broadcastMaxFps = -1)
 
   /** Deterministic mixture sampling: resample the corpus to per-source
     * target weights. A source with weight w keeps each document
@@ -957,12 +981,16 @@ object Ops {
     * n_windows); masking/removal against `text` is a per-row follow-on.
     *
     * Scale design: text explodes to (doc_id, pos, fp) map-side and never
-    * crosses an exchange. Global window counts are a hash aggregate on fp
-    * (map-side partials), joined back by a shuffle join — the duplicated-
-    * window set is corpus-sized, deliberately NOT broadcast — then one
-    * shuffle on doc_id merges overlapping windows into maximal spans
-    * (gaps-and-islands over the running max end). Three id-only
-    * exchanges, no quadratic step, nothing corpus-sized in one place. */
+    * crosses an exchange — and is scanned ONCE: global occurrence counts
+    * come from `count(*) OVER (PARTITION BY fp)` on the exploded frame
+    * (an aggregate-then-join-back would shuffle the same occurrence rows
+    * on fp TWICE — the sort-merge join sorts on fp exactly like the
+    * window does — and re-read every document's text for the probe
+    * side). The duplicated-window set is corpus-sized, deliberately
+    * never broadcast or collected. A second shuffle on doc_id merges
+    * overlapping windows into maximal spans (gaps-and-islands over the
+    * running max end). Two id-only exchanges total, no quadratic step,
+    * nothing corpus-sized in one place. */
   def dedupSpans(spark: SparkSession, docs: DataFrame,
                  window: Int = 50, minCount: Long = 2): DataFrame = {
     OpsFunctions.register(spark)
@@ -975,11 +1003,11 @@ object Ops {
         least(col("pos") + lit(window - 1), col("n_words") - 1)
           .cast("long").as("w_end"),
         col("fp"))
-    val dupFps = occ.groupBy("fp").agg(count(lit(1)).as("n_occ"))
-      .filter(col("n_occ") >= minCount)
-      .select("fp")
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    occ.join(dupFps, "fp")
+    occ
+      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("fp")))
+      .filter(col("n_occ") >= minCount)
+      .select("doc_id", "pos", "w_end")
       .withColumn("pmax",
         max("w_end").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
       .withColumn("brk",

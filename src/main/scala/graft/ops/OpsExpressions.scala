@@ -147,6 +147,22 @@ object OpsKernel {
     new GenericArrayData(out)
   }
 
+  /** Count of the text's DISTINCT word-k-shingle fingerprints present in a
+    * sorted fingerprint array (the broadcast eval dictionary of the
+    * decontamination fast path). */
+  def shingleHits(textU: UTF8String, k: Int, fps: Array[Long]): Long = {
+    val all = TextKernel.shingleFps(textU.toString, k)
+    val seen = new java.util.HashSet[java.lang.Long]()
+    var hits = 0L
+    var i = 0
+    while (i < all.length) {
+      if (java.util.Arrays.binarySearch(fps, all(i)) >= 0 && seen.add(all(i)))
+        hits += 1L
+      i += 1
+    }
+    hits
+  }
+
   /** Ordered per-POSITION word-shingle fingerprints (window i = words
     * [i, i+k); fewer than k words yields one fingerprint of all words) —
     * span-level dedup needs positions, not the distinct set. */
@@ -359,6 +375,26 @@ case class ShingleFpsExpr(text: Expression, shingle: Expression)
     defineCodeGen(ctx, ev, (t, k) => s"graft.ops.OpsKernel.shingleFpsDistinct($t, $k)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(text = l, shingle = r)
+}
+
+/** Per-row distinct-shingle hit count against a broadcast SORTED eval
+  * fingerprint array — the zero-exchange decontamination probe. */
+case class ShingleHitsExpr(text: Expression, shingle: Int,
+                           fps: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def child: Expression = text
+  override def dataType: DataType = LongType
+  override def prettyName: String = "shingle_hits"
+  override protected def nullSafeEval(t: Any): Any =
+    OpsKernel.shingleHits(t.asInstanceOf[UTF8String], shingle, fps.value)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("evalFps", fps,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, t =>
+      s"graft.ops.OpsKernel.shingleHits($t, $shingle, (long[]) $ref.value())")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(text = c)
 }
 
 /** Positional (ordered, non-distinct) variant of [[ShingleFpsExpr]]. */

@@ -646,6 +646,10 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
     val shuffles = shuffleOutputs(out)
     assert(shuffles.nonEmpty)
     assert(shuffles.forall(!_.exists(_ == "text")), shuffles.toString)
+    // Single-scan shape: one exchange on fp (global occurrence counts via
+    // window), one on doc_id (island merge) — an agg+join-back would add
+    // a third and scan every document's text twice.
+    assert(shuffles.size <= 2, shuffles.toString)
   }
 
   test("lineDedup fast path: zero exchanges in the result plan, equals the shuffle path") {

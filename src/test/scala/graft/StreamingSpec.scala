@@ -213,6 +213,33 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     q.stop()
   }
 
+  test("streaming decontamination equals the batch operator, statelessly") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val evalSet = Seq((101L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven"),
+      (3L, "xx alpha beta gamma delta epsilon yy"))
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = graft.engine.StreamingTiles.streamingDecontaminate(
+      spark, input.toDF().toDF("doc_id", "text"), evalSet, shingle = 5)
+    val q = out.writeStream.format("memory")
+      .queryName("decon_stream").outputMode("append").start()
+    input.addData(batch: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql("SELECT doc_id, n_hits, contaminated FROM decon_stream")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    q.stop()
+    val expected = graft.ops.Ops.decontaminate(
+        spark, batch.toDF("doc_id", "text"), evalSet, shingle = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(streamed == expected && streamed.exists(_._3) && streamed.exists(!_._3))
+  }
+
   test("quality SQL expression equals qualityScore's quality column") {
     val spark = SparkTestBase.spark
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")

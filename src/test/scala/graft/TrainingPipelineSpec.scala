@@ -32,6 +32,33 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, true)))
   }
 
+  test("decontaminate fast path equals the shuffle formulation; zero exchanges") {
+    val eval = docs.filter(col("doc_id") % 23 === 0)
+    val fast = Ops.decontaminate(spark, docs, eval)
+    val shuffle = Ops.decontaminateShuffle(spark, docs, eval)
+    val a = fast.collect().map(_.toString).sorted
+    val b = shuffle.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(fast.filter(col("contaminated")).count() > 0)
+    // The fast path probes a broadcast sorted array per row: the corpus
+    // must cross ZERO exchanges.
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("decontaminate null text counts as clean on both paths") {
+    import spark.implicits._
+    val train = Seq((1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val eval = Seq((9L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text")
+    for (out <- Seq(Ops.decontaminate(spark, train, eval),
+                    Ops.decontaminateShuffle(spark, train, eval))) {
+      val m = out.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+      assert(m(2L) == ((0L, false)), m.toString)
+      assert(m(1L)._2)
+    }
+  }
+
   test("decontaminate with empty eval set marks nothing") {
     import spark.implicits._
     val eval = Seq.empty[(Long, String)].toDF("doc_id", "text")
