@@ -115,4 +115,66 @@ object OracleDialect {
   /** Deterministic uniform in (0,1) from [[lehmerMix]]. */
   def lehmerU(x: String, salt: Long): String =
     s"(${lehmerMix(x, salt)} / 2147483647.0)"
+
+  /** CASE literal mapping `source` to its mixture weight — ONE emitter
+    * serving the Spark operator (Ops.mixtureSample) and both DuckDB
+    * oracles (mixture_sample, assembly_pipeline), so the two sides cannot
+    * drift. */
+  def mixtureCase(weights: Map[String, Double]): String = {
+    require(weights.keys.forall(k => !k.contains("'")), "quote in source key")
+    val cases = weights.toSeq.sortBy(_._1)
+      .map { case (src, w) => s"WHEN '$src' THEN CAST($w AS DOUBLE)" }
+      .mkString(" ")
+    s"CASE source $cases ELSE CAST(0.0 AS DOUBLE) END"
+  }
+
+  /** rated/cop CTE pair of the mixture oracle: per-doc rate + Lehmer
+    * uniform + deterministic copy count. `src` must expose (doc_id,
+    * source). */
+  def mixtureRatedCopCtes(src: String, weights: Map[String, Double],
+                          salt: Long): String =
+    s"""rated AS (
+          SELECT doc_id, source, ${mixtureCase(weights)} AS rate,
+            ${lehmerU("doc_id", salt)} AS u
+          FROM $src),
+        cop AS (
+          SELECT doc_id, source,
+            CAST(floor(rate) AS BIGINT)
+              + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
+          FROM rated)"""
+
+  /** keyed/cums/spans CTE chain + final SELECT of the sequence-packing
+    * oracle over `src` (doc_id, text) — shared verbatim by the
+    * pack_sequences and assembly_pipeline oracles. */
+  def packCtesAndSelect(src: String, seqLen: Int, nShards: Int): String =
+    s"""keyed AS (
+          SELECT doc_id,
+            CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+            ${docFingerprint("concat('pack#', CAST(doc_id AS VARCHAR))")} % $nShards AS shard,
+            ${docFingerprint("concat('ord#', CAST(doc_id AS VARCHAR))")} AS ord
+          FROM $src),
+        cums AS (
+          SELECT doc_id, shard, n_tokens,
+            CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+          FROM keyed),
+        spans AS (
+          SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
+            (cum - n_tokens) // $seqLen AS seq_first,
+            CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // $seqLen
+                 ELSE (cum - 1) // $seqLen END AS seq_last
+          FROM cums)
+        SELECT doc_id, shard, n_tokens, start_off, seq_first, seq_last,
+          CAST(CASE WHEN n_tokens = 0 THEN 0
+               ELSE seq_last - seq_first + 1 END AS BIGINT) AS n_seqs
+        FROM spans"""
+
+  /** wrds/sh/ev CTE chain of the decontamination oracle: per-doc distinct
+    * shingle sets + the eval dictionary selected by `evalPred` (a
+    * predicate over doc_id). */
+  def shingleDictCtes(shingle: Int, evalPred: String): String =
+    s"""wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        sh AS (SELECT doc_id, list_distinct(${shingleFps("w", shingle)}) AS fps FROM wrds),
+        ev AS (SELECT DISTINCT unnest(fps) AS fp FROM sh WHERE $evalPred)"""
 }

@@ -115,6 +115,13 @@ object SparkEntry {
   private val MixtureWeights: Map[String, Double] = Map(
     "src0" -> 2.5, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 0.6, "src4" -> 0.35)
 
+  /** Synthetic-id stride of `assembly_pipeline`: a doc's copy index is at
+    * most floor(max weight), so stride = floor(max)+1 makes
+    * doc_id*stride+copy injective for ANY future weight table (computed,
+    * not a magic constant; shared with the oracle). */
+  private val AssemblyStride: Long =
+    MixtureWeights.values.max.floor.toLong + 1
+
   // -------------------------------------------------------------------
   // '\n'-lined re-segmentation of `documents` (2-word lines) feeding the
   // line-level operators — the sf corpora are single-line, so the driver
@@ -751,7 +758,8 @@ object SparkEntry {
       val sampled = Ops.mixtureSample(s, clean, MixtureWeights)
       val packedInput = sampled
         .join(docs.select("doc_id", "text"), "doc_id")
-        .select((col("doc_id") * 8 + col("copy")).as("doc_id"), col("text"))
+        .select((col("doc_id") * AssemblyStride + col("copy")).as("doc_id"),
+          col("text"))
       Ops.packSequences(s, packedInput, seqLen = 256, nShards = 8)
     }),
 
@@ -1551,9 +1559,7 @@ object SparkEntry {
       "decontaminate" -> {
         import OracleDialect._
         s"""
-        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
-        sh AS (SELECT doc_id, list_distinct(${shingleFps("w", 5)}) AS fps FROM wrds),
-        ev AS (SELECT DISTINCT unnest(fps) AS fp FROM sh WHERE doc_id % 97 = 0),
+        WITH ${shingleDictCtes(5, "doc_id % 97 = 0")},
         ex AS (SELECT doc_id, unnest(fps) AS fp FROM sh),
         hits AS (SELECT ex.doc_id, count(*) AS n_hits
                  FROM ex JOIN ev USING (fp) GROUP BY ex.doc_id)
@@ -1598,20 +1604,9 @@ object SparkEntry {
 
       "mixture_sample" -> {
         import OracleDialect._
-        val cases = MixtureWeights.toSeq.sortBy(_._1)
-          .map { case (src, w) => s"WHEN '$src' THEN CAST($w AS DOUBLE)" }
-          .mkString(" ")
         s"""
-        WITH rated AS (
-          SELECT doc_id, source,
-            CASE source $cases ELSE CAST(0.0 AS DOUBLE) END AS rate,
-            ${lehmerU("doc_id", ops.TextKernel.stringFp("mix"))} AS u
-          FROM documents),
-        cop AS (
-          SELECT doc_id, source,
-            CAST(floor(rate) AS BIGINT)
-              + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
-          FROM rated)
+        WITH ${mixtureRatedCopCtes("documents", MixtureWeights,
+                                   ops.TextKernel.stringFp("mix"))}
         SELECT doc_id, source, n_copies,
                CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
         FROM cop WHERE n_copies > 0
@@ -1621,28 +1616,7 @@ object SparkEntry {
       "pack_sequences" -> {
         import OracleDialect._
         s"""
-        WITH keyed AS (
-          SELECT doc_id,
-            CAST(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
-            ${docFingerprint("concat('pack#', CAST(doc_id AS VARCHAR))")} % 8 AS shard,
-            ${docFingerprint("concat('ord#', CAST(doc_id AS VARCHAR))")} AS ord
-          FROM documents),
-        cums AS (
-          SELECT doc_id, shard, n_tokens,
-            CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-          FROM keyed),
-        spans AS (
-          SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
-            (cum - n_tokens) // 256 AS seq_first,
-            CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
-                 ELSE (cum - 1) // 256 END AS seq_last
-          FROM cums)
-        SELECT doc_id, shard, n_tokens, start_off, seq_first, seq_last,
-          CAST(CASE WHEN n_tokens = 0 THEN 0
-               ELSE seq_last - seq_first + 1 END AS BIGINT) AS n_seqs
-        FROM spans
+        WITH ${packCtesAndSelect("documents", 256, 8)}
       """
       },
 
@@ -1651,57 +1625,23 @@ object SparkEntry {
       // -> synthetic ids -> pack spans.
       "assembly_pipeline" -> {
         import OracleDialect._
-        val cases = MixtureWeights.toSeq.sortBy(_._1)
-          .map { case (src, w) => s"WHEN '$src' THEN CAST($w AS DOUBLE)" }
-          .mkString(" ")
         s"""
-        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
-        sh AS (SELECT doc_id, list_distinct(${shingleFps("w", 5)}) AS fps FROM wrds),
-        ev AS (SELECT DISTINCT unnest(fps) AS fp FROM sh WHERE doc_id % 97 = 0),
+        WITH ${shingleDictCtes(5, "doc_id % 97 = 0")},
         contam AS (SELECT DISTINCT ex.doc_id
                    FROM (SELECT doc_id, unnest(fps) AS fp FROM sh) ex
                    JOIN ev USING (fp)),
         clean AS (SELECT d.doc_id, d.source
                   FROM documents d LEFT JOIN contam c USING (doc_id)
                   WHERE c.doc_id IS NULL),
-        rated AS (
-          SELECT doc_id,
-            CASE source $cases ELSE CAST(0.0 AS DOUBLE) END AS rate,
-            ${lehmerU("doc_id", ops.TextKernel.stringFp("mix"))} AS u
-          FROM clean),
-        cop AS (
-          SELECT doc_id,
-            CAST(floor(rate) AS BIGINT)
-              + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
-          FROM rated),
+        ${mixtureRatedCopCtes("clean", MixtureWeights,
+                              ops.TextKernel.stringFp("mix"))},
         copies AS (
           SELECT doc_id, CAST(unnest(range(0, n_copies)) AS BIGINT) AS copy
           FROM cop WHERE n_copies > 0),
         pin AS (
-          SELECT c.doc_id * 8 + c.copy AS doc_id, d.text
+          SELECT c.doc_id * $AssemblyStride + c.copy AS doc_id, d.text
           FROM copies c JOIN documents d ON d.doc_id = c.doc_id),
-        keyed AS (
-          SELECT doc_id,
-            CAST(CASE WHEN trim(text) = '' THEN 0
-                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
-            ${docFingerprint("concat('pack#', CAST(doc_id AS VARCHAR))")} % 8 AS shard,
-            ${docFingerprint("concat('ord#', CAST(doc_id AS VARCHAR))")} AS ord
-          FROM pin),
-        cums AS (
-          SELECT doc_id, shard, n_tokens,
-            CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY ord, doc_id
-              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
-          FROM keyed),
-        spans AS (
-          SELECT doc_id, shard, n_tokens, cum - n_tokens AS start_off,
-            (cum - n_tokens) // 256 AS seq_first,
-            CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // 256
-                 ELSE (cum - 1) // 256 END AS seq_last
-          FROM cums)
-        SELECT doc_id, shard, n_tokens, start_off, seq_first, seq_last,
-          CAST(CASE WHEN n_tokens = 0 THEN 0
-               ELSE seq_last - seq_first + 1 END AS BIGINT) AS n_seqs
-        FROM spans
+        ${packCtesAndSelect("pin", 256, 8)}
       """
       },
 

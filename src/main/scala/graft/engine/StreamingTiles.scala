@@ -72,19 +72,15 @@ object StreamingTiles {
     * @param docs streaming DataFrame with a `text` column.
     * @param eval STATIC (batch) DataFrame with a `text` column. */
   def streamingDecontaminate(spark: SparkSession, docs: DataFrame,
-                             eval: DataFrame, shingle: Int = 5): DataFrame = {
-    graft.ops.OpsFunctions.register(spark)
-    import spark.implicits._
-    val fps = eval
-      .select(explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
-      .distinct().select(col("fp")).as[Long].collect()
-    java.util.Arrays.sort(fps)
-    val bc = spark.sparkContext.broadcast(fps)
-    val probe = org.apache.spark.sql.GraftBridge.column(
-      graft.ops.ShingleHitsExpr(
-        org.apache.spark.sql.GraftBridge.expression(col("text")), shingle, bc))
+                             eval: DataFrame, shingle: Int = 5,
+                             broadcastMaxFps: Int = 4000000): DataFrame = {
+    val fps = graft.ops.Ops.evalFpDict(spark, eval, shingle, broadcastMaxFps)
+      .getOrElse(throw new IllegalArgumentException(
+        s"eval dictionary exceeds $broadcastMaxFps fps — the stateless " +
+          "streaming probe requires a broadcastable eval set (decontaminate " +
+          "the backlog in batch instead)"))
     docs
-      .withColumn("n_hits", coalesce(probe, lit(0L)))
+      .withColumn("n_hits", graft.ops.Ops.evalProbe(spark, fps, shingle))
       .withColumn("contaminated", col("n_hits") > 0)
   }
 

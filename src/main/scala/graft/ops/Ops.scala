@@ -890,41 +890,68 @@ object Ops {
     * broadcast the sorted array, and probe each training document with
     * one codegen kernel — the corpus crosses ZERO exchanges and is
     * scanned once. Above the cap (default 4M fps = 32 MB) the shuffle
-    * fallback broadcasts the dictionary into an exploded set-membership
-    * join instead; there the only shuffled rows are the (doc_id, fp)
-    * matches, partial-aggregated map-side first. */
+    * fallback runs an exploded set-membership join on fp with NOTHING
+    * broadcast (both the dictionary and the per-doc hits aggregate are
+    * unbounded there); the shuffled rows are (doc_id, fp) pairs only,
+    * partial-aggregated map-side first. */
+  /** Collect the eval set's distinct shingle-fp dictionary (sorted, for
+    * binary-search probes) when it fits under `cap`; None past the cap or
+    * for cap < 0. Shared by the batch fast path and the streaming
+    * decontaminator. */
+  private[graft] def evalFpDict(spark: SparkSession, eval: DataFrame,
+                                shingle: Int, cap: Int): Option[Array[Long]] = {
+    OpsFunctions.register(spark)
+    import spark.implicits._
+    if (cap < 0) return None
+    val fps = eval
+      .select(explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
+      .distinct().limit(cap + 1).select(col("fp")).as[Long].collect()
+    if (fps.length > cap) None
+    else { java.util.Arrays.sort(fps); Some(fps) }
+  }
+
+  /** Per-row distinct-hit-count probe column against a sorted broadcast
+    * dictionary. NULL text coalesces to 0 hits, matching the shuffle
+    * formulation (there the explode emits no rows and the left join
+    * coalesces to 0). */
+  private[graft] def evalProbe(spark: SparkSession, fps: Array[Long],
+                               shingle: Int): org.apache.spark.sql.Column = {
+    val bc = spark.sparkContext.broadcast(fps)
+    coalesce(org.apache.spark.sql.GraftBridge.column(ShingleHitsExpr(
+      org.apache.spark.sql.GraftBridge.expression(col("text")), shingle, bc)),
+      lit(0L))
+  }
+
   def decontaminate(spark: SparkSession, train: DataFrame, eval: DataFrame,
                     shingle: Int = 5, broadcastMaxFps: Int = 4000000): DataFrame = {
     OpsFunctions.register(spark)
-    val evalFps = eval
-      .select(explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
-      .distinct()
-    import spark.implicits._
-    val fps0 =
-      if (broadcastMaxFps < 0) Array.emptyLongArray
-      else evalFps.limit(broadcastMaxFps + 1).select(col("fp")).as[Long].collect()
-    if (broadcastMaxFps >= 0 && fps0.length <= broadcastMaxFps) {
-      java.util.Arrays.sort(fps0)
-      val bc = spark.sparkContext.broadcast(fps0)
-      val probe = org.apache.spark.sql.GraftBridge.column(ShingleHitsExpr(
-        org.apache.spark.sql.GraftBridge.expression(col("text")), shingle, bc))
-      // NULL-text rows must match the shuffle formulation exactly (there
-      // the explode emits no rows and the left join coalesces to 0).
-      train.select(col("doc_id"), coalesce(probe, lit(0L)).as("n_hits"))
-        .select(col("doc_id"), col("n_hits"), (col("n_hits") > 0).as("contaminated"))
-    } else {
-      // shingle_fps is already distinct per doc, so count(*) after the
-      // set-membership join IS the distinct-contaminated-n-gram count.
-      val hits = train
-        .select(col("doc_id"), explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
-        .join(broadcast(evalFps), "fp")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_hits"))
-      train.select("doc_id")
-        .join(broadcast(hits), Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
-          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+    evalFpDict(spark, eval, shingle, broadcastMaxFps) match {
+      case Some(fps) =>
+        train.select(col("doc_id"),
+            evalProbe(spark, fps, shingle).as("n_hits"))
+          .select(col("doc_id"), col("n_hits"),
+            (col("n_hits") > 0).as("contaminated"))
+      case None =>
+        // Over-cap dictionary: NOTHING is broadcast — by definition the
+        // dictionary is large, and the per-doc hits aggregate is
+        // unbounded in corpus size (every contaminated doc yields a
+        // row), so both joins stay shuffles (AQE may still downgrade the
+        // dictionary side if it turns out small at runtime).
+        val evalFps = eval
+          .select(explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
+          .distinct()
+        // shingle_fps is already distinct per doc, so count(*) after the
+        // set-membership join IS the distinct-contaminated-n-gram count.
+        val hits = train
+          .select(col("doc_id"), explode(expr(s"shingle_fps(text, $shingle)")).as("fp"))
+          .join(evalFps, "fp")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_hits"))
+        train.select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+            (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
     }
   }
 
@@ -953,12 +980,9 @@ object Ops {
     OpsFunctions.register(spark)
     require(weights.nonEmpty && weights.values.forall(_ >= 0.0),
       s"weights must be non-negative: $weights")
-    require(weights.keys.forall(k => !k.contains("'")), "quote in source key")
-    val cases = weights.toSeq.sortBy(_._1)
-      .map { case (src, w) => s"WHEN '$src' THEN CAST($w AS DOUBLE)" }
-      .mkString(" ")
     docs
-      .withColumn("rate", expr(s"CASE source $cases ELSE CAST(0.0 AS DOUBLE) END"))
+      // ONE emitter serves this operator and both DuckDB oracles.
+      .withColumn("rate", expr(graft.OracleDialect.mixtureCase(weights)))
       // deterministic uniform in (0,1) — the DuckDB oracle re-derives the
       // identical arithmetic bit-for-bit.
       .withColumn("u", expr(
@@ -1038,7 +1062,9 @@ object Ops {
     require(seqLen > 0 && nShards > 0, s"seqLen=$seqLen nShards=$nShards")
     val keyed = docs.select(
       col("doc_id"),
-      expr("CASE WHEN trim(text) = '' THEN CAST(0 AS BIGINT) " +
+      // NULL text packs as 0 tokens like the empty string (without the
+      // guard the ELSE branch would turn every span column NULL).
+      expr("CASE WHEN text IS NULL OR trim(text) = '' THEN CAST(0 AS BIGINT) " +
         "ELSE CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) END").as("n_tokens"),
       // fingerprints are already non-negative (mod 2^31-1), so plain %
       // shards them without a sign fix-up.

@@ -165,14 +165,15 @@ class TrainingPipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
-  test("sequence packing handles zero-token docs") {
+  test("sequence packing handles zero-token and NULL-text docs") {
     import spark.implicits._
-    val d = Seq((1L, "one two three"), (2L, ""), (3L, "   "), (4L, "four five"))
+    val d = Seq((1L, "one two three"), (2L, ""), (3L, "   "), (4L, "four five"),
+        (5L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
     val out = Ops.packSequences(spark, d, seqLen = 4, nShards = 1).collect()
-    assert(out.length == 4)
-    val zero = out.filter(r => r.getLong(0) == 2L || r.getLong(0) == 3L)
-    assert(zero.forall(r => r.getLong(2) == 0L && r.getLong(6) == 0L))
+    assert(out.length == 5)
+    val zero = out.filter(r => Set(2L, 3L, 5L)(r.getLong(0)))
+    assert(zero.forall(r => !r.anyNull && r.getLong(2) == 0L && r.getLong(6) == 0L))
     // total offsets still conserve: max end == sum of tokens == 5
     assert(out.map(r => r.getLong(3) + r.getLong(2)).max == 5L)
   }
