@@ -170,6 +170,67 @@ object OracleDialect {
                ELSE seq_last - seq_first + 1 END AS BIGINT) AS n_seqs
         FROM spans"""
 
+  /** Portable (Spark SQL and DuckDB) Stupid-Backoff per-position score in
+    * 1e-6 fixed point — ONE emitter serving the Spark operator
+    * (Ops.lmScore) and the DuckDB oracle, so the backoff ladder cannot
+    * drift. References columns c1, c1x, c2, c2x, c3 (BIGINT n-gram counts,
+    * 0 = unseen), j (word position) and nt (total training tokens).
+    * Branch guards double as division guards: hash collisions can make a
+    * trigram count positive while its context bigram was never seen, so
+    * every ratio's denominator is required > 0 by its own branch.
+    * Fixed-point BEFORE summation keeps document scores order-independent
+    * (integer sums commute; a double sum would depend on aggregation
+    * order). No library calls — ratios of exact integers, multiplication
+    * by shared literals, floor: IEEE-deterministic across engines. */
+  def sbmScoreCase(alpha: Double): String = {
+    val a = s"CAST($alpha AS DOUBLE)"
+    val uni = "(CAST(c1 AS DOUBLE) / CAST(nt AS DOUBLE))"
+    val bi = "(CAST(c2 AS DOUBLE) / CAST(c1x AS DOUBLE))"
+    val tri = "(CAST(c3 AS DOUBLE) / CAST(c2x AS DOUBLE))"
+    s"""CAST(floor(1000000.0 * (CASE
+          WHEN c3 > 0 AND c2x > 0 THEN $tri
+          WHEN j >= 2 AND c2 > 0 AND c1x > 0 THEN $a * $bi
+          WHEN j = 1 AND c2 > 0 AND c1x > 0 THEN $bi
+          WHEN j >= 2 AND c1 > 0 THEN $a * ($a * $uni)
+          WHEN j = 1 AND c1 > 0 THEN $a * $uni
+          WHEN c1 > 0 THEN $uni
+          ELSE 0.0 END)) AS BIGINT)"""
+  }
+
+  /** Backoff level actually used at a position (3 = trigram, 2 = bigram,
+    * 1 = unigram, 0 = out-of-vocabulary) — portable, shared like
+    * [[sbmScoreCase]]. The c2/c3 guards imply the j-range guards (an
+    * out-of-range context probe carries count 0 by construction). */
+  def sbmLevelCase: String =
+    """CAST(CASE
+         WHEN c3 > 0 AND c2x > 0 THEN 3
+         WHEN c2 > 0 AND c1x > 0 THEN 2
+         WHEN c1 > 0 THEN 1
+         ELSE 0 END AS INT)"""
+
+  /** Per-term BM25 idf, ln(1 + (N - df + 0.5)/(df + 0.5)), in 1e-9 fixed
+    * point. Quantized once per TERM so the one library call (ln, whose
+    * last-ulp rounding is not pinned down across engines) is flattened to
+    * an exact BIGINT before it multiplies per-posting terms — the flip
+    * risk is paid per distinct term, not per posting. References df,
+    * n_docs. */
+  def bm25IdfFp: String =
+    """CAST(floor(1000000000.0 * ln(1.0 +
+         (CAST(n_docs AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+         (CAST(df AS DOUBLE) + 0.5))) AS BIGINT)"""
+
+  /** Per-posting BM25 contribution in 1e-6 fixed point from the quantized
+    * idf_fp — deterministic IEEE arithmetic only (exact-integer ratios and
+    * shared literals; no library calls). References idf_fp, tf, dl, tot,
+    * n_docs (avgdl is derived inline as tot/n_docs). */
+  def bm25ContribFp(k1: Double, b: Double): String =
+    s"""CAST(floor((CAST(idf_fp AS DOUBLE) / 1000.0) *
+          ((CAST(tf AS DOUBLE) * CAST(${1.0 + k1} AS DOUBLE)) /
+           (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE) *
+            (CAST(${1.0 - b} AS DOUBLE) + CAST($b AS DOUBLE) *
+             CAST(dl AS DOUBLE) /
+             (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS BIGINT)"""
+
   /** wrds/sh/ev CTE chain of the decontamination oracle: per-doc distinct
     * shingle sets + the eval dictionary selected by `evalPred` (a
     * predicate over doc_id). */

@@ -763,6 +763,28 @@ object SparkEntry {
       Ops.packSequences(s, packedInput, seqLen = 256, nShards = 8)
     }),
 
+    // Stupid-Backoff trigram LM (Brants et al. 2007): counts trained on
+    // the doc_id % 3 != 0 slice, EVERY document scored — the held-out
+    // third exercises the whole backoff ladder (tri -> bi -> uni -> oov),
+    // which scoring the training slice alone never would.
+    "lm_score" -> ((s, dir) => {
+      Ops.lmScore(s, table(s, dir, "documents"), col("doc_id") % 3 =!= 0)
+    }),
+
+    // BM25 top-10 retrieval: every 53rd document queries the corpus with
+    // its first 6 distinct terms (so each query's own document must
+    // surface near rank 1 — a built-in sanity invariant).
+    "bm25_topk" -> ((s, dir) => {
+      Ops.bm25TopK(s, table(s, dir, "documents"), col("doc_id") % 53 === 1)
+    }),
+
+    // SemDeDup: deterministic medoid clusters over the embedding space,
+    // within-cluster cosine pruning at tau = 0.35 (the corpus'
+    // near-duplicate angle — see dedup_embedding's threshold).
+    "sem_dedup" -> ((s, dir) => {
+      Ops.semDedup(s, table(s, dir, "embeddings"), nClusters = 16, tau = 0.35)
+    }),
+
     // REAL media codec round-trip: per doc, PCM16 samples and RGB pixels
     // are synthesized by pure integer formulas, encoded into REAL
     // RIFF/WAVE and P6/PPM payloads, decoded back by the byte-level
@@ -1617,6 +1639,119 @@ object SparkEntry {
         import OracleDialect._
         s"""
         WITH ${packCtesAndSelect("documents", 256, 8)}
+      """
+      },
+
+      // Full re-derivation of the Stupid-Backoff LM: hashed n-gram count
+      // tables from the training slice, per-position probe tuples indexed
+      // out of the shingle-fp lists, five left joins, and the SHARED
+      // portable score/level CASEs (OracleDialect.sbmScoreCase — the same
+      // string the Spark operator executes).
+      "lm_score" -> {
+        import OracleDialect._
+        s"""
+        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        tr AS (SELECT w FROM wrds WHERE doc_id % 3 <> 0),
+        u AS (SELECT fp, count(*) AS cnt
+              FROM (SELECT unnest(${shingleFps("w", 1)}) AS fp FROM tr) GROUP BY 1),
+        bg AS (SELECT fp, count(*) AS cnt
+              FROM (SELECT unnest(${shingleFps("w", 2)}) AS fp FROM tr WHERE len(w) >= 2) GROUP BY 1),
+        tg AS (SELECT fp, count(*) AS cnt
+              FROM (SELECT unnest(${shingleFps("w", 3)}) AS fp FROM tr WHERE len(w) >= 3) GROUP BY 1),
+        ntt AS (SELECT CAST(sum(len(w)) AS BIGINT) AS nt FROM tr),
+        arrs AS (SELECT doc_id, COALESCE(len(w), 0) AS n, ${shingleFps("w", 1)} AS u1,
+            CASE WHEN len(w) >= 2 THEN ${shingleFps("w", 2)} ELSE CAST([] AS BIGINT[]) END AS b2,
+            CASE WHEN len(w) >= 3 THEN ${shingleFps("w", 3)} ELSE CAST([] AS BIGINT[]) END AS t3l
+          FROM wrds),
+        pos AS (SELECT doc_id, unnest(range(0, n)) AS j, u1, b2, t3l FROM arrs),
+        pr AS (SELECT doc_id, j,
+            u1[j+1] AS t1,
+            CASE WHEN j >= 1 THEN u1[j] ELSE -1 END AS t1x,
+            CASE WHEN j >= 1 THEN b2[j] ELSE -1 END AS t2,
+            CASE WHEN j >= 2 THEN b2[j-1] ELSE -1 END AS t2x,
+            CASE WHEN j >= 2 THEN t3l[j-1] ELSE -1 END AS t3
+          FROM pos),
+        hit AS (SELECT p.doc_id, p.j,
+            COALESCE(cu.cnt, 0) AS c1, COALESCE(cux.cnt, 0) AS c1x,
+            COALESCE(cb.cnt, 0) AS c2, COALESCE(cbx.cnt, 0) AS c2x,
+            COALESCE(ct.cnt, 0) AS c3
+          FROM pr p
+          LEFT JOIN u cu ON cu.fp = p.t1
+          LEFT JOIN u cux ON cux.fp = p.t1x
+          LEFT JOIN bg cb ON cb.fp = p.t2
+          LEFT JOIN bg cbx ON cbx.fp = p.t2x
+          LEFT JOIN tg ct ON ct.fp = p.t3),
+        sc AS (SELECT doc_id, ${sbmScoreCase(0.4)} AS s_fp, $sbmLevelCase AS lvl
+          FROM hit, ntt),
+        agg AS (SELECT doc_id,
+            CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+            CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+            CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+            CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+            CAST(sum(s_fp) AS BIGINT) AS score_fp
+          FROM sc GROUP BY 1)
+        SELECT d.doc_id, CAST(COALESCE(len(d.w), 0) AS BIGINT) AS n_tokens,
+          COALESCE(a.n_tri, 0) AS n_tri, COALESCE(a.n_bi, 0) AS n_bi,
+          COALESCE(a.n_uni, 0) AS n_uni, COALESCE(a.n_oov, 0) AS n_oov,
+          COALESCE(a.score_fp, 0) AS score_fp
+        FROM wrds d LEFT JOIN agg a USING (doc_id)
+      """
+      },
+
+      // Full re-derivation of BM25 retrieval: tf/df/dl/avgdl statistics,
+      // the per-term quantized idf and per-posting contribution via the
+      // SHARED portable emitters, and the same (score DESC, doc_id) top-10
+      // cut the native TopK aggregator applies.
+      "bm25_topk" -> {
+        import OracleDialect._
+        s"""
+        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        tfs AS (SELECT doc_id, fp, count(*) AS tf
+              FROM (SELECT doc_id, unnest(${shingleFps("w", 1)}) AS fp FROM wrds)
+              GROUP BY 1, 2),
+        dft AS (SELECT fp, count(*) AS df FROM tfs GROUP BY 1),
+        st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+            CAST(sum(COALESCE(len(w), 0)) AS BIGINT) AS tot FROM wrds),
+        idf AS (SELECT fp, $bm25IdfFp AS idf_fp FROM dft, st),
+        dls AS (SELECT doc_id, CAST(COALESCE(len(w), 0) AS BIGINT) AS dl FROM wrds),
+        qt AS (SELECT doc_id AS qid, unnest(list_distinct((${shingleFps("w", 1)})[1:6])) AS fp
+          FROM wrds WHERE doc_id % 53 = 1),
+        contrib AS (SELECT q.qid, t.doc_id, ${bm25ContribFp(1.2, 0.75)} AS c_fp
+          FROM qt q
+          JOIN tfs t USING (fp)
+          JOIN idf i USING (fp)
+          JOIN dls d ON d.doc_id = t.doc_id, st),
+        sco AS (SELECT qid, doc_id, CAST(sum(c_fp) AS BIGINT) AS score_fp
+          FROM contrib GROUP BY 1, 2),
+        rked AS (SELECT qid, doc_id, score_fp,
+            CAST(row_number() OVER (PARTITION BY qid
+              ORDER BY score_fp DESC, doc_id) AS BIGINT) AS rank
+          FROM sco)
+        SELECT qid, rank, score_fp, doc_id FROM rked WHERE rank <= 10
+      """
+      },
+
+      // Full re-derivation of SemDeDup: the deterministic medoid pick,
+      // exact-cosine argmax assignment (left-fold doubles), within-cluster
+      // lower-id near-duplicate counting at the same tau literal.
+      "sem_dedup" -> {
+        import OracleDialect._
+        s"""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS c_vec FROM embeddings
+            ORDER BY (vec_id * 48271) % 2147483647, vec_id LIMIT 16),
+        asg AS (SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosine("e.embedding", "c.c_vec")} DESC, c.cid) AS rn
+            FROM embeddings e, cent c) WHERE rn <= 1),
+        near AS (SELECT b.cid, b.vec_id, CAST(count(*) AS BIGINT) AS n_near
+            FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ${cosine("a.embedding", "b.embedding")} >= 0.35
+            GROUP BY 1, 2)
+        SELECT s.vec_id, s.cid, COALESCE(nr.n_near, 0) AS n_near,
+          nr.vec_id IS NULL AS kept
+        FROM asg s LEFT JOIN near nr
+          ON nr.cid = s.cid AND nr.vec_id = s.vec_id
       """
       },
 

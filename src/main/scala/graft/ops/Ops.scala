@@ -1,8 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.OracleDialect
 
 /** High-level training-data pipeline operators over the `documents` table:
   * deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard),
@@ -1083,5 +1084,180 @@ object Ops {
           "ELSE seq_last - seq_first + 1 END"))
       .select("doc_id", "shard", "n_tokens", "start_off",
         "seq_first", "seq_last", "n_seqs")
+  }
+
+  /** Distributed Stupid-Backoff n-gram language model scoring (Brants et
+    * al. 2007, "Large Language Models in Machine Translation" — the
+    * count-based LM designed for MapReduce-scale corpora, where exact
+    * Kneser-Ney normalization is dropped because relative frequencies plus
+    * a fixed backoff factor behave identically downstream at web scale).
+    *
+    * Trains trigram/bigram/unigram counts over the `trainPred` slice of
+    * the corpus and scores EVERY document: position j's score is
+    * c3/c2(context) at the trigram level, backing off by `alpha` per level
+    * to c2/c1(context) and c1/N. Scores are 1e-6 fixed-point integers
+    * summed per document (order-independent), with per-level hit counts
+    * (n_tri/n_bi/n_uni/n_oov) as the diagnostic a curation filter
+    * actually thresholds on.
+    *
+    * Scale design: n-grams are hashed to mod-P 8-byte fingerprints (the
+    * standard large-LM trick — the count tables join on fixed-width keys
+    * and never carry strings); counting is one shuffle-on-fp groupBy with
+    * map-side partial aggregation; scoring melts each position's 5 probes
+    * (t1, t1x, t2, t2x, t3) into (kind, fp) rows and runs ONE shuffle
+    * join against the unified count table — the count table is sharded by
+    * key, never broadcast or collected, so a 10^12-token corpus with a
+    * 10^10-entry trigram table works on table-size-agnostic joins. */
+  def lmScore(spark: SparkSession, docs: DataFrame, trainPred: Column,
+              alpha: Double = 0.4): DataFrame = {
+    OpsFunctions.register(spark)
+    val train = docs.where(trainPred)
+
+    // Count tables for n = 1..3 in ONE unified (kind, fp) keyed frame.
+    // k >= 2 needs the word_count guard: shingle_fps_pos falls back to
+    // hashing ALL words joined when a doc has fewer than k words, and
+    // that fallback fp would alias a genuine lower-order n-gram.
+    def grams(k: Int): DataFrame = {
+      val fps =
+        if (k == 1) expr("shingle_fps_pos(text, 1)")
+        else expr(s"CASE WHEN word_count(text) >= $k THEN shingle_fps_pos(text, $k) " +
+          "ELSE CAST(array() AS ARRAY<BIGINT>) END")
+      train.select(explode(fps).as("fp")).withColumn("kind", lit(k))
+    }
+    val counts = grams(1).unionByName(grams(2)).unionByName(grams(3))
+      .groupBy("kind", "fp").agg(count(lit(1)).as("cnt"))
+
+    // Total training tokens as a broadcast ONE-ROW frame, not a collected
+    // literal: the shared portable score emitter references column `nt`
+    // identically on the Spark and DuckDB sides.
+    val nt = train.agg(sum(coalesce(expr("word_count(text)"), lit(0L))).as("nt"))
+
+    // Per-position probe rows stream from the lm_probes generator (one
+    // O(n) kernel pass per document), melt to (kind, fp), join the count
+    // table once, and pivot back to one row per position.
+    val probes = docs.select(col("doc_id"), expr("lm_probes(text)"))
+    val melted = probes.select(col("doc_id"), col("j"), explode(array(
+        struct(lit(1).as("kind"), lit("t1").as("role"), col("t1").as("fp")),
+        struct(lit(1).as("kind"), lit("t1x").as("role"), col("t1x").as("fp")),
+        struct(lit(2).as("kind"), lit("t2").as("role"), col("t2").as("fp")),
+        struct(lit(2).as("kind"), lit("t2x").as("role"), col("t2x").as("fp")),
+        struct(lit(3).as("kind"), lit("t3").as("role"), col("t3").as("fp")))).as("p"))
+      .select(col("doc_id"), col("j"), col("p.kind").as("kind"),
+        col("p.role").as("role"), col("p.fp").as("fp"))
+      .where(col("fp") >= 0) // -1 = context out of range at this position
+    val hit = melted.join(counts, Seq("kind", "fp"), "left")
+      .groupBy("doc_id", "j").agg(
+        coalesce(max(when(col("role") === "t1", col("cnt"))), lit(0L)).as("c1"),
+        coalesce(max(when(col("role") === "t1x", col("cnt"))), lit(0L)).as("c1x"),
+        coalesce(max(when(col("role") === "t2", col("cnt"))), lit(0L)).as("c2"),
+        coalesce(max(when(col("role") === "t2x", col("cnt"))), lit(0L)).as("c2x"),
+        coalesce(max(when(col("role") === "t3", col("cnt"))), lit(0L)).as("c3"))
+    val scored = hit.crossJoin(broadcast(nt)).select(col("doc_id"),
+      expr(OracleDialect.sbmScoreCase(alpha)).as("s_fp"),
+      expr(OracleDialect.sbmLevelCase).as("lvl"))
+    val perDoc = scored.groupBy("doc_id").agg(
+      sum(when(col("lvl") === 3, 1L).otherwise(0L)).as("n_tri"),
+      sum(when(col("lvl") === 2, 1L).otherwise(0L)).as("n_bi"),
+      sum(when(col("lvl") === 1, 1L).otherwise(0L)).as("n_uni"),
+      sum(when(col("lvl") === 0, 1L).otherwise(0L)).as("n_oov"),
+      sum(col("s_fp")).as("score_fp"))
+
+    // Left join from the corpus so zero-token documents keep a row.
+    docs.select(col("doc_id"),
+        coalesce(expr("CAST(word_count(text) AS BIGINT)"), lit(0L)).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("n_uni"), lit(0L)).as("n_uni"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("score_fp"), lit(0L)).as("score_fp"))
+  }
+
+  /** BM25 top-k retrieval over the corpus (Robertson-Sparck Jones
+    * probabilistic idf, k1/b saturation): builds the inverted statistics
+    * (tf, df, dl, avgdl) over hashed terms and returns the k best
+    * documents per query with deterministic fixed-point scores.
+    *
+    * Scale design: postings are sharded by term fingerprint (tf groupBy
+    * and the df join are shuffle-on-fp with map-side combine); query
+    * terms join postings on the 8-byte term key — a shuffle join that
+    * tolerates both million-query batches and stopword-scale posting
+    * lists (AQE splits skewed terms); per-query accumulation is a
+    * groupBy-sum of integer contributions and the final cut is the native
+    * map-side top-k aggregator, so the shuffle carries at most k rows per
+    * query per partition. The idf is quantized per TERM (1e-9 fixed
+    * point) so the single library call (ln) never lands in per-posting
+    * float arithmetic. */
+  def bm25TopK(spark: SparkSession, docs: DataFrame, queriesPred: Column,
+               k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+               qTerms: Int = 6): DataFrame = {
+    OpsFunctions.register(spark)
+    val toks = docs.select(col("doc_id"),
+      explode(expr("shingle_fps_pos(text, 1)")).as("fp"))
+    val tf = toks.groupBy("doc_id", "fp").agg(count(lit(1)).as("tf"))
+    val dft = tf.groupBy("fp").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(coalesce(expr("word_count(text)"), lit(0L))).as("tot"))
+    val idf = dft.crossJoin(broadcast(stats))
+      .select(col("fp"), expr(OracleDialect.bm25IdfFp).as("idf_fp"))
+    val dl = docs.select(col("doc_id"),
+      coalesce(expr("CAST(word_count(text) AS BIGINT)"), lit(0L)).as("dl"))
+    val postings = tf.join(idf, "fp").join(dl, "doc_id")
+
+    // Queries: the first qTerms distinct term fps of each query document.
+    val qt = docs.where(queriesPred).select(col("doc_id").as("qid"),
+      explode(expr(s"array_distinct(slice(shingle_fps_pos(text, 1), 1, $qTerms))")).as("fp"))
+    val contrib = qt.join(postings, "fp").crossJoin(broadcast(stats))
+      .withColumn("c_fp", expr(OracleDialect.bm25ContribFp(k1, b)))
+    val scored = contrib.groupBy("qid", "doc_id").agg(sum("c_fp").as("score_fp"))
+    TopK.topKPerGroup(spark, scored, "qid", "score_fp", "doc_id", k)
+      .select(col("qid"), col("rank"),
+        col("score_fp").cast("long").as("score_fp"), col("doc_id"))
+  }
+
+  /** SemDeDup semantic deduplication (Abbas et al. 2023): cluster the
+    * embedding space, then drop any vector whose cosine similarity to a
+    * LOWER-id vector in the SAME cluster reaches `tau` — pairwise work is
+    * confined to clusters, never the full corpus. Output: every vector
+    * with its cluster, the count of lower-id near-duplicates, and the
+    * kept flag.
+    *
+    * Scale design: centroids are a deterministic medoid pick (nClusters ~
+    * sqrt(corpus) rows to the driver once, broadcast back); assignment is
+    * the zero-shuffle map-side kernel shared with the IVF index; the
+    * within-cluster pair join shuffles both sides by cid only, and the
+    * quadratic factor is bounded by cluster size (corpus/nClusters on
+    * average — at 10^12 vectors one raises nClusters, exactly the paper's
+    * knob). */
+  def semDedup(spark: SparkSession, embeddings: DataFrame,
+               nClusters: Int = 32, tau: Double = 0.92): DataFrame = {
+    OpsFunctions.register(spark)
+    val centRows = embeddings
+      .orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
+      .limit(nClusters)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+    val centroids = spark.sparkContext.broadcast(new CentroidSet(
+      centRows.map(_.getLong(0)),
+      centRows.map(_.getSeq[Float](1).toArray)))
+    val nearest = org.apache.spark.sql.GraftBridge.column(NearestCentroidsExpr(
+      org.apache.spark.sql.GraftBridge.expression(col("embedding")), 1, centroids))
+    val asg = embeddings.select(col("vec_id"), col("embedding"),
+      explode(nearest).as("cid"))
+    val left = asg.select(col("cid"), col("vec_id").as("a_id"),
+      col("embedding").as("a_vec"))
+    val right = asg.select(col("cid"), col("vec_id").as("b_id"),
+      col("embedding").as("b_vec"))
+    val near = left.join(right, Seq("cid"))
+      .where(col("a_id") < col("b_id") &&
+        expr("cosine_similarity(a_vec, b_vec)") >= tau)
+      .select(col("cid"), col("b_id").as("vec_id"))
+      .groupBy("cid", "vec_id").agg(count(lit(1)).as("n_near"))
+    asg.select(col("vec_id"), col("cid"))
+      .join(near, Seq("cid", "vec_id"), "left")
+      .select(col("vec_id"), col("cid"),
+        coalesce(col("n_near"), lit(0L)).as("n_near"),
+        col("n_near").isNull.as("kept"))
   }
 }

@@ -735,6 +735,37 @@ case class NearestCentroidsExpr(vec: Expression, n: Int,
 }
 
 /** Character n-gram generator (language-ID profiles). */
+/** Per-word-position Stupid-Backoff probe rows (j, t1, t1x, t2, t2x, t3)
+  * from one [[TextKernel.lmProbeFps]] pass — the n-gram fingerprints an LM
+  * scorer must look up for position j (-1 marks an out-of-range context).
+  * A Generator, so probe rows stream straight out of the scan with no
+  * intermediate array column. */
+case class LmProbesGen(text: Expression)
+    extends Generator with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(text)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("j", IntegerType, nullable = false),
+    StructField("t1", LongType, nullable = false),
+    StructField("t1x", LongType, nullable = false),
+    StructField("t2", LongType, nullable = false),
+    StructField("t2x", LongType, nullable = false),
+    StructField("t3", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    if (t == null) Iterator.empty
+    else {
+      val fps = TextKernel.lmProbeFps(t.asInstanceOf[UTF8String].toString)
+      Iterator.tabulate(fps.length / 5) { j =>
+        val o = 5 * j
+        InternalRow(j, fps(o), fps(o + 1), fps(o + 2), fps(o + 3), fps(o + 4))
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(text = cs(0))
+  override def prettyName: String = "lm_probes"
+}
+
 case class CharNgramsGen(text: Expression, n: Expression, max: Expression)
     extends Generator with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
   override def children: Seq[Expression] = Seq(text, n, max)

@@ -29,7 +29,8 @@ object OpsFunctions {
     "hamming64" -> (es => HammingDistExpr(lng(es(0)), lng(es(1)))),
     "cosine_similarity" -> (es => CosineSimExpr(es(0), es(1))),
     "hyperplane_lsh" -> (es => HyperplaneSigExpr(es(0), int(es(1)), lng(es(2)))),
-    "char_ngrams" -> (es => CharNgramsGen(str(es(0)), int(es(1)), int(es(2)))))
+    "char_ngrams" -> (es => CharNgramsGen(str(es(0)), int(es(1)), int(es(2)))),
+    "lm_probes" -> (es => LmProbesGen(str(es(0)))))
 
   private val RegisteredKey = "graft.ops.functions.registered"
 

@@ -97,6 +97,35 @@ object TextKernel {
   @inline def hashF(fp: Long, f: Int): Long =
     ((2L * f + 3L) * fp + 7919L * f + 1L) % P
 
+  /** Stupid-Backoff probe fingerprints, flat 5 slots per word position j
+    * (one O(n) pass over the text, no per-position string materialization):
+    * {{{
+    *   [5j+0] t1  = fp(word j)                        (always)
+    *   [5j+1] t1x = fp(word j-1)                      (-1 when j < 1)
+    *   [5j+2] t2  = fp(words j-1..j,  space-joined)   (-1 when j < 1)
+    *   [5j+3] t2x = fp(words j-2..j-1, space-joined)  (-1 when j < 2)
+    *   [5j+4] t3  = fp(words j-2..j,  space-joined)   (-1 when j < 2)
+    * }}}
+    * Fingerprints equal [[shingleFps]] entries of the same n-gram (rolling
+    * hash of the words joined by one space, mod P), so LM count tables
+    * built from `shingleFps(text, n)` join these probes exactly. */
+  def lmProbeFps(text: String): Array[Long] = {
+    val (starts, ends) = wordBounds(text)
+    val n = starts.length
+    val out = new Array[Long](5 * n)
+    var j = 0
+    while (j < n) {
+      val o = 5 * j
+      out(o) = joinedFp(text, starts, ends, j, j + 1)
+      out(o + 1) = if (j >= 1) out(o - 5) else -1L
+      out(o + 2) = if (j >= 1) joinedFp(text, starts, ends, j - 1, j + 1) else -1L
+      out(o + 3) = if (j >= 2) out(o - 5 + 2) else -1L
+      out(o + 4) = if (j >= 2) joinedFp(text, starts, ends, j - 2, j + 1) else -1L
+      j += 1
+    }
+    out
+  }
+
   /** MinHash signature over word `k`-shingles: `numHashes` minima of the
     * affine hash family applied to shingle fingerprints. */
   def minHash(text: String, k: Int, numHashes: Int): Array[Long] = {

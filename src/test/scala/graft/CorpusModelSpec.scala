@@ -1,0 +1,181 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.Ops
+
+/** Corpus-model operators: Stupid-Backoff LM scoring, BM25 retrieval,
+  * SemDeDup semantic deduplication. */
+class CorpusModelSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  private def embeddings = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  // ---------------------------------------------------------------- lmScore
+
+  /** (n_tokens, n_tri, n_bi, n_uni, n_oov, score_fp) by doc. */
+  private def lmMap(out: org.apache.spark.sql.DataFrame) =
+    out.collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6)))).toMap
+
+  test("lmScore hand oracle: trigram hits on the training doc itself") {
+    import spark.implicits._
+    // train corpus "a b c a b c": c1(a)=c1(b)=c1(c)=2, N=6,
+    // c2("a b")=c2("b c")=2, c2("c a")=1, c3("a b c")=2, others 1.
+    val d = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val out = lmMap(Ops.lmScore(spark, d, lit(true)))
+    // j=0: uni 2/6 -> 333333; j=1: bi 2/2 (no backoff at j=1) -> 1000000;
+    // j=2..5: tri 2/2, 1/2, 1/1, 2/2 -> 1000000, 500000, 1000000, 1000000.
+    assert(out(1L) == ((6L, 4L, 1L, 1L, 0L,
+      333333L + 1000000L + 1000000L + 500000L + 1000000L + 1000000L)), out(1L))
+  }
+
+  test("lmScore backoff ladder: alpha at each level, OOV scores zero") {
+    import spark.implicits._
+    val train = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    def score(text: String): (Long, Long, Long, Long, Long, Long) = {
+      val all = train.union(Seq((2L, text)).toDF("doc_id", "text"))
+      lmMap(Ops.lmScore(spark, all, col("doc_id") === 1))(2L)
+    }
+    // "a b x": j=0 uni 1/4; j=1 bi 1/1; j=2 tri/bi/uni all unseen -> oov.
+    assert(score("a b x") == ((3L, 0L, 1L, 1L, 1L, 250000L + 1000000L + 0L)))
+    // "x c d": j=1 backs off to the unigram level (0.4 * 1/4 = 100000),
+    // j=2 to the bigram level (0.4 * 1/1 = 400000).
+    assert(score("x c d") == ((3L, 0L, 1L, 1L, 1L, 500000L)))
+    // "x x d": j=2 backs off twice -> 0.4 * (0.4 * (1/4)) = 40000.
+    assert(score("x x d") == ((3L, 0L, 0L, 1L, 2L, 40000L)))
+    // "c d x y": j=1 bigram "c d" at the NO-alpha sentence-start level.
+    assert(score("c d x y") == ((4L, 0L, 1L, 1L, 2L, 250000L + 1000000L)))
+  }
+
+  test("lmScore keeps zero-token and null-text documents with zero counts") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c"), (2L, "   "), (3L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = lmMap(Ops.lmScore(spark, d, lit(true)))
+    assert(out(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out(3L) == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(out(1L)._1 == 3L)
+  }
+
+  test("lmScore on the corpus: held-out docs exercise backoff, scores sane") {
+    val out = Ops.lmScore(spark, docs, col("doc_id") % 3 =!= 0).cache()
+    try {
+      assert(out.count() == docs.count())
+      // Training docs score every position at the trigram level.
+      val trained = out.filter(col("doc_id") % 3 =!= 0)
+        .filter(col("n_tokens") >= 3)
+      assert(trained.filter(col("n_oov") > 0).count() == 0)
+      // Held-out docs must hit lower levels somewhere (else the split is
+      // leaking), and fixed-point scores stay within [0, 1e6 * n_tokens].
+      val held = out.filter(col("doc_id") % 3 === 0)
+      assert(held.filter(col("n_bi") + col("n_uni") + col("n_oov") > 0).count() > 0)
+      assert(out.filter(col("score_fp") > col("n_tokens") * 1000000L).count() == 0)
+      assert(out.filter(col("score_fp") < 0).count() == 0)
+    } finally out.unpersist()
+  }
+
+  // ---------------------------------------------------------------- bm25TopK
+
+  test("bm25TopK hand oracle: exact fixed-point scores and ranks") {
+    import spark.implicits._
+    val d = Seq((1L, "cat dog"), (2L, "cat cat fish"), (3L, "bird"))
+      .toDF("doc_id", "text")
+    val out = Ops.bm25TopK(spark, d, col("doc_id") === 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._2)
+    // Replicate the documented arithmetic exactly (N=3, tot=6, avgdl=2).
+    def idfFp(df: Long): Long =
+      math.floor(1e9 * math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))).toLong
+    def contrib(df: Long, tf: Long, dl: Long): Long =
+      math.floor((idfFp(df) / 1000.0) *
+        ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (6.0 / 3.0))))).toLong
+    val d1 = contrib(2, 1, 2) + contrib(1, 1, 2) // cat + dog, own doc
+    val d2 = contrib(2, 2, 3) // cat only
+    assert(d1 > d2)
+    assert(out.toSeq == Seq((1L, 1L, d1, 1L), (1L, 2L, d2, 2L)), out.toSeq)
+  }
+
+  test("bm25TopK breaks score ties by lower doc_id") {
+    import spark.implicits._
+    val d = Seq((5L, "cat dog"), (4L, "cat dog"), (9L, "fish"))
+      .toDF("doc_id", "text")
+    val out = Ops.bm25TopK(spark, d, col("doc_id") === 5, k = 10)
+      .collect().map(r => (r.getLong(1), r.getLong(3))).sorted
+    assert(out.toSeq == Seq((1L, 4L), (2L, 5L)), out.toSeq)
+  }
+
+  test("bm25TopK corpus invariants: contiguous ranks, ordered scores, k cut") {
+    // NOTE: self-retrieval is NOT an invariant on this corpus — the synth
+    // vocabulary is ~30 words shared by every document, so idf is near
+    // zero and a query's own (possibly long) document legitimately loses
+    // to short docs with higher tf of the same ubiquitous terms. The
+    // hand-oracle tests above pin exact scoring; here we pin structure.
+    val out = Ops.bm25TopK(spark, docs, col("doc_id") % 53 === 1, k = 10).cache()
+    try {
+      val nQueries = out.select("qid").distinct().count()
+      assert(nQueries > 0)
+      // k is honored and ranks are contiguous from 1.
+      val byQ = out.groupBy("qid").agg(count(lit(1)).as("n"),
+        min("rank").as("lo"), max("rank").as("hi"))
+      assert(byQ.filter(col("n") > 10 || col("lo") =!= 1 ||
+        col("hi") =!= col("n")).count() == 0)
+      // Scores are non-increasing in rank within each query.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy("rank")
+      val viol = out.withColumn("prev", lag("score_fp", 1).over(w))
+        .filter(col("prev").isNotNull && col("score_fp") > col("prev"))
+      assert(viol.count() == 0)
+      // Deterministic across runs.
+      val again = Ops.bm25TopK(spark, docs, col("doc_id") % 53 === 1, k = 10)
+      assert(out.collect().map(_.toString).sorted
+        .sameElements(again.collect().map(_.toString).sorted))
+    } finally out.unpersist()
+  }
+
+  // ---------------------------------------------------------------- semDedup
+
+  test("semDedup: dropped vectors have a lower-id near neighbor in-cluster") {
+    val out = Ops.semDedup(spark, embeddings, nClusters = 16, tau = 0.35).cache()
+    try {
+      assert(out.count() == embeddings.count())
+      val dropped = out.filter(!col("kept"))
+      assert(dropped.count() > 0, "tau=0.35 should drop some vectors here")
+      // Brute-force re-derivation of the pair predicate: every dropped
+      // vector must have >= 1 lower-id same-cluster neighbor at tau, every
+      // kept vector none, and n_near must equal the brute count.
+      val asg = out.select(col("vec_id"), col("cid"))
+        .join(embeddings.select(col("vec_id"), col("embedding")), "vec_id")
+      val a = asg.select(col("cid"), col("vec_id").as("a_id"),
+        col("embedding").as("a_vec"))
+      val b = asg.select(col("cid"), col("vec_id").as("b_id"),
+        col("embedding").as("b_vec"))
+      val brute = a.join(b, Seq("cid"))
+        .where(col("a_id") < col("b_id") &&
+          expr("cosine_similarity(a_vec, b_vec)") >= 0.35)
+        .groupBy(col("b_id").as("vec_id")).agg(count(lit(1)).as("n_brute"))
+      val joined = out.join(brute, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("kept"), col("n_near"),
+          coalesce(col("n_brute"), lit(0L)).as("n_brute"))
+      assert(joined.filter(col("n_near") =!= col("n_brute")).count() == 0)
+      assert(joined.filter(col("kept") && col("n_brute") > 0).count() == 0)
+      assert(joined.filter(!col("kept") && col("n_brute") === 0).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("semDedup is deterministic and assignment is exchange-free") {
+    val o1 = Ops.semDedup(spark, embeddings, nClusters = 8, tau = 0.35)
+    val o2 = Ops.semDedup(spark, embeddings, nClusters = 8, tau = 0.35)
+    assert(o1.collect().map(_.toString).sorted
+      .sameElements(o2.collect().map(_.toString).sorted))
+    // The centroid assignment itself is a map-side broadcast kernel: the
+    // embeddings scan must reach the first aggregation without any
+    // exchange caused by assignment (the only exchanges in the full plan
+    // are the by-cid pair join and the final groupBy).
+    val plan = o1.queryExecution.executedPlan.toString
+    assert(plan.contains("NearestCentroids") || plan.contains("explode"), plan)
+  }
+}
