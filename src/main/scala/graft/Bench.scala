@@ -368,6 +368,45 @@ object Bench {
       Ops.packSequences(spark, linedBench(nDocs / 20), seqLen = 2048, nShards = 64)
         .agg(count(lit(1)), sum("n_seqs"), max("seq_last")).collect()
     }
+    // Stupid-Backoff LM over nDocs/200 docs: train on 2/3, score all.
+    // The synth corpus' n-gram tables are small (replicated base texts),
+    // so the count join goes broadcast — the measurement is the probe
+    // generator, the melt, and the two per-position aggregations.
+    measure("lm_score", reps) {
+      Ops.lmScore(spark, linedBench(nDocs / 200), col("doc_id") % 3 =!= 0)
+        .agg(count(lit(1)), sum("score_fp"), sum("n_oov")).collect()
+    }
+    // BM25 over an nDocs/1000-doc index. The synth vocabulary is ~30
+    // words, so EVERY term is a stopword with full-corpus postings and 8
+    // queries x 6 terms touch nearly every posting — the honest skew
+    // worst case (a real corpus' zipfian tail is far cheaper per query).
+    measure("bm25_topk", reps) {
+      val n = nDocs / 1000
+      Ops.bm25TopK(spark, linedBench(n), col("doc_id") % (n / 8) === 1)
+        .agg(count(lit(1)), sum("score_fp")).collect()
+    }
+    // Learned selection classifier over nDocs/1000 docs: 20 full-batch
+    // GD iterations = 21 feature scans with 6-long map-side gradient
+    // sums each — the shuffle-free distributed-training shape.
+    measure("lr_filter", reps) {
+      Ops.lrFilter(spark, linedBench(nDocs / 1000),
+          expr(s"CAST(floor((${Ops.qualitySql}) * 1000000) AS BIGINT) >= 750000"))
+        .agg(count(lit(1)), sum("z_fp")).collect()
+    }
+    // SemDeDup over 200k synthetic vectors (the sf embedding table
+    // replicated with one perturbed component) in 512 medoid clusters:
+    // measures the broadcast assignment kernel plus the within-cluster
+    // quadratic pair join.
+    measure("sem_dedup", reps) {
+      val semEmb = spark.range(0, 200000, 1,
+          spark.sparkContext.defaultParallelism * 4)
+        .selectExpr("id AS vec_id", "id % 2000 AS __k")
+        .join(broadcast(emb.selectExpr("vec_id AS __k", "embedding")), "__k")
+        .selectExpr("vec_id", "concat(slice(embedding, 1, 63), " +
+          "array(cast((vec_id % 97) / 97.0 AS float))) AS embedding")
+      Ops.semDedup(spark, semEmb, nClusters = 512, tau = 0.35)
+        .agg(count(lit(1)), sum("n_near")).collect()
+    }
 
     // Phase 8: compacted (mixed-res) dissolve via the boundary-refinement
     // fast path, through the SQL surface.

@@ -231,6 +231,42 @@ object OracleDialect {
              CAST(dl AS DOUBLE) /
              (CAST(tot AS DOUBLE) / CAST(n_docs AS DOUBLE)))))) AS BIGINT)"""
 
+  /** Portable logistic-regression margin z = w·x over feature columns
+    * x1..x5 with a bias term. `w` supplies the 6 weight tokens — decimal
+    * literals on the Spark side (training embeds each iteration's
+    * collected weights), column references in the oracle's iterative CTE
+    * chain. Left-associated sum in fixed order, so both engines evaluate
+    * the identical IEEE expression. */
+  def lrZ(w: Seq[String]): String = {
+    require(w.length == 6)
+    s"(${w(0)} * 1.0 + ${w(1)} * x1 + ${w(2)} * x2 + ${w(3)} * x3" +
+      s" + ${w(4)} * x4 + ${w(5)} * x5)"
+  }
+
+  /** Per-document quantized gradient component j of the logistic loss,
+    * (sigmoid(z) - y) * x_j in 1e-6 fixed point — quantized BEFORE the
+    * distributed sum so gradient totals are order-independent integers
+    * (and the one library call, exp, is flattened per document: a
+    * last-ulp exp() divergence flips a 1e-6 floor with probability
+    * ~4e-10). References y, x1..x5. */
+  def lrGradQ(j: Int, w: Seq[String]): String = {
+    val xj = if (j == 0) "1.0" else s"x$j"
+    s"CAST(floor(1000000.0 * ((1.0 / (1.0 + exp(-${lrZ(w)})) - y) * $xj)) AS BIGINT)"
+  }
+
+  /** Weight-update arithmetic shared by the Scala trainer and the oracle
+    * CTE chain: w_j - eta * ((g_j / 1e6) / n), every step an IEEE double
+    * op on identical inputs. `wj`/`gj`/`c` are tokens. */
+  def lrWUpdate(wj: String, gj: String, c: String, eta: Double): String =
+    s"$wj - $eta * ((CAST($gj AS DOUBLE) / 1000000.0) / CAST($c AS DOUBLE))"
+
+  /** 1e-6 fixed-point decision margin of the trained model. */
+  def lrScoreQ(w: Seq[String]): String =
+    s"CAST(floor(1000000.0 * ${lrZ(w)}) AS BIGINT)"
+
+  /** Sign prediction of the trained model. */
+  def lrPred(w: Seq[String]): String = s"(${lrZ(w)} >= 0.0)"
+
   /** wrds/sh/ev CTE chain of the decontamination oracle: per-doc distinct
     * shingle sets + the eval dictionary selected by `evalPred` (a
     * predicate over doc_id). */

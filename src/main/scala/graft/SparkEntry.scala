@@ -785,6 +785,19 @@ object SparkEntry {
       Ops.semDedup(s, table(s, dir, "embeddings"), nClusters = 16, tau = 0.35)
     }),
 
+    // Learned selection classifier, distillation shape (FineWeb-Edu
+    // trains a cheap classifier on an expensive judge's labels; here the
+    // judge is the hand-written quality heuristic): 20 full-batch
+    // logistic-regression iterations on surface text statistics, label =
+    // quality_q >= 0.75. The model genuinely learns (~85% accuracy vs a
+    // 75% majority prior at sf0.01 AND sf0.1), and the oracle re-derives
+    // the ENTIRE weight trajectory from w = 0 without ever seeing the
+    // trained weights.
+    "lr_filter" -> ((s, dir) => {
+      Ops.lrFilter(s, table(s, dir, "documents"),
+        expr(s"CAST(floor((${Ops.qualitySql}) * 1000000) AS BIGINT) >= 750000"))
+    }),
+
     // REAL media codec round-trip: per doc, PCM16 samples and RGB pixels
     // are synthesized by pure integer formulas, encoded into REAL
     // RIFF/WAVE and P6/PPM payloads, decoded back by the byte-level
@@ -1753,6 +1766,58 @@ object SparkEntry {
         FROM asg s LEFT JOIN near nr
           ON nr.cid = s.cid AND nr.vec_id = s.vec_id
       """
+      },
+
+      // Full INDEPENDENT re-derivation of the trained classifier: the
+      // oracle walks the same 20-iteration weight trajectory as the
+      // Spark trainer from w = 0 (integer gradient sums -> shared
+      // lrWUpdate arithmetic in chained CTEs), never seeing the trained
+      // weights.
+      "lr_filter" -> {
+        import OracleDialect._
+        val iters = 20
+        val nWords = "len(string_split_regex(trim(text), '\\s+'))"
+        val stopArr = "['the','a','an','and','or','of','to','in','is','it','for','on','with','as','at','by','from','this','that']"
+        val stopRatio = s"(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> list_contains($stopArr, w))) / greatest($nWords, 1))"
+        val digitRatio = s"((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) / greatest(length(text), 1))"
+        val punctRatio = s"((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g'))) / greatest(length(text), 1))"
+        val qualityQ = s"""CAST(floor(greatest(0.0, least(1.0,
+               0.5 + $stopRatio * 1.5 - $digitRatio * 2.0
+                   - greatest($punctRatio - 0.1, 0.0) * 3.0
+                   + CASE WHEN $nWords >= 20 AND $nWords <= 5000
+                          THEN 0.2 ELSE -0.2 END)) * 1000000) AS BIGINT)"""
+        // MATERIALIZED: DuckDB inlines plain CTEs, so 20 gradient scans
+        // would recompute (and re-open) the parquet 21x — blowing the fd
+        // limit and the runtime.
+        val feats = s"""feats AS MATERIALIZED (SELECT doc_id,
+            CASE WHEN $qualityQ >= 750000 THEN 1.0 ELSE 0.0 END AS y,
+            (CAST($stopRatio AS DOUBLE) * 10.0) AS x1,
+            (CAST($digitRatio AS DOUBLE) * 10.0) AS x2,
+            (CAST($punctRatio AS DOUBLE) * 10.0) AS x3,
+            (least(CAST($nWords AS DOUBLE), 1000.0) / 1000.0) AS x4,
+            ((CAST(length(text) AS DOUBLE) / greatest(CAST($nWords AS DOUBLE), 1.0)) / 20.0) AS x5
+          FROM documents)"""
+        var prevW: Seq[String] = Seq.fill(6)("0.0")
+        val sb = new StringBuilder
+        sb ++= s"\n        WITH $feats,\n        cnt AS (SELECT CAST(count(*) AS BIGINT) AS c FROM feats)"
+        for (i <- 0 until iters) {
+          val g = s"g${i + 1}"
+          val fromW = if (i == 0) "" else s", w$i"
+          // Every link in the chain is MATERIALIZED: inlined, w_i's
+          // expression tree would expand ~6x per iteration (z references
+          // all 6 prior weights) — exponential SQL compile blow-up.
+          sb ++= s",\n        $g AS MATERIALIZED (SELECT " +
+            (0 to 5).map(j => s"CAST(sum(${lrGradQ(j, prevW)}) AS BIGINT) AS g$j")
+              .mkString(", ") + s" FROM feats$fromW)"
+          sb ++= s",\n        w${i + 1} AS MATERIALIZED (SELECT " +
+            (0 to 5).map(j =>
+              s"${lrWUpdate(prevW(j), s"g$j", "c", 4.0)} AS w${i + 1}x$j")
+              .mkString(", ") + s" FROM $g, cnt$fromW)"
+          prevW = (0 to 5).map(j => s"w${i + 1}x$j")
+        }
+        sb ++= s"\n        SELECT doc_id, y = 1.0 AS label, " +
+          s"${lrScoreQ(prevW)} AS z_fp, ${lrPred(prevW)} AS pred FROM feats, w$iters\n      "
+        sb.toString
       },
 
       // Full re-derivation of the assembly DAG: eval dictionary ->

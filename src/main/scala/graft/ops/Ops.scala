@@ -1103,13 +1103,19 @@ object Ops {
     * Scale design: n-grams are hashed to mod-P 8-byte fingerprints (the
     * standard large-LM trick — the count tables join on fixed-width keys
     * and never carry strings); counting is one shuffle-on-fp groupBy with
-    * map-side partial aggregation; scoring melts each position's 5 probes
-    * (t1, t1x, t2, t2x, t3) into (kind, fp) rows and runs ONE shuffle
-    * join against the unified count table — the count table is sharded by
-    * key, never broadcast or collected, so a 10^12-token corpus with a
-    * 10^10-entry trigram table works on table-size-agnostic joins. */
+    * map-side partial aggregation. Scoring is dual-path like
+    * [[decontaminate]]: when the count table fits under
+    * `broadcastMaxCounts` (collected as sorted primitive arrays, 16 B per
+    * n-gram), each document is scored in ONE codegen kernel pass against
+    * the broadcast dictionary and the corpus crosses ZERO exchanges; past
+    * the cap, scoring melts each position's 5 probes (t1, t1x, t2, t2x,
+    * t3) into (kind, fp) rows and runs ONE shuffle join against the
+    * unified count table — sharded by key, never broadcast or collected,
+    * so a 10^12-token corpus with a 10^10-entry trigram table works on
+    * table-size-agnostic joins. */
   def lmScore(spark: SparkSession, docs: DataFrame, trainPred: Column,
-              alpha: Double = 0.4): DataFrame = {
+              alpha: Double = 0.4,
+              broadcastMaxCounts: Int = 2000000): DataFrame = {
     OpsFunctions.register(spark)
     val train = docs.where(trainPred)
 
@@ -1126,6 +1132,44 @@ object Ops {
     }
     val counts = grams(1).unionByName(grams(2)).unionByName(grams(3))
       .groupBy("kind", "fp").agg(count(lit(1)).as("cnt"))
+
+    // FAST PATH (the common case — a trigram table after count-cutoff
+    // pruning fits executor memory for all but the very largest LMs):
+    // collect the count table once under the cap (the capped limit ships
+    // at most cap+1 rows to the driver), broadcast it as three sorted
+    // fp/count array pairs, and score each document in ONE codegen kernel
+    // pass (5 binary searches per position) — the corpus crosses ZERO
+    // exchanges. Past the cap, the shuffle formulation below runs with
+    // NOTHING broadcast or collected.
+    if (broadcastMaxCounts >= 0) {
+      import spark.implicits._
+      val rows = counts.select(col("kind"), col("fp"), col("cnt"))
+        .as[(Int, Long, Long)].limit(broadcastMaxCounts + 1).collect()
+      if (rows.length <= broadcastMaxCounts) {
+        // Total training tokens = the sum of unigram counts — free from
+        // the collected dictionary, no extra corpus scan.
+        val ntVal = rows.iterator.filter(_._1 == 1).map(_._3).sum
+        val fpsA = new Array[Array[Long]](3)
+        val cntA = new Array[Array[Long]](3)
+        for (k <- 1 to 3) {
+          val kr = rows.filter(_._1 == k).sortBy(_._2)
+          fpsA(k - 1) = kr.map(_._2)
+          cntA(k - 1) = kr.map(_._3)
+        }
+        val bc = spark.sparkContext.broadcast(new LmDict(fpsA, cntA))
+        val scoreCol = org.apache.spark.sql.GraftBridge.column(LmScoreDocExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          bc, alpha, ntVal))
+        return docs.select(col("doc_id"), scoreCol.as("r"))
+          .select(col("doc_id"),
+            coalesce(col("r.n_tokens"), lit(0L)).as("n_tokens"),
+            coalesce(col("r.n_tri"), lit(0L)).as("n_tri"),
+            coalesce(col("r.n_bi"), lit(0L)).as("n_bi"),
+            coalesce(col("r.n_uni"), lit(0L)).as("n_uni"),
+            coalesce(col("r.n_oov"), lit(0L)).as("n_oov"),
+            coalesce(col("r.score_fp"), lit(0L)).as("score_fp"))
+      }
+    }
 
     // Total training tokens as a broadcast ONE-ROW frame, not a collected
     // literal: the shared portable score emitter references column `nt`
@@ -1174,6 +1218,12 @@ object Ops {
         coalesce(col("score_fp"), lit(0L)).as("score_fp"))
   }
 
+  /** The shuffle formulation of [[lmScore]], exposed for the fast-path
+    * equivalence spec (and for count tables past the broadcast cap). */
+  def lmScoreShuffle(spark: SparkSession, docs: DataFrame, trainPred: Column,
+                     alpha: Double = 0.4): DataFrame =
+    lmScore(spark, docs, trainPred, alpha, broadcastMaxCounts = -1)
+
   /** BM25 top-k retrieval over the corpus (Robertson-Sparck Jones
     * probabilistic idf, k1/b saturation): builds the inverted statistics
     * (tf, df, dl, avgdl) over hashed terms and returns the k best
@@ -1193,17 +1243,20 @@ object Ops {
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
                qTerms: Int = 6): DataFrame = {
     OpsFunctions.register(spark)
+    // dl rides along the token stream and is folded into the tf
+    // aggregation (first() of a per-doc constant), so postings never
+    // re-join the corpus on doc_id — one fewer full-postings shuffle.
     val toks = docs.select(col("doc_id"),
+      coalesce(expr("CAST(word_count(text) AS BIGINT)"), lit(0L)).as("dl"),
       explode(expr("shingle_fps_pos(text, 1)")).as("fp"))
-    val tf = toks.groupBy("doc_id", "fp").agg(count(lit(1)).as("tf"))
+    val tf = toks.groupBy("doc_id", "fp")
+      .agg(count(lit(1)).as("tf"), first("dl").as("dl"))
     val dft = tf.groupBy("fp").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(coalesce(expr("word_count(text)"), lit(0L))).as("tot"))
     val idf = dft.crossJoin(broadcast(stats))
       .select(col("fp"), expr(OracleDialect.bm25IdfFp).as("idf_fp"))
-    val dl = docs.select(col("doc_id"),
-      coalesce(expr("CAST(word_count(text) AS BIGINT)"), lit(0L)).as("dl"))
-    val postings = tf.join(idf, "fp").join(dl, "doc_id")
+    val postings = tf.join(idf, "fp")
 
     // Queries: the first qTerms distinct term fps of each query document.
     val qt = docs.where(queriesPred).select(col("doc_id").as("qid"),
@@ -1214,6 +1267,70 @@ object Ops {
     TopK.topKPerGroup(spark, scored, "qid", "score_fp", "doc_id", k)
       .select(col("qid"), col("rank"),
         col("score_fp").cast("long").as("score_fp"), col("doc_id"))
+  }
+
+  /** Spark-dialect feature projection for [[lrFilter]]: the SAME surface
+    * statistics as [[qualityScore]] (whose DuckDB parity is pinned by the
+    * quality_score oracle), each a single IEEE division of exact
+    * integers — bit-identical across engines with no quantization
+    * needed. */
+  private def lrFeatures: Seq[(String, String)] = {
+    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ",", ")")
+    val nWords = "size(split(trim(text), '\\\\s+'))"
+    // The three ratio features are rescaled x10 (an exact binary-safe
+    // constant) so their dynamic range matches the bias term — without
+    // it, full-batch GD is too ill-conditioned to move off the prior in
+    // a fixed iteration budget.
+    Seq(
+      "x1" -> s"(CAST((size(filter(split(lower(trim(text)), '\\\\s+'), w -> array_contains($stopArr, w))) / greatest($nWords, 1)) AS DOUBLE) * 10.0)",
+      "x2" -> "(CAST(((length(text) - length(regexp_replace(text, '[0-9]', ''))) / greatest(length(text), 1)) AS DOUBLE) * 10.0)",
+      "x3" -> "(CAST(((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / greatest(length(text), 1)) AS DOUBLE) * 10.0)",
+      "x4" -> s"(least(CAST($nWords AS DOUBLE), 1000.0) / 1000.0)",
+      "x5" -> s"((CAST(length(text) AS DOUBLE) / greatest(CAST($nWords AS DOUBLE), 1.0)) / 20.0)")
+  }
+
+  /** Learned selection classifier (the FineWeb/CCNet quality-filter
+    * shape): full-batch logistic regression over surface text statistics,
+    * trained distributedly for a FIXED number of iterations and applied
+    * to every document. Output: (doc_id, label, z_fp, pred) — the 1e-6
+    * fixed-point decision margin and the sign prediction.
+    *
+    * Determinism (what makes the trained MODEL oracle-re-derivable): each
+    * document's gradient contribution is quantized to 1e-6 fixed point
+    * BEFORE the distributed sum, so gradient totals are order-independent
+    * integers; the weight recurrence is the shared
+    * OracleDialect.lrWUpdate arithmetic on those integers, so both
+    * engines walk the identical weight sequence.
+    *
+    * Scale design: one corpus scan per iteration, all map-side — the
+    * shuffle carries 6 longs per partition (the partial gradient sums);
+    * the model ships back as 6 literals folded into the next scan's
+    * codegen expressions (no broadcast machinery, no driver-side data);
+    * the scoring pass is shuffle-free. 10^12 docs = `iters` + 1 scans. */
+  def lrFilter(spark: SparkSession, docs: DataFrame, labelExpr: Column,
+               iters: Int = 20, eta: Double = 4.0): DataFrame = {
+    val feats = docs.select(
+      col("doc_id") +: labelExpr.cast("double").as("y") +:
+        lrFeatures.map { case (n, sql) => expr(sql).as(n) }: _*)
+    def tok(v: Double) = s"(${java.lang.Double.toString(v)})"
+    var w = Array.fill(6)(0.0)
+    for (_ <- 1 to iters) {
+      val wt = w.toSeq.map(tok)
+      val aggs = (0 to 5).map(j =>
+        sum(expr(OracleDialect.lrGradQ(j, wt))).as(s"g$j")) :+
+        count(lit(1)).as("c")
+      val r = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
+      val c = r.getLong(6)
+      if (c > 0) w = Array.tabulate(6) { j =>
+        val g = if (r.isNullAt(j)) 0L else r.getLong(j)
+        // Mirrors OracleDialect.lrWUpdate operation-for-operation.
+        w(j) - eta * ((g.toDouble / 1000000.0) / c.toDouble)
+      }
+    }
+    val wt = w.toSeq.map(tok)
+    feats.select(col("doc_id"), (col("y") === 1.0).as("label"),
+      expr(OracleDialect.lrScoreQ(wt)).as("z_fp"),
+      expr(OracleDialect.lrPred(wt)).as("pred"))
   }
 
   /** SemDeDup semantic deduplication (Abbas et al. 2023): cluster the

@@ -169,6 +169,41 @@ object OpsKernel {
   def shingleFpsPos(text: UTF8String, k: Int): ArrayData =
     new GenericArrayData(TextKernel.shingleFps(text.toString, k))
 
+  /** One-pass Stupid-Backoff document score against a broadcast count
+    * dictionary — see [[LmScoreDocExpr]] for the parity contract with
+    * OracleDialect.sbmScoreCase/sbmLevelCase. */
+  def lmScoreDoc(textU: UTF8String, d: LmDict, alpha: Double,
+                 nt: Long): InternalRow = {
+    val fps = TextKernel.lmProbeFps(textU.toString)
+    val n = fps.length / 5
+    var nTri = 0L; var nBi = 0L; var nUni = 0L; var nOov = 0L
+    var score = 0L
+    var j = 0
+    while (j < n) {
+      val o = 5 * j
+      val c1 = d.cnt(1, fps(o))
+      val c1x = if (fps(o + 1) >= 0) d.cnt(1, fps(o + 1)) else 0L
+      val c2 = if (fps(o + 2) >= 0) d.cnt(2, fps(o + 2)) else 0L
+      val c2x = if (fps(o + 3) >= 0) d.cnt(2, fps(o + 3)) else 0L
+      val c3 = if (fps(o + 4) >= 0) d.cnt(3, fps(o + 4)) else 0L
+      var s = 0.0
+      if (c3 > 0 && c2x > 0) { s = c3.toDouble / c2x.toDouble; nTri += 1 }
+      else if (j >= 2 && c2 > 0 && c1x > 0) {
+        s = alpha * (c2.toDouble / c1x.toDouble); nBi += 1
+      } else if (j == 1 && c2 > 0 && c1x > 0) {
+        s = c2.toDouble / c1x.toDouble; nBi += 1
+      } else if (j >= 2 && c1 > 0) {
+        s = alpha * (alpha * (c1.toDouble / nt.toDouble)); nUni += 1
+      } else if (j == 1 && c1 > 0) {
+        s = alpha * (c1.toDouble / nt.toDouble); nUni += 1
+      } else if (c1 > 0) { s = c1.toDouble / nt.toDouble; nUni += 1 }
+      else nOov += 1
+      score += math.floor(1000000.0 * s).toLong
+      j += 1
+    }
+    InternalRow(n.toLong, nTri, nBi, nUni, nOov, score)
+  }
+
   def wordCount(text: UTF8String): Long = TextKernel.wordCount(text.toString)
 
   /** Distinct word-shingle overlap counts as a (n_inter, n_union) row. */
@@ -735,6 +770,52 @@ case class NearestCentroidsExpr(vec: Expression, n: Int,
 }
 
 /** Character n-gram generator (language-ID profiles). */
+/** Broadcast n-gram count dictionary for the Stupid-Backoff fast path:
+  * per kind (1/2/3-gram), a sorted fp array with an aligned count array —
+  * 16 bytes per distinct n-gram, probed by binary search. */
+final class LmDict(val fps: Array[Array[Long]],
+                   val cnts: Array[Array[Long]]) extends Serializable {
+  require(fps.length == 3 && cnts.length == 3)
+  def cnt(kind: Int, fp: Long): Long = {
+    val f = fps(kind - 1)
+    val i = java.util.Arrays.binarySearch(f, fp)
+    if (i >= 0) cnts(kind - 1)(i) else 0L
+  }
+}
+
+/** Whole-document Stupid-Backoff scoring against a broadcast [[LmDict]]:
+  * one kernel pass per document (probe fps + 5 binary searches per
+  * position), so the corpus crosses ZERO exchanges on the fast path. The
+  * branch ladder and arithmetic mirror OracleDialect.sbmScoreCase /
+  * sbmLevelCase operation-for-operation (same division/multiplication
+  * order, same floor), keeping the fast path bit-equal to the shuffle
+  * formulation and the DuckDB oracle. */
+case class LmScoreDocExpr(text: Expression,
+                          dict: org.apache.spark.broadcast.Broadcast[LmDict],
+                          alpha: Double, nt: Long)
+    extends UnaryExpression {
+  override def child: Expression = text
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_tri", LongType, nullable = false),
+    StructField("n_bi", LongType, nullable = false),
+    StructField("n_uni", LongType, nullable = false),
+    StructField("n_oov", LongType, nullable = false),
+    StructField("score_fp", LongType, nullable = false)))
+  override def prettyName: String = "lm_score_doc"
+  override protected def nullSafeEval(t: Any): Any =
+    OpsKernel.lmScoreDoc(t.asInstanceOf[UTF8String], dict.value, alpha, nt)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("lmDict", dict,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    val a = java.lang.Double.toString(alpha)
+    defineCodeGen(ctx, ev, t =>
+      s"graft.ops.OpsKernel.lmScoreDoc($t, (graft.ops.LmDict) $ref.value(), ${a}D, ${nt}L)")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(text = c)
+}
+
 /** Per-word-position Stupid-Backoff probe rows (j, t1, t1x, t2, t2x, t3)
   * from one [[TextKernel.lmProbeFps]] pass — the n-gram fingerprints an LM
   * scorer must look up for position j (-1 marks an out-of-range context).

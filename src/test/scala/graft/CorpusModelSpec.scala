@@ -61,6 +61,30 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(out(1L)._1 == 3L)
   }
 
+  test("lmScore fast path equals the shuffle formulation; zero exchanges") {
+    val fast = Ops.lmScore(spark, docs, col("doc_id") % 3 =!= 0)
+    val shuffle = Ops.lmScoreShuffle(spark, docs, col("doc_id") % 3 =!= 0)
+    val a = fast.collect().map(_.toString).sorted
+    val b = shuffle.collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // The fast path scores each document in one broadcast-dictionary
+    // kernel pass: the corpus must cross ZERO exchanges.
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("lmScore fast path handles null text like the shuffle path") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c a b c"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    for (out <- Seq(Ops.lmScore(spark, d, lit(true)),
+                    Ops.lmScoreShuffle(spark, d, lit(true)))) {
+      val m = lmMap(out)
+      assert(m(2L) == ((0L, 0L, 0L, 0L, 0L, 0L)), m.toString)
+      assert(m(1L)._1 == 6L)
+    }
+  }
+
   test("lmScore on the corpus: held-out docs exercise backoff, scores sane") {
     val out = Ops.lmScore(spark, docs, col("doc_id") % 3 =!= 0).cache()
     try {
@@ -134,6 +158,36 @@ class CorpusModelSpec extends AnyFunSuite {
       assert(out.collect().map(_.toString).sorted
         .sameElements(again.collect().map(_.toString).sorted))
     } finally out.unpersist()
+  }
+
+  // ---------------------------------------------------------------- lrFilter
+
+  private def qualityLabel =
+    expr(s"CAST(floor((${Ops.qualitySql}) * 1000000) AS BIGINT) >= 750000")
+
+  test("lrFilter learns: accuracy beats the majority prior") {
+    val out = Ops.lrFilter(spark, docs, qualityLabel).cache()
+    try {
+      val n = out.count()
+      val pos = out.filter(col("label")).count()
+      val prior = math.max(pos, n - pos).toDouble / n
+      val correct = out.filter(col("label") === col("pred")).count()
+      assert(correct.toDouble / n > prior + 0.02,
+        s"acc=${correct.toDouble / n} prior=$prior")
+    } finally out.unpersist()
+  }
+
+  test("lrFilter is deterministic under repartitioning (integer gradients)") {
+    val a = Ops.lrFilter(spark, docs.repartition(7), qualityLabel)
+      .collect().map(_.toString).sorted
+    val b = Ops.lrFilter(spark, docs.repartition(2), qualityLabel)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
+  test("lrFilter with zero iterations scores everything at z = 0") {
+    val out = Ops.lrFilter(spark, docs, qualityLabel, iters = 0)
+    assert(out.filter(col("z_fp") =!= 0L || !col("pred")).count() == 0)
   }
 
   // ---------------------------------------------------------------- semDedup
