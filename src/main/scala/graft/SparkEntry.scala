@@ -785,6 +785,13 @@ object SparkEntry {
       Ops.semDedup(s, table(s, dir, "embeddings"), nClusters = 16, tau = 0.35)
     }),
 
+    // Deterministic distributed k-means: 2 spherical Lloyd rounds from
+    // the medoid init; the oracle re-walks the full centroid trajectory
+    // (fixed-point coordinate sums make it order-independent).
+    "kmeans" -> ((s, dir) => {
+      Ops.kmeans(s, table(s, dir, "embeddings"), nClusters = 16, rounds = 2)
+    }),
+
     // Learned selection classifier, distillation shape (FineWeb-Edu
     // trains a cheap classifier on an expensive judge's labels; here the
     // judge is the hand-written quality heuristic): 20 full-batch
@@ -1766,6 +1773,51 @@ object SparkEntry {
         FROM asg s LEFT JOIN near nr
           ON nr.cid = s.cid AND nr.vec_id = s.vec_id
       """
+      },
+
+      // Full re-derivation of the k-means trajectory: medoid init, per
+      // round an argmax-cosine assignment + quantized coordinate sums +
+      // FLOAT-narrowed mean centroids (empty clusters keep the previous
+      // centroid), then the final assignment and fixed-point cosine.
+      "kmeans" -> {
+        import OracleDialect._
+        val k = 16; val rounds = 2
+        def asgCte(i: Int, cent: String) = s"""asg$i AS MATERIALIZED (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosine("e.embedding", "c.c_vec")} DESC, c.cid) AS rn
+            FROM embeddings e, $cent c) WHERE rn = 1)"""
+        val sb = new StringBuilder
+        sb ++= s"""
+        WITH cent0 AS MATERIALIZED (
+          SELECT cid - 1 AS cid, c_vec FROM (
+            SELECT row_number() OVER (ORDER BY (vec_id * 48271) % 2147483647, vec_id) AS cid,
+                   embedding AS c_vec
+            FROM embeddings) WHERE cid <= $k)"""
+        for (i <- 1 to rounds) {
+          sb ++= s",\n        ${asgCte(i, s"cent${i - 1}")}"
+          sb ++= s""",
+        sums$i AS MATERIALIZED (
+          SELECT cid, d,
+                 CAST(sum(CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT cid, unnest(range(0, len(embedding))) AS d,
+                       unnest(embedding) AS v FROM asg$i)
+          GROUP BY 1, 2),
+        cent$i AS MATERIALIZED (
+          SELECT c0.cid, CASE WHEN m.cid IS NULL THEN c0.c_vec ELSE m.c_vec END AS c_vec
+          FROM cent${i - 1} c0 LEFT JOIN (
+            SELECT cid, list(CAST(((CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS FLOAT) ORDER BY d) AS c_vec
+            FROM sums$i GROUP BY cid) m ON m.cid = c0.cid)"""
+        }
+        sb ++= s",\n        ${asgCte(rounds + 1, s"cent$rounds")}"
+        sb ++= s"""
+        SELECT a.vec_id, a.cid,
+          CAST(floor(1000000.0 * CAST(${cosine("a.embedding", "c.c_vec")} AS DOUBLE)) AS BIGINT) AS sim_fp
+        FROM asg${rounds + 1} a JOIN cent$rounds c ON c.cid = a.cid
+      """
+        sb.toString
       },
 
       // Full INDEPENDENT re-derivation of the trained classifier: the

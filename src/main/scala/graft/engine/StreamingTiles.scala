@@ -84,6 +84,27 @@ object StreamingTiles {
       .withColumn("contaminated", col("n_hits") > 0)
   }
 
+  /** Streaming LM scoring: the Stupid-Backoff n-gram model is trained in
+    * BATCH over the `reference` corpus (same capped dictionary collect as
+    * the batch fast path), then every streamed document is scored
+    * statelessly by the broadcast-dictionary codegen kernel — no state
+    * store, no shuffle, bit-equal to batch lmScore (parity spec). Output:
+    * the input columns plus n_tokens/n_tri/n_bi/n_uni/n_oov/score_fp. */
+  def streamingLmScore(spark: SparkSession, docs: DataFrame,
+                       reference: DataFrame, alpha: Double = 0.4,
+                       broadcastMaxCounts: Int = 2000000): DataFrame = {
+    val c = graft.ops.Ops.lmScoreCol(spark, reference, alpha, broadcastMaxCounts)
+    val base = docs.columns.map(col)
+    docs.withColumn("lm", c)
+      .select(base ++ Seq(
+        coalesce(col("lm.n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("lm.n_tri"), lit(0L)).as("n_tri"),
+        coalesce(col("lm.n_bi"), lit(0L)).as("n_bi"),
+        coalesce(col("lm.n_uni"), lit(0L)).as("n_uni"),
+        coalesce(col("lm.n_oov"), lit(0L)).as("n_oov"),
+        coalesce(col("lm.score_fp"), lit(0L)).as("score_fp")): _*)
+  }
+
   /** Streaming curation: the batch gates compose statelessly per row
     * (the repetition kernel and the quality score are pure codegen'd
     * expressions), duplicate suppression is watermark-bounded fingerprint

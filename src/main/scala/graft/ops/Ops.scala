@@ -1113,16 +1113,12 @@ object Ops {
     * unified count table — sharded by key, never broadcast or collected,
     * so a 10^12-token corpus with a 10^10-entry trigram table works on
     * table-size-agnostic joins. */
-  def lmScore(spark: SparkSession, docs: DataFrame, trainPred: Column,
-              alpha: Double = 0.4,
-              broadcastMaxCounts: Int = 2000000): DataFrame = {
-    OpsFunctions.register(spark)
-    val train = docs.where(trainPred)
-
-    // Count tables for n = 1..3 in ONE unified (kind, fp) keyed frame.
-    // k >= 2 needs the word_count guard: shingle_fps_pos falls back to
-    // hashing ALL words joined when a doc has fewer than k words, and
-    // that fallback fp would alias a genuine lower-order n-gram.
+  /** Unified (kind, fp, cnt) n-gram count table for n = 1..3 over a
+    * training corpus. k >= 2 needs the word_count guard: shingle_fps_pos
+    * falls back to hashing ALL words joined when a doc has fewer than k
+    * words, and that fallback fp would alias a genuine lower-order
+    * n-gram. */
+  private def lmCounts(train: DataFrame): DataFrame = {
     def grams(k: Int): DataFrame = {
       val fps =
         if (k == 1) expr("shingle_fps_pos(text, 1)")
@@ -1130,33 +1126,69 @@ object Ops {
           "ELSE CAST(array() AS ARRAY<BIGINT>) END")
       train.select(explode(fps).as("fp")).withColumn("kind", lit(k))
     }
-    val counts = grams(1).unionByName(grams(2)).unionByName(grams(3))
+    grams(1).unionByName(grams(2)).unionByName(grams(3))
       .groupBy("kind", "fp").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Collect the LM count dictionary (three sorted fp/count array pairs)
+    * plus the total training token count when it fits under `cap`; None
+    * past the cap or for cap < 0. The capped `limit` ships at most cap+1
+    * rows to the driver; `nt` is the sum of unigram counts — free from
+    * the collected rows, no extra corpus scan. Shared by the batch fast
+    * path and the streaming scorer. */
+  private[graft] def lmDict(spark: SparkSession, train: DataFrame,
+                            cap: Int): Option[(LmDict, Long)] = {
+    if (cap < 0) return None
+    OpsFunctions.register(spark)
+    import spark.implicits._
+    val rows = lmCounts(train).select(col("kind"), col("fp"), col("cnt"))
+      .as[(Int, Long, Long)].limit(cap + 1).collect()
+    if (rows.length > cap) return None
+    val ntVal = rows.iterator.filter(_._1 == 1).map(_._3).sum
+    val fpsA = new Array[Array[Long]](3)
+    val cntA = new Array[Array[Long]](3)
+    for (k <- 1 to 3) {
+      val kr = rows.filter(_._1 == k).sortBy(_._2)
+      fpsA(k - 1) = kr.map(_._2)
+      cntA(k - 1) = kr.map(_._3)
+    }
+    Some((new LmDict(fpsA, cntA), ntVal))
+  }
+
+  /** Stupid-Backoff scoring column (struct n_tokens/n_tri/n_bi/n_uni/
+    * n_oov/score_fp over a `text` column) against a model trained in
+    * BATCH on `reference` — usable on batch AND streaming frames (the
+    * probe is a stateless broadcast-dictionary codegen kernel). Throws
+    * past the cap: a stateless streaming probe requires a broadcastable
+    * model; score the backlog with batch [[lmScore]] instead. */
+  def lmScoreCol(spark: SparkSession, reference: DataFrame,
+                 alpha: Double = 0.4,
+                 broadcastMaxCounts: Int = 2000000): Column = {
+    val (dict, nt) = lmDict(spark, reference, broadcastMaxCounts).getOrElse(
+      throw new IllegalArgumentException(
+        s"LM dictionary exceeds $broadcastMaxCounts entries — " +
+          "score in batch with lmScore (shuffle path) instead"))
+    val bc = spark.sparkContext.broadcast(dict)
+    org.apache.spark.sql.GraftBridge.column(LmScoreDocExpr(
+      org.apache.spark.sql.GraftBridge.expression(col("text")),
+      bc, alpha, nt))
+  }
+
+  def lmScore(spark: SparkSession, docs: DataFrame, trainPred: Column,
+              alpha: Double = 0.4,
+              broadcastMaxCounts: Int = 2000000): DataFrame = {
+    OpsFunctions.register(spark)
+    val train = docs.where(trainPred)
 
     // FAST PATH (the common case — a trigram table after count-cutoff
     // pruning fits executor memory for all but the very largest LMs):
-    // collect the count table once under the cap (the capped limit ships
-    // at most cap+1 rows to the driver), broadcast it as three sorted
-    // fp/count array pairs, and score each document in ONE codegen kernel
-    // pass (5 binary searches per position) — the corpus crosses ZERO
-    // exchanges. Past the cap, the shuffle formulation below runs with
-    // NOTHING broadcast or collected.
-    if (broadcastMaxCounts >= 0) {
-      import spark.implicits._
-      val rows = counts.select(col("kind"), col("fp"), col("cnt"))
-        .as[(Int, Long, Long)].limit(broadcastMaxCounts + 1).collect()
-      if (rows.length <= broadcastMaxCounts) {
-        // Total training tokens = the sum of unigram counts — free from
-        // the collected dictionary, no extra corpus scan.
-        val ntVal = rows.iterator.filter(_._1 == 1).map(_._3).sum
-        val fpsA = new Array[Array[Long]](3)
-        val cntA = new Array[Array[Long]](3)
-        for (k <- 1 to 3) {
-          val kr = rows.filter(_._1 == k).sortBy(_._2)
-          fpsA(k - 1) = kr.map(_._2)
-          cntA(k - 1) = kr.map(_._3)
-        }
-        val bc = spark.sparkContext.broadcast(new LmDict(fpsA, cntA))
+    // broadcast the dictionary and score each document in ONE codegen
+    // kernel pass (5 binary searches per position) — the corpus crosses
+    // ZERO exchanges. Past the cap, the shuffle formulation below runs
+    // with NOTHING broadcast or collected.
+    lmDict(spark, train, broadcastMaxCounts) match {
+      case Some((dict, ntVal)) =>
+        val bc = spark.sparkContext.broadcast(dict)
         val scoreCol = org.apache.spark.sql.GraftBridge.column(LmScoreDocExpr(
           org.apache.spark.sql.GraftBridge.expression(col("text")),
           bc, alpha, ntVal))
@@ -1168,8 +1200,9 @@ object Ops {
             coalesce(col("r.n_uni"), lit(0L)).as("n_uni"),
             coalesce(col("r.n_oov"), lit(0L)).as("n_oov"),
             coalesce(col("r.score_fp"), lit(0L)).as("score_fp"))
-      }
+      case None =>
     }
+    val counts = lmCounts(train)
 
     // Total training tokens as a broadcast ONE-ROW frame, not a collected
     // literal: the shared portable score emitter references column `nt`
@@ -1309,28 +1342,105 @@ object Ops {
     * the scoring pass is shuffle-free. 10^12 docs = `iters` + 1 scans. */
   def lrFilter(spark: SparkSession, docs: DataFrame, labelExpr: Column,
                iters: Int = 20, eta: Double = 4.0): DataFrame = {
-    val feats = docs.select(
+    def feats = docs.select(
       col("doc_id") +: labelExpr.cast("double").as("y") +:
         lrFeatures.map { case (n, sql) => expr(sql).as(n) }: _*)
     def tok(v: Double) = s"(${java.lang.Double.toString(v)})"
     var w = Array.fill(6)(0.0)
-    for (_ <- 1 to iters) {
-      val wt = w.toSeq.map(tok)
-      val aggs = (0 to 5).map(j =>
-        sum(expr(OracleDialect.lrGradQ(j, wt))).as(s"g$j")) :+
-        count(lit(1)).as("c")
-      val r = feats.agg(aggs.head, aggs.tail: _*).collect()(0)
-      val c = r.getLong(6)
-      if (c > 0) w = Array.tabulate(6) { j =>
-        val g = if (r.isNullAt(j)) 0L else r.getLong(j)
-        // Mirrors OracleDialect.lrWUpdate operation-for-operation.
-        w(j) - eta * ((g.toDouble / 1000000.0) / c.toDouble)
+    // The feature matrix (7 narrow doubles per doc) is materialized ONCE
+    // for the training loop — the standard extract-then-train shape; the
+    // regex feature extraction would otherwise rerun in all `iters`
+    // scans. The cache is fully consumed by the iteration actions and
+    // released before the (lazy) scoring frame is returned, so no cache
+    // ownership escapes this call. At extreme corpus scale one trains on
+    // a deterministic SAMPLE and scores everything (the FineWeb shape) —
+    // pass a pre-sampled `docs` for that.
+    val trainFeats = feats.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      for (_ <- 1 to iters) {
+        val wt = w.toSeq.map(tok)
+        val aggs = (0 to 5).map(j =>
+          sum(expr(OracleDialect.lrGradQ(j, wt))).as(s"g$j")) :+
+          count(lit(1)).as("c")
+        val r = trainFeats.agg(aggs.head, aggs.tail: _*).collect()(0)
+        val c = r.getLong(6)
+        if (c > 0) w = Array.tabulate(6) { j =>
+          val g = if (r.isNullAt(j)) 0L else r.getLong(j)
+          // Mirrors OracleDialect.lrWUpdate operation-for-operation.
+          w(j) - eta * ((g.toDouble / 1000000.0) / c.toDouble)
+        }
       }
-    }
+    } finally trainFeats.unpersist(blocking = false)
     val wt = w.toSeq.map(tok)
     feats.select(col("doc_id"), (col("y") === 1.0).as("label"),
       expr(OracleDialect.lrScoreQ(wt)).as("z_fp"),
       expr(OracleDialect.lrPred(wt)).as("pred"))
+  }
+
+  /** Deterministic distributed k-means (spherical Lloyd refinement over
+    * cosine geometry): starts from the same deterministic medoid pick as
+    * the IVF index and runs `rounds` assignment + centroid-mean rounds.
+    * Output: (vec_id, cid, sim_fp) — the final cluster index (0..k-1 in
+    * medoid-pick order) and the 1e-6 fixed-point cosine to the final
+    * centroid.
+    *
+    * Determinism (what makes the centroid TRAJECTORY oracle-
+    * re-derivable): per-point coordinate contributions are quantized to
+    * 1e-6 fixed point BEFORE the per-cluster sum, so the k x dim sums
+    * are order-independent integers; the refreshed coordinate is the
+    * shared (sum / 1e6) / count arithmetic narrowed to FLOAT exactly as
+    * the oracle CASTs it. Empty clusters keep their previous centroid.
+    *
+    * Scale design: one corpus scan per round — assignment is the
+    * broadcast NearestCentroids kernel (map-side, zero shuffle); the
+    * coordinate sums are a (cid, dim)-keyed groupBy with map-side
+    * partial aggregation whose result is k x dim rows (kilobytes to the
+    * driver); the refreshed centroids broadcast back. 10^12 vectors =
+    * rounds + 1 scans, nothing else. */
+  def kmeans(spark: SparkSession, embeddings: DataFrame,
+             nClusters: Int = 16, rounds: Int = 2): DataFrame = {
+    OpsFunctions.register(spark)
+    import spark.implicits._
+    var cents: Array[Array[Float]] = embeddings
+      .orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
+      .limit(nClusters)
+      .select(col("embedding"))
+      .collect()
+      .map(_.getSeq[Float](0).toArray)
+    val k = cents.length
+    def nearestCol = org.apache.spark.sql.GraftBridge.column(NearestCentroidsExpr(
+      org.apache.spark.sql.GraftBridge.expression(col("embedding")), 1,
+      spark.sparkContext.broadcast(
+        new CentroidSet(Array.tabulate(k)(_.toLong), cents))))
+    var r = 0
+    while (r < rounds) {
+      val sums = embeddings
+        .select(explode(nearestCol).as("cid"), col("embedding"))
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "v")))
+        .groupBy("cid", "d")
+        .agg(sum(expr("CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT)")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+      val next = cents.map(_.clone())
+      sums.foreach { row =>
+        val cid = row.getLong(0).toInt
+        val d = row.getInt(1)
+        // Shared arithmetic with the oracle: (S / 1e6) / n -> FLOAT.
+        next(cid)(d) =
+          ((row.getLong(2).toDouble / 1000000.0) / row.getLong(3).toDouble).toFloat
+      }
+      cents = next
+      r += 1
+    }
+    val centDf = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
+      .toDF("cid", "c_vec")
+    embeddings.select(col("vec_id"), col("embedding"),
+        explode(nearestCol).as("cid"))
+      .join(broadcast(centDf), "cid")
+      .select(col("vec_id"), col("cid"),
+        expr("CAST(floor(1000000.0 * CAST(cosine_similarity(embedding, c_vec) AS DOUBLE)) AS BIGINT)")
+          .as("sim_fp"))
   }
 
   /** SemDeDup semantic deduplication (Abbas et al. 2023): cluster the

@@ -220,6 +220,29 @@ class CorpusModelSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  // ---------------------------------------------------------------- kmeans
+
+  test("kmeans: Lloyd rounds never degrade the mean cosine objective") {
+    val base = Ops.kmeans(spark, embeddings, nClusters = 8, rounds = 0)
+    val refined = Ops.kmeans(spark, embeddings, nClusters = 8, rounds = 2)
+    assert(refined.count() == embeddings.count())
+    assert(refined.filter(col("cid") < 0 || col("cid") >= 8).count() == 0)
+    val m0 = base.agg(avg("sim_fp")).collect()(0).getDouble(0)
+    val m2 = refined.agg(avg("sim_fp")).collect()(0).getDouble(0)
+    // Spherical Lloyd is monotone in the mean-cosine objective (the mean
+    // points along the argmax direction); allow one fixed-point unit for
+    // quantization.
+    assert(m2 >= m0 - 1.0, s"rounds=2 mean $m2 < rounds=0 mean $m0")
+  }
+
+  test("kmeans is deterministic under repartitioning (integer coord sums)") {
+    val a = Ops.kmeans(spark, embeddings.repartition(5), nClusters = 8, rounds = 2)
+      .collect().map(_.toString).sorted
+    val b = Ops.kmeans(spark, embeddings.repartition(2), nClusters = 8, rounds = 2)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+  }
+
   test("semDedup is deterministic and assignment is exchange-free") {
     val o1 = Ops.semDedup(spark, embeddings, nClusters = 8, tau = 0.35)
     val o2 = Ops.semDedup(spark, embeddings, nClusters = 8, tau = 0.35)

@@ -240,6 +240,40 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed == expected && streamed.exists(_._3) && streamed.exists(!_._3))
   }
 
+  test("streaming LM scoring equals the batch fast path, statelessly") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val reference = Seq((1L, "a b c a b c"), (2L, "a b c d e"))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "a b c a b c"), // all-trigram
+      (11L, "a b x"), // backoff + oov
+      (12L, "   ")) // zero tokens
+    val input = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String)]
+    val out = graft.engine.StreamingTiles.streamingLmScore(
+      spark, input.toDF().toDF("doc_id", "text"), reference)
+    val q = out.writeStream.format("memory")
+      .queryName("lm_stream").outputMode("append").start()
+    input.addData(batch: _*)
+    q.processAllAvailable()
+    val streamed = spark.sql(
+        "SELECT doc_id, n_tokens, n_tri, n_bi, n_uni, n_oov, score_fp FROM lm_stream")
+      .collect().map(_.toString).toSet
+    q.stop()
+    // Batch equivalent: score the same docs against the same reference
+    // model (train on reference only -> union the two frames, predicate
+    // selects the reference ids).
+    val expected = graft.ops.Ops.lmScore(spark,
+        reference.union(batch.toDF("doc_id", "text")),
+        org.apache.spark.sql.functions.col("doc_id") < 10L)
+      .filter(org.apache.spark.sql.functions.col("doc_id") >= 10L)
+      .collect().map(_.toString).toSet
+    assert(streamed == expected, s"$streamed vs $expected")
+    assert(streamed.size == 3)
+  }
+
   test("quality SQL expression equals qualityScore's quality column") {
     val spark = SparkTestBase.spark
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
