@@ -143,10 +143,11 @@ object OracleDialect {
               + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
           FROM rated)"""
 
-  /** keyed/cums/spans CTE chain + final SELECT of the sequence-packing
-    * oracle over `src` (doc_id, text) — shared verbatim by the
-    * pack_sequences and assembly_pipeline oracles. */
-  def packCtesAndSelect(src: String, seqLen: Int, nShards: Int): String =
+  /** keyed/cums/spans CTE chain of the sequence-packing oracle over
+    * `src` (doc_id, text) — the reusable body behind
+    * [[packCtesAndSelect]] (and the ccnet_pipeline oracle, which adds
+    * its own final SELECT joining the bucket back). */
+  def packCtes(src: String, seqLen: Int, nShards: Int): String =
     s"""keyed AS (
           SELECT doc_id,
             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
@@ -164,7 +165,12 @@ object OracleDialect {
             (cum - n_tokens) // $seqLen AS seq_first,
             CASE WHEN n_tokens = 0 THEN (cum - n_tokens) // $seqLen
                  ELSE (cum - 1) // $seqLen END AS seq_last
-          FROM cums)
+          FROM cums)"""
+
+  /** [[packCtes]] + the standard final SELECT — shared verbatim by the
+    * pack_sequences and assembly_pipeline oracles. */
+  def packCtesAndSelect(src: String, seqLen: Int, nShards: Int): String =
+    s"""${packCtes(src, seqLen, nShards)}
         SELECT doc_id, shard, n_tokens, start_off, seq_first, seq_last,
           CAST(CASE WHEN n_tokens = 0 THEN 0
                ELSE seq_last - seq_first + 1 END AS BIGINT) AS n_seqs

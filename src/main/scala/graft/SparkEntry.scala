@@ -785,6 +785,41 @@ object SparkEntry {
       Ops.semDedup(s, table(s, dir, "embeddings"), nClusters = 16, tau = 0.35)
     }),
 
+    // CCNet-shaped composed pipeline: LM-score every document against
+    // the in-corpus model, bucket by per-token likelihood into corpus
+    // TERCILES (head / middle / tail — CCNet's own relative cut, robust
+    // to the score dilution a bigger training corpus causes), keep
+    // head+middle, pack the survivors into training sequences. The
+    // tercile cuts come from a histogram of the bounded-cardinality
+    // integer per-token scores (collected cumulative counts — no global
+    // sort, no interpolation), so they are deterministic and the 10^12-
+    // doc plan never single-partitions.
+    "ccnet_pipeline" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val scored = Ops.lmScore(s, docs, col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"),
+          expr("score_fp DIV greatest(n_tokens, 1)").as("npt"))
+      val hist = scored.groupBy("npt").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val n = hist.map(_._2).sum
+      def cutAt(k: Long): Long = {
+        var cum = 0L
+        for ((v, c) <- hist) { cum += c; if (cum >= k) return v }
+        -1L
+      }
+      val t1 = if (n == 0) -1L else cutAt(n / 3)
+      val t2 = if (n == 0) -1L else cutAt(2 * n / 3)
+      val bucketed = scored.select(col("doc_id"),
+        expr(s"CASE WHEN npt <= $t1 THEN 'tail' " +
+          s"WHEN npt <= $t2 THEN 'middle' ELSE 'head' END").as("bucket"))
+      val kept = docs.select("doc_id", "text")
+        .join(bucketed.where(col("bucket") =!= "tail"), "doc_id")
+      Ops.packSequences(s, kept.select("doc_id", "text"), seqLen = 256, nShards = 8)
+        .join(kept.select("doc_id", "bucket"), "doc_id")
+        .select("doc_id", "bucket", "shard", "n_tokens", "start_off",
+          "seq_first", "seq_last", "n_seqs")
+    }),
+
     // Deterministic distributed k-means: 2 spherical Lloyd rounds from
     // the medoid init; the oracle re-walks the full centroid trajectory
     // (fixed-point coordinate sums make it order-independent).
@@ -1287,6 +1322,60 @@ object SparkEntry {
                  JOIN sigs sb ON sb.doc_id = c.b_id)"""
   }
 
+  /** Stupid-Backoff LM oracle (full WITH..SELECT over `documents`, train
+    * slice doc_id % 3 <> 0, alpha 0.4) — the lm_score oracle, also
+    * embedded as a sub-CTE by the ccnet_pipeline oracle. */
+  private def lmOracleSql: String = {
+    import OracleDialect._
+    s"""
+        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
+        tr AS (SELECT w FROM wrds WHERE doc_id % 3 <> 0),
+        u AS (SELECT fp, count(*) AS cnt
+              FROM (SELECT unnest(${shingleFps("w", 1)}) AS fp FROM tr) GROUP BY 1),
+        bg AS (SELECT fp, count(*) AS cnt
+              FROM (SELECT unnest(${shingleFps("w", 2)}) AS fp FROM tr WHERE len(w) >= 2) GROUP BY 1),
+        tg AS (SELECT fp, count(*) AS cnt
+              FROM (SELECT unnest(${shingleFps("w", 3)}) AS fp FROM tr WHERE len(w) >= 3) GROUP BY 1),
+        ntt AS (SELECT CAST(sum(len(w)) AS BIGINT) AS nt FROM tr),
+        arrs AS (SELECT doc_id, COALESCE(len(w), 0) AS n, ${shingleFps("w", 1)} AS u1,
+            CASE WHEN len(w) >= 2 THEN ${shingleFps("w", 2)} ELSE CAST([] AS BIGINT[]) END AS b2,
+            CASE WHEN len(w) >= 3 THEN ${shingleFps("w", 3)} ELSE CAST([] AS BIGINT[]) END AS t3l
+          FROM wrds),
+        pos AS (SELECT doc_id, unnest(range(0, n)) AS j, u1, b2, t3l FROM arrs),
+        pr AS (SELECT doc_id, j,
+            u1[j+1] AS t1,
+            CASE WHEN j >= 1 THEN u1[j] ELSE -1 END AS t1x,
+            CASE WHEN j >= 1 THEN b2[j] ELSE -1 END AS t2,
+            CASE WHEN j >= 2 THEN b2[j-1] ELSE -1 END AS t2x,
+            CASE WHEN j >= 2 THEN t3l[j-1] ELSE -1 END AS t3
+          FROM pos),
+        hit AS (SELECT p.doc_id, p.j,
+            COALESCE(cu.cnt, 0) AS c1, COALESCE(cux.cnt, 0) AS c1x,
+            COALESCE(cb.cnt, 0) AS c2, COALESCE(cbx.cnt, 0) AS c2x,
+            COALESCE(ct.cnt, 0) AS c3
+          FROM pr p
+          LEFT JOIN u cu ON cu.fp = p.t1
+          LEFT JOIN u cux ON cux.fp = p.t1x
+          LEFT JOIN bg cb ON cb.fp = p.t2
+          LEFT JOIN bg cbx ON cbx.fp = p.t2x
+          LEFT JOIN tg ct ON ct.fp = p.t3),
+        sc AS (SELECT doc_id, ${sbmScoreCase(0.4)} AS s_fp, $sbmLevelCase AS lvl
+          FROM hit, ntt),
+        agg AS (SELECT doc_id,
+            CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
+            CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
+            CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
+            CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+            CAST(sum(s_fp) AS BIGINT) AS score_fp
+          FROM sc GROUP BY 1)
+        SELECT d.doc_id, CAST(COALESCE(len(d.w), 0) AS BIGINT) AS n_tokens,
+          COALESCE(a.n_tri, 0) AS n_tri, COALESCE(a.n_bi, 0) AS n_bi,
+          COALESCE(a.n_uni, 0) AS n_uni, COALESCE(a.n_oov, 0) AS n_oov,
+          COALESCE(a.score_fp, 0) AS score_fp
+        FROM wrds d LEFT JOIN agg a USING (doc_id)
+      """
+  }
+
   def oracleSql: Map[String, String] = {
     val cell = cellSqlDuck("event_id")
     Map(
@@ -1667,56 +1756,7 @@ object SparkEntry {
       // out of the shingle-fp lists, five left joins, and the SHARED
       // portable score/level CASEs (OracleDialect.sbmScoreCase — the same
       // string the Spark operator executes).
-      "lm_score" -> {
-        import OracleDialect._
-        s"""
-        WITH wrds AS (SELECT doc_id, ${words("text")} AS w FROM documents),
-        tr AS (SELECT w FROM wrds WHERE doc_id % 3 <> 0),
-        u AS (SELECT fp, count(*) AS cnt
-              FROM (SELECT unnest(${shingleFps("w", 1)}) AS fp FROM tr) GROUP BY 1),
-        bg AS (SELECT fp, count(*) AS cnt
-              FROM (SELECT unnest(${shingleFps("w", 2)}) AS fp FROM tr WHERE len(w) >= 2) GROUP BY 1),
-        tg AS (SELECT fp, count(*) AS cnt
-              FROM (SELECT unnest(${shingleFps("w", 3)}) AS fp FROM tr WHERE len(w) >= 3) GROUP BY 1),
-        ntt AS (SELECT CAST(sum(len(w)) AS BIGINT) AS nt FROM tr),
-        arrs AS (SELECT doc_id, COALESCE(len(w), 0) AS n, ${shingleFps("w", 1)} AS u1,
-            CASE WHEN len(w) >= 2 THEN ${shingleFps("w", 2)} ELSE CAST([] AS BIGINT[]) END AS b2,
-            CASE WHEN len(w) >= 3 THEN ${shingleFps("w", 3)} ELSE CAST([] AS BIGINT[]) END AS t3l
-          FROM wrds),
-        pos AS (SELECT doc_id, unnest(range(0, n)) AS j, u1, b2, t3l FROM arrs),
-        pr AS (SELECT doc_id, j,
-            u1[j+1] AS t1,
-            CASE WHEN j >= 1 THEN u1[j] ELSE -1 END AS t1x,
-            CASE WHEN j >= 1 THEN b2[j] ELSE -1 END AS t2,
-            CASE WHEN j >= 2 THEN b2[j-1] ELSE -1 END AS t2x,
-            CASE WHEN j >= 2 THEN t3l[j-1] ELSE -1 END AS t3
-          FROM pos),
-        hit AS (SELECT p.doc_id, p.j,
-            COALESCE(cu.cnt, 0) AS c1, COALESCE(cux.cnt, 0) AS c1x,
-            COALESCE(cb.cnt, 0) AS c2, COALESCE(cbx.cnt, 0) AS c2x,
-            COALESCE(ct.cnt, 0) AS c3
-          FROM pr p
-          LEFT JOIN u cu ON cu.fp = p.t1
-          LEFT JOIN u cux ON cux.fp = p.t1x
-          LEFT JOIN bg cb ON cb.fp = p.t2
-          LEFT JOIN bg cbx ON cbx.fp = p.t2x
-          LEFT JOIN tg ct ON ct.fp = p.t3),
-        sc AS (SELECT doc_id, ${sbmScoreCase(0.4)} AS s_fp, $sbmLevelCase AS lvl
-          FROM hit, ntt),
-        agg AS (SELECT doc_id,
-            CAST(sum(CASE WHEN lvl = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri,
-            CAST(sum(CASE WHEN lvl = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi,
-            CAST(sum(CASE WHEN lvl = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni,
-            CAST(sum(CASE WHEN lvl = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
-            CAST(sum(s_fp) AS BIGINT) AS score_fp
-          FROM sc GROUP BY 1)
-        SELECT d.doc_id, CAST(COALESCE(len(d.w), 0) AS BIGINT) AS n_tokens,
-          COALESCE(a.n_tri, 0) AS n_tri, COALESCE(a.n_bi, 0) AS n_bi,
-          COALESCE(a.n_uni, 0) AS n_uni, COALESCE(a.n_oov, 0) AS n_oov,
-          COALESCE(a.score_fp, 0) AS score_fp
-        FROM wrds d LEFT JOIN agg a USING (doc_id)
-      """
-      },
+      "lm_score" -> lmOracleSql,
 
       // Full re-derivation of BM25 retrieval: tf/df/dl/avgdl statistics,
       // the per-term quantized idf and per-posting contribution via the
@@ -1772,6 +1812,38 @@ object SparkEntry {
           nr.vec_id IS NULL AS kept
         FROM asg s LEFT JOIN near nr
           ON nr.cid = s.cid AND nr.vec_id = s.vec_id
+      """
+      },
+
+      // Composed re-derivation: the full LM oracle as a sub-CTE, the
+      // same fixed bucket thresholds, the shared pack CTE chain over the
+      // kept slice, and the bucket joined back onto the spans.
+      "ccnet_pipeline" -> {
+        import OracleDialect._
+        s"""
+        WITH lmq AS MATERIALIZED ($lmOracleSql),
+        nptq AS MATERIALIZED (
+          SELECT doc_id, score_fp // greatest(n_tokens, 1) AS npt FROM lmq),
+        hist AS (SELECT npt, count(*) AS c FROM nptq GROUP BY 1),
+        cumh AS (SELECT npt, sum(c) OVER (ORDER BY npt) AS cc FROM hist),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nptq),
+        cuts AS MATERIALIZED (SELECT
+            COALESCE(min(CASE WHEN cc >= n // 3 THEN npt END), -1) AS t1,
+            COALESCE(min(CASE WHEN cc >= (2 * n) // 3 THEN npt END), -1) AS t2
+          FROM cumh, tot),
+        kept AS MATERIALIZED (
+          SELECT d.doc_id, d.text,
+                 CASE WHEN q.npt <= cuts.t1 THEN 'tail'
+                      WHEN q.npt <= cuts.t2 THEN 'middle'
+                      ELSE 'head' END AS bucket
+          FROM documents d JOIN nptq q USING (doc_id), cuts),
+        flt AS (SELECT doc_id, text, bucket FROM kept WHERE bucket <> 'tail'),
+        ${packCtes("flt", 256, 8)}
+        SELECT s.doc_id, k.bucket, s.shard, s.n_tokens, s.start_off,
+               s.seq_first, s.seq_last,
+               CAST(CASE WHEN s.n_tokens = 0 THEN 0
+                    ELSE s.seq_last - s.seq_first + 1 END AS BIGINT) AS n_seqs
+        FROM spans s JOIN flt k USING (doc_id)
       """
       },
 
