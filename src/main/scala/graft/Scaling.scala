@@ -51,7 +51,10 @@ object Scaling {
     // "curation" measures the text path (boilerplate line dedup — two
     // id-only shuffles + one payload shuffle) instead of the spatial join;
     // workload is nDocs/20 multi-line docs.
-    val workDocs = if (mode == "curation") nDocs / 20 else nDocs
+    val workDocs =
+      if (mode == "curation") nDocs / 20
+      else if (mode == "lm") nDocs / 100
+      else nDocs
     lazy val nTable = spark.read.parquet(s"$sfDir/documents.parquet").count()
 
     def once(): Double = {
@@ -68,6 +71,13 @@ object Scaling {
             Bench.synthLinedDocs(spark, sfDir, workDocs),
             minDocs = math.max(2, (workDocs * 15 / nTable).toInt))
           .agg(count(lit(1)), sum("n_kept")).collect()
+      } else if (mode == "lm") {
+        // Corpus-model path: Stupid-Backoff scoring (count aggregation +
+        // broadcast-dictionary kernel scan) over multi-line docs.
+        graft.ops.Ops.lmScore(spark,
+            Bench.synthLinedDocs(spark, sfDir, workDocs),
+            col("doc_id") % 3 =!= 0)
+          .agg(count(lit(1)), sum("score_fp")).collect()
       } else {
         val pts = Bench.synthPoints(spark, nDocs)
           .withColumn("cell9", expr("h3_latlng_to_cell(lat, lng, 9)"))

@@ -1141,9 +1141,20 @@ object Ops {
     if (cap < 0) return None
     OpsFunctions.register(spark)
     import spark.implicits._
-    val rows = lmCounts(train).select(col("kind"), col("fp"), col("cnt"))
-      .as[(Int, Long, Long)].limit(cap + 1).collect()
-    if (rows.length > cap) return None
+    // persist + count + collect, NOT limit(cap+1).collect(): CollectLimit
+    // executes the plan over incrementally larger partition batches and
+    // RE-RUNS the whole count aggregation up to log_4(partitions) times
+    // (measured 1.6x task-time inflation at 32 cores). The cache is
+    // consumed and released inside this call; past the cap nothing is
+    // collected and the shuffle path recomputes the (lazy) counts frame.
+    val countsDf = lmCounts(train)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows =
+      try {
+        if (countsDf.count() > cap) return None
+        countsDf.select(col("kind"), col("fp"), col("cnt"))
+          .as[(Int, Long, Long)].collect()
+      } finally countsDf.unpersist(blocking = false)
     val ntVal = rows.iterator.filter(_._1 == 1).map(_._3).sum
     val fpsA = new Array[Array[Long]](3)
     val cntA = new Array[Array[Long]](3)
@@ -1274,7 +1285,7 @@ object Ops {
     * float arithmetic. */
   def bm25TopK(spark: SparkSession, docs: DataFrame, queriesPred: Column,
                k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
-               qTerms: Int = 6): DataFrame = {
+               qTerms: Int = 6, maxDfFrac: Double = 1.0): DataFrame = {
     OpsFunctions.register(spark)
     // dl rides along the token stream and is folded into the tf
     // aggregation (first() of a per-doc constant), so postings never
@@ -1287,7 +1298,13 @@ object Ops {
     val dft = tf.groupBy("fp").agg(count(lit(1)).as("df"))
     val stats = docs.agg(count(lit(1)).as("n_docs"),
       sum(coalesce(expr("word_count(text)"), lit(0L))).as("tot"))
+    // Stop-list pruning (maxDfFrac < 1): a term present in more than
+    // that fraction of documents is dropped from the index entirely —
+    // at web scale a stopword's posting list is a large fraction of the
+    // corpus, and joining it per query is THE retrieval bottleneck; its
+    // near-zero idf contributes nothing to ranking anyway.
     val idf = dft.crossJoin(broadcast(stats))
+      .where(col("df") <= col("n_docs") * maxDfFrac)
       .select(col("fp"), expr(OracleDialect.bm25IdfFp).as("idf_fp"))
     val postings = tf.join(idf, "fp")
 

@@ -132,6 +132,18 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 4L), (2L, 5L)), out.toSeq)
   }
 
+  test("bm25TopK stop-list pruning drops ubiquitous terms from the index") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat"), (2L, "the dog"), (3L, "the cat cat"))
+      .toDF("doc_id", "text")
+    // 'the' has df = 3/3; at maxDfFrac = 0.9 it is pruned from the
+    // index, so doc 2 (sharing only 'the' with the query) drops out.
+    val full = Ops.bm25TopK(spark, d, col("doc_id") === 1)
+    val pruned = Ops.bm25TopK(spark, d, col("doc_id") === 1, maxDfFrac = 0.9)
+    assert(full.select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    assert(pruned.select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
   test("bm25TopK corpus invariants: contiguous ranks, ordered scores, k cut") {
     // NOTE: self-retrieval is NOT an invariant on this corpus — the synth
     // vocabulary is ~30 words shared by every document, so idf is near
