@@ -827,6 +827,14 @@ object SparkEntry {
       Ops.kmeans(s, table(s, dir, "embeddings"), nClusters = 16, rounds = 2)
     }),
 
+    // SemDeDup over TRAINED clusters (the paper's actual setup): the
+    // same pruning geometry as sem_dedup, but assignment uses 2 Lloyd
+    // rounds of refined centroids.
+    "sem_dedup_kmeans" -> ((s, dir) => {
+      Ops.semDedup(s, table(s, dir, "embeddings"), nClusters = 16,
+        tau = 0.35, lloydRounds = 2)
+    }),
+
     // Learned selection classifier, distillation shape (FineWeb-Edu
     // trains a cheap classifier on an expensive judge's labels; here the
     // judge is the hand-written quality heuristic): 20 full-batch
@@ -1320,6 +1328,46 @@ object SparkEntry {
                  FROM cand c
                  JOIN sigs sa ON sa.doc_id = c.a_id
                  JOIN sigs sb ON sb.doc_id = c.b_id)"""
+  }
+
+  /** k-means oracle CTE chain up to the final assignment: cent0 (medoid
+    * init, cluster ids 0..k-1), per round an argmax-cosine assignment +
+    * quantized coordinate sums + FLOAT-narrowed mean centroids (empty
+    * clusters keep the previous centroid), ending at asg{rounds+1}
+    * (assignment against cent{rounds}). Shared by the kmeans and
+    * sem_dedup_kmeans oracles. */
+  private def kmeansOracleCtes(k: Int, rounds: Int): String = {
+    import OracleDialect._
+    def asgCte(i: Int, cent: String) = s"""asg$i AS MATERIALIZED (
+          SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+              row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY ${cosine("e.embedding", "c.c_vec")} DESC, c.cid) AS rn
+            FROM embeddings e, $cent c) WHERE rn = 1)"""
+    val sb = new StringBuilder
+    sb ++= s"""cent0 AS MATERIALIZED (
+          SELECT cid - 1 AS cid, c_vec FROM (
+            SELECT row_number() OVER (ORDER BY (vec_id * 48271) % 2147483647, vec_id) AS cid,
+                   embedding AS c_vec
+            FROM embeddings) WHERE cid <= $k)"""
+    for (i <- 1 to rounds) {
+      sb ++= s",\n        ${asgCte(i, s"cent${i - 1}")}"
+      sb ++= s""",
+        sums$i AS MATERIALIZED (
+          SELECT cid, d,
+                 CAST(sum(CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM (SELECT cid, unnest(range(0, len(embedding))) AS d,
+                       unnest(embedding) AS v FROM asg$i)
+          GROUP BY 1, 2),
+        cent$i AS MATERIALIZED (
+          SELECT c0.cid, CASE WHEN m.cid IS NULL THEN c0.c_vec ELSE m.c_vec END AS c_vec
+          FROM cent${i - 1} c0 LEFT JOIN (
+            SELECT cid, list(CAST(((CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS FLOAT) ORDER BY d) AS c_vec
+            FROM sums$i GROUP BY cid) m ON m.cid = c0.cid)"""
+    }
+    sb ++= s",\n        ${asgCte(rounds + 1, s"cent$rounds")}"
+    sb.toString
   }
 
   /** Stupid-Backoff LM oracle (full WITH..SELECT over `documents`, train
@@ -1852,44 +1900,29 @@ object SparkEntry {
       // FLOAT-narrowed mean centroids (empty clusters keep the previous
       // centroid), then the final assignment and fixed-point cosine.
       "kmeans" -> {
-        import OracleDialect._
-        val k = 16; val rounds = 2
-        def asgCte(i: Int, cent: String) = s"""asg$i AS MATERIALIZED (
-          SELECT vec_id, embedding, cid FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-              row_number() OVER (PARTITION BY e.vec_id
-                ORDER BY ${cosine("e.embedding", "c.c_vec")} DESC, c.cid) AS rn
-            FROM embeddings e, $cent c) WHERE rn = 1)"""
-        val sb = new StringBuilder
-        sb ++= s"""
-        WITH cent0 AS MATERIALIZED (
-          SELECT cid - 1 AS cid, c_vec FROM (
-            SELECT row_number() OVER (ORDER BY (vec_id * 48271) % 2147483647, vec_id) AS cid,
-                   embedding AS c_vec
-            FROM embeddings) WHERE cid <= $k)"""
-        for (i <- 1 to rounds) {
-          sb ++= s",\n        ${asgCte(i, s"cent${i - 1}")}"
-          sb ++= s""",
-        sums$i AS MATERIALIZED (
-          SELECT cid, d,
-                 CAST(sum(CAST(floor(1000000.0 * CAST(v AS DOUBLE)) AS BIGINT)) AS BIGINT) AS s,
-                 CAST(count(*) AS BIGINT) AS n
-          FROM (SELECT cid, unnest(range(0, len(embedding))) AS d,
-                       unnest(embedding) AS v FROM asg$i)
-          GROUP BY 1, 2),
-        cent$i AS MATERIALIZED (
-          SELECT c0.cid, CASE WHEN m.cid IS NULL THEN c0.c_vec ELSE m.c_vec END AS c_vec
-          FROM cent${i - 1} c0 LEFT JOIN (
-            SELECT cid, list(CAST(((CAST(s AS DOUBLE) / 1000000.0) / CAST(n AS DOUBLE)) AS FLOAT) ORDER BY d) AS c_vec
-            FROM sums$i GROUP BY cid) m ON m.cid = c0.cid)"""
-        }
-        sb ++= s",\n        ${asgCte(rounds + 1, s"cent$rounds")}"
-        sb ++= s"""
+        s"""
+        WITH ${kmeansOracleCtes(16, 2)}
         SELECT a.vec_id, a.cid,
-          CAST(floor(1000000.0 * CAST(${cosine("a.embedding", "c.c_vec")} AS DOUBLE)) AS BIGINT) AS sim_fp
-        FROM asg${rounds + 1} a JOIN cent$rounds c ON c.cid = a.cid
+          CAST(floor(1000000.0 * CAST(${OracleDialect.cosine("a.embedding", "c.c_vec")} AS DOUBLE)) AS BIGINT) AS sim_fp
+        FROM asg3 a JOIN cent2 c ON c.cid = a.cid
       """
-        sb.toString
+      },
+
+      // SemDeDup over TRAINED clusters (the paper's actual setup): the
+      // shared k-means CTE chain supplies the final assignment, then the
+      // same within-cluster lower-id pruning as sem_dedup.
+      "sem_dedup_kmeans" -> {
+        s"""
+        WITH ${kmeansOracleCtes(16, 2)},
+        near AS (SELECT b.cid, b.vec_id, CAST(count(*) AS BIGINT) AS n_near
+            FROM asg3 a JOIN asg3 b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            WHERE ${OracleDialect.cosine("a.embedding", "b.embedding")} >= 0.35
+            GROUP BY 1, 2)
+        SELECT s.vec_id, s.cid, COALESCE(nr.n_near, 0) AS n_near,
+          nr.vec_id IS NULL AS kept
+        FROM asg3 s LEFT JOIN near nr
+          ON nr.cid = s.cid AND nr.vec_id = s.vec_id
+      """
       },
 
       // Full INDEPENDENT re-derivation of the trained classifier: the

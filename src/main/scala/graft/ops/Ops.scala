@@ -1415,10 +1415,13 @@ object Ops {
     * partial aggregation whose result is k x dim rows (kilobytes to the
     * driver); the refreshed centroids broadcast back. 10^12 vectors =
     * rounds + 1 scans, nothing else. */
-  def kmeans(spark: SparkSession, embeddings: DataFrame,
-             nClusters: Int = 16, rounds: Int = 2): DataFrame = {
+  /** The Lloyd loop behind [[kmeans]] (and SemDeDup's refined-cluster
+    * mode): deterministic medoid init, `rounds` quantized-sum mean
+    * updates. Returns the final centroids, cluster id = array index. */
+  private[graft] def kmeansCentroids(spark: SparkSession,
+                                     embeddings: DataFrame, nClusters: Int,
+                                     rounds: Int): Array[Array[Float]] = {
     OpsFunctions.register(spark)
-    import spark.implicits._
     var cents: Array[Array[Float]] = embeddings
       .orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
       .limit(nClusters)
@@ -1426,12 +1429,12 @@ object Ops {
       .collect()
       .map(_.getSeq[Float](0).toArray)
     val k = cents.length
-    def nearestCol = org.apache.spark.sql.GraftBridge.column(NearestCentroidsExpr(
-      org.apache.spark.sql.GraftBridge.expression(col("embedding")), 1,
-      spark.sparkContext.broadcast(
-        new CentroidSet(Array.tabulate(k)(_.toLong), cents))))
     var r = 0
     while (r < rounds) {
+      val nearestCol = org.apache.spark.sql.GraftBridge.column(NearestCentroidsExpr(
+        org.apache.spark.sql.GraftBridge.expression(col("embedding")), 1,
+        spark.sparkContext.broadcast(
+          new CentroidSet(Array.tabulate(k)(_.toLong), cents))))
       val sums = embeddings
         .select(explode(nearestCol).as("cid"), col("embedding"))
         .select(col("cid"), posexplode(col("embedding")).as(Seq("d", "v")))
@@ -1450,6 +1453,18 @@ object Ops {
       cents = next
       r += 1
     }
+    cents
+  }
+
+  def kmeans(spark: SparkSession, embeddings: DataFrame,
+             nClusters: Int = 16, rounds: Int = 2): DataFrame = {
+    import spark.implicits._
+    val cents = kmeansCentroids(spark, embeddings, nClusters, rounds)
+    val k = cents.length
+    val nearestCol = org.apache.spark.sql.GraftBridge.column(NearestCentroidsExpr(
+      org.apache.spark.sql.GraftBridge.expression(col("embedding")), 1,
+      spark.sparkContext.broadcast(
+        new CentroidSet(Array.tabulate(k)(_.toLong), cents))))
     val centDf = cents.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toSeq
       .toDF("cid", "c_vec")
     embeddings.select(col("vec_id"), col("embedding"),
@@ -1475,16 +1490,27 @@ object Ops {
     * average — at 10^12 vectors one raises nClusters, exactly the paper's
     * knob). */
   def semDedup(spark: SparkSession, embeddings: DataFrame,
-               nClusters: Int = 32, tau: Double = 0.92): DataFrame = {
+               nClusters: Int = 32, tau: Double = 0.92,
+               lloydRounds: Int = 0): DataFrame = {
     OpsFunctions.register(spark)
-    val centRows = embeddings
-      .orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
-      .limit(nClusters)
-      .select(col("vec_id"), col("embedding"))
-      .collect()
-    val centroids = spark.sparkContext.broadcast(new CentroidSet(
-      centRows.map(_.getLong(0)),
-      centRows.map(_.getSeq[Float](1).toArray)))
+    // lloydRounds > 0 = the paper's actual setup (k-means clusters, not
+    // raw medoids): cluster ids become 0..k-1 in medoid-pick order and
+    // the pruning geometry is identical from there on.
+    val centroids =
+      if (lloydRounds > 0) {
+        val cents = kmeansCentroids(spark, embeddings, nClusters, lloydRounds)
+        spark.sparkContext.broadcast(new CentroidSet(
+          Array.tabulate(cents.length)(_.toLong), cents))
+      } else {
+        val centRows = embeddings
+          .orderBy(expr("(vec_id * 48271) % 2147483647"), col("vec_id"))
+          .limit(nClusters)
+          .select(col("vec_id"), col("embedding"))
+          .collect()
+        spark.sparkContext.broadcast(new CentroidSet(
+          centRows.map(_.getLong(0)),
+          centRows.map(_.getSeq[Float](1).toArray)))
+      }
     val nearest = org.apache.spark.sql.GraftBridge.column(NearestCentroidsExpr(
       org.apache.spark.sql.GraftBridge.expression(col("embedding")), 1, centroids))
     val asg = embeddings.select(col("vec_id"), col("embedding"),

@@ -255,6 +255,21 @@ class CorpusModelSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("semDedup over Lloyd-refined clusters: invariants and determinism") {
+    val out = Ops.semDedup(spark, embeddings, nClusters = 8, tau = 0.35,
+      lloydRounds = 2).cache()
+    try {
+      assert(out.count() == embeddings.count())
+      // kept <=> n_near == 0, cluster ids in the refined 0..k-1 namespace.
+      assert(out.filter(col("kept") =!= (col("n_near") === 0L)).count() == 0)
+      assert(out.filter(col("cid") < 0 || col("cid") >= 8).count() == 0)
+      val again = Ops.semDedup(spark, embeddings.repartition(3),
+        nClusters = 8, tau = 0.35, lloydRounds = 2)
+      assert(out.collect().map(_.toString).sorted
+        .sameElements(again.collect().map(_.toString).sorted))
+    } finally out.unpersist()
+  }
+
   test("semDedup is deterministic and assignment is exchange-free") {
     val o1 = Ops.semDedup(spark, embeddings, nClusters = 8, tau = 0.35)
     val o2 = Ops.semDedup(spark, embeddings, nClusters = 8, tau = 0.35)
