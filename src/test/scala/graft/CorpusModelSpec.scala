@@ -102,6 +102,49 @@ class CorpusModelSpec extends AnyFunSuite {
     } finally out.unpersist()
   }
 
+  test("lmProbeFps aligns with shingleFps on seeded random texts") {
+    // The probe<->count-table join is only correct if every probe fp
+    // equals the shingleFps entry of the same n-gram — the property the
+    // count tables are built from. Seeded random texts stress whitespace
+    // runs, short docs, and repeated words.
+    import graft.ops.TextKernel
+    val r = new scala.util.Random(4242)
+    val words = Vector("a", "bb", "ccc", "dd", "e", "spark", "x9", "zz")
+    for (_ <- 0 until 500) {
+      val n = r.nextInt(7) // 0..6 words
+      val sep = if (r.nextBoolean()) " " else "  \t "
+      val text = (0 until n).map(_ => words(r.nextInt(words.size)))
+        .mkString(sep) + (if (r.nextBoolean()) " " else "")
+      val p = TextKernel.lmProbeFps(text)
+      val u = TextKernel.shingleFps(text, 1)
+      val b = if (u.length >= 2) TextKernel.shingleFps(text, 2) else Array.emptyLongArray
+      val t = if (u.length >= 3) TextKernel.shingleFps(text, 3) else Array.emptyLongArray
+      assert(p.length == 5 * u.length, text)
+      for (j <- u.indices) {
+        assert(p(5 * j) == u(j))
+        assert(p(5 * j + 1) == (if (j >= 1) u(j - 1) else -1L))
+        assert(p(5 * j + 2) == (if (j >= 1) b(j - 1) else -1L))
+        assert(p(5 * j + 3) == (if (j >= 2) b(j - 2) else -1L))
+        assert(p(5 * j + 4) == (if (j >= 2) t(j - 2) else -1L))
+      }
+    }
+  }
+
+  test("lmScore fast path equals shuffle path on seeded random corpora") {
+    import spark.implicits._
+    val r = new scala.util.Random(777)
+    val words = Vector("a", "b", "c", "d", "spark", "row")
+    val corpus = (0 until 120).map { i =>
+      val n = r.nextInt(9)
+      (i.toLong, (0 until n).map(_ => words(r.nextInt(words.size))).mkString(" "))
+    }.toDF("doc_id", "text")
+    val fast = Ops.lmScore(spark, corpus, col("doc_id") % 2 === 0)
+      .collect().map(_.toString).sorted
+    val shuffle = Ops.lmScoreShuffle(spark, corpus, col("doc_id") % 2 === 0)
+      .collect().map(_.toString).sorted
+    assert(fast.sameElements(shuffle))
+  }
+
   // ---------------------------------------------------------------- bm25TopK
 
   test("bm25TopK hand oracle: exact fixed-point scores and ranks") {
