@@ -376,6 +376,14 @@ object Bench {
       Ops.lmScore(spark, linedBench(nDocs / 200), col("doc_id") % 3 =!= 0)
         .agg(count(lit(1)), sum("score_fp"), sum("n_oov")).collect()
     }
+    // BPE tokenizer over nDocs/20 docs: train (one word-count
+    // aggregation scan + the driver merge loop on the ~30-word dict),
+    // then the shuffle-free memoized encode pass — the two-scan
+    // tokenizer shape.
+    measure("bpe_encode", reps) {
+      Ops.bpeEncode(spark, linedBench(nDocs / 20), nMerges = 32)
+        .agg(count(lit(1)), sum("n_tokens"), sum("token_fp")).collect()
+    }
     // BM25 over an nDocs/1000-doc index. The synth vocabulary is ~30
     // words, so EVERY term is a stopword with full-corpus postings and 8
     // queries x 6 terms touch nearly every posting — the honest skew

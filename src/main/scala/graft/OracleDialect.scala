@@ -143,6 +143,66 @@ object OracleDialect {
               + CASE WHEN u < rate - floor(rate) THEN 1 ELSE 0 END AS n_copies
           FROM rated)"""
 
+  /** Initial BPE representation of a word expression: every character
+    * prefixed by ';' (";l;o;w") — see graft.ops.Bpe for why this makes
+    * one `replace` an exact greedy merge pass. Lambda var `bi`, safe to
+    * nest around [[fp]]'s `ci`. */
+  def bpeInitRep(word: String): String =
+    s"array_to_string(list_transform(range(1, length($word)+1), " +
+      s"bi -> ';' || $word[bi:bi]), '')"
+
+  /** The BPE training CTE chain, mirroring graft.ops.Bpe.train
+    * operation-for-operation over `src` (a relation exposing `text`):
+    * wdict (top-`cap` word counts under the (cnt desc, word) total
+    * order), r0 (initial reps), then per merge k: pK (adjacent-pair
+    * counts weighted by word count, overlaps included), mK (the argmax
+    * with the (c desc, lhs, rhs) tie-break, empty when nothing reaches
+    * `minPair`), rK (one greedy replace pass; chr(1) is the never-match
+    * pattern when mK is empty). Every link is MATERIALIZED — the chain
+    * references its predecessor, and DuckDB would otherwise inline it
+    * exponentially (the lr_filter lesson). */
+  def bpeTrainCtes(src: String, nMerges: Int, minPair: Long,
+                   cap: Int): String = {
+    val sb = new StringBuilder
+    sb ++= s"""wdict AS MATERIALIZED (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (SELECT unnest(${words("text")}) AS word FROM $src)
+          WHERE word <> ''
+          GROUP BY word ORDER BY cnt DESC, word LIMIT $cap),
+        r0 AS MATERIALIZED (
+          SELECT word, cnt, ${bpeInitRep("word")} AS rep FROM wdict)"""
+    for (k <- 1 to nMerges) {
+      sb ++= s""",
+        p$k AS MATERIALIZED (
+          SELECT lhs, rhs, CAST(sum(cnt) AS BIGINT) AS c FROM (
+            SELECT cnt,
+              unnest(list_transform(range(1, len(toks)), pi -> toks[pi])) AS lhs,
+              unnest(list_transform(range(1, len(toks)), pi -> toks[pi+1])) AS rhs
+            FROM (SELECT cnt, string_split(rep[2:], ';') AS toks FROM r${k - 1}))
+          GROUP BY lhs, rhs),
+        m$k AS MATERIALIZED (
+          SELECT CAST($k AS INT) AS merge_rank, lhs, rhs, c FROM p$k
+          WHERE c >= $minPair ORDER BY c DESC, lhs, rhs LIMIT 1),
+        r$k AS MATERIALIZED (
+          SELECT word, cnt, replace(rep,
+            coalesce((SELECT ';' || lhs || ';' || rhs FROM m$k), chr(1)),
+            coalesce((SELECT ';' || lhs || rhs FROM m$k), chr(1))) AS rep
+          FROM r${k - 1})"""
+    }
+    sb.toString
+  }
+
+  /** Rank-order application of the trained merges to an initial-rep
+    * expression: one greedy replace per merge, identical to the rK
+    * rewrite — encoding replays the training trajectory, and
+    * out-of-dictionary words (capped wdict) fall back to characters. */
+  def bpeApplyExpr(initRep: String, nMerges: Int): String =
+    (1 to nMerges).foldLeft(initRep) { (acc, k) =>
+      s"replace($acc, " +
+        s"coalesce((SELECT ';' || lhs || ';' || rhs FROM m$k), chr(1)), " +
+        s"coalesce((SELECT ';' || lhs || rhs FROM m$k), chr(1)))"
+    }
+
   /** keyed/cums/spans CTE chain of the sequence-packing oracle over
     * `src` (doc_id, text) — the reusable body behind
     * [[packCtesAndSelect]] (and the ccnet_pipeline oracle, which adds

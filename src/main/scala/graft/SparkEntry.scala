@@ -835,6 +835,21 @@ object SparkEntry {
         tau = 0.35, lloydRounds = 2)
     }),
 
+    // REAL BPE tokenizer training (Sennrich 2016): merge table learned
+    // from the corpus word-count dictionary — one corpus scan, then a
+    // driver loop on the vocabulary-sized dict. The oracle re-derives
+    // the ENTIRE merge sequence (pair counts, argmax tie-breaks, greedy
+    // replace passes) from scratch in iterative materialized CTEs.
+    "bpe_merges" -> ((s, dir) =>
+      Ops.bpeMerges(s, table(s, dir, "documents"))),
+
+    // BPE corpus encode with the trained merges: one shuffle-free
+    // codegen pass; token counts and the rolling fingerprint of each
+    // doc's token stream are both re-derived end-to-end by the oracle
+    // (training chain + rank-order merge application + string_agg).
+    "bpe_encode" -> ((s, dir) =>
+      Ops.bpeEncode(s, table(s, dir, "documents"))),
+
     // Learned selection classifier, distillation shape (FineWeb-Edu
     // trains a cheap classifier on an expensive judge's labels; here the
     // judge is the hand-written quality heuristic): 20 full-batch
@@ -1930,6 +1945,48 @@ object SparkEntry {
       // Spark trainer from w = 0 (integer gradient sums -> shared
       // lrWUpdate arithmetic in chained CTEs), never seeing the trained
       // weights.
+      "bpe_merges" -> {
+        import OracleDialect._
+        val n = 12
+        val union = (1 to n)
+          .map(k => s"SELECT merge_rank, lhs, rhs, c AS pair_cnt FROM m$k")
+          .mkString("\n          UNION ALL ")
+        s"""
+        WITH ${bpeTrainCtes("documents", n, 2L, 65536)}
+        SELECT * FROM (
+          $union)
+      """
+      },
+
+      "bpe_encode" -> {
+        import OracleDialect._
+        val n = 12
+        s"""
+        WITH ${bpeTrainCtes("documents", n, 2L, 65536)},
+        aw AS MATERIALIZED (
+          SELECT DISTINCT word
+          FROM (SELECT unnest(${words("text")}) AS word FROM documents)
+          WHERE word <> ''),
+        tk AS MATERIALIZED (
+          SELECT word, ${bpeApplyExpr(bpeInitRep("word"), n)} AS rep FROM aw),
+        wp AS MATERIALIZED (
+          SELECT doc_id, unnest(ws) AS word,
+                 unnest(range(1, len(ws)+1)) AS pos
+          FROM (SELECT doc_id, ${words("text")} AS ws FROM documents)),
+        dr AS MATERIALIZED (
+          SELECT d.doc_id,
+                 coalesce(string_agg(t.rep, '' ORDER BY w.pos), '') AS rep
+          FROM documents d
+          LEFT JOIN wp w ON w.doc_id = d.doc_id
+          LEFT JOIN tk t ON t.word = w.word
+          GROUP BY d.doc_id)
+        SELECT doc_id,
+               CAST(length(rep) - length(replace(rep, ';', '')) AS BIGINT) AS n_tokens,
+               ${fp("rep")} AS token_fp
+        FROM dr
+      """
+      },
+
       "lr_filter" -> {
         import OracleDialect._
         val iters = 20

@@ -844,6 +844,62 @@ object Ops {
       .agg(count(lit(1)).as("cnt"), countDistinct("doc_id").as("df"))
       .filter(col("cnt") >= minCount)
 
+  /** Shared word-count dictionary behind the BPE trainer: top `cap`
+    * corpus words by (count desc, word asc) — a total order, so the cap
+    * boundary is deterministic. One explode + hash aggregation +
+    * TakeOrdered; the aggregation output is corpus-VOCABULARY sized. */
+  private def bpeDict(docs: DataFrame, cap: Int): Array[(String, Long)] =
+    docs.select(explode(split(trim(col("text")), "\\s+")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("word"))
+      .limit(cap)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** BPE merge-table training (Sennrich 2016 / the GPT-2 tokenizer
+    * recipe): aggregate the corpus word-count dictionary, then iterate
+    * driver-side on that dictionary — count adjacent symbol pairs
+    * weighted by word count, merge the argmax, repeat. Output: one row
+    * per learned merge, (merge_rank, lhs, rhs, pair_cnt) in rank order.
+    *
+    * Scale design: training is ONE corpus scan (the word-count
+    * aggregation, map-side partial first) + a driver loop over the
+    * vocabulary-sized dictionary — the standard shape; real trainers
+    * never rescan text per merge. The dictionary is capped at `cap`
+    * words under a total order, so a 100-TB corpus with an unbounded
+    * tail still trains on a deterministic top slice; encoding stays
+    * total regardless (characters are the base symbols — no UNK). */
+  def bpeMerges(spark: SparkSession, docs: DataFrame, nMerges: Int = 12,
+                minPair: Long = 2L, cap: Int = 1 << 16): DataFrame = {
+    import spark.implicits._
+    val merges = Bpe.train(bpeDict(docs, cap), nMerges, minPair)
+    merges.zipWithIndex.map { case ((l, r, c), i) => (i + 1, l, r, c) }.toSeq
+      .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
+  }
+
+  /** BPE corpus encode: trains as [[bpeMerges]], broadcasts the merge
+    * table, and encodes every document with one codegen kernel pass.
+    * Output: (doc_id, n_tokens, token_fp) — the token count and the
+    * rolling fingerprint of the ';'-prefixed token stream (the oracle
+    * re-derives the entire merge table AND the fingerprints in SQL).
+    *
+    * Scale design: one scan to train (see [[bpeMerges]]) + one
+    * shuffle-free scan to encode; the model broadcast is the tiny merge
+    * table, memoized per executor so each distinct word is re-tokenized
+    * once per executor, not once per occurrence. */
+  def bpeEncode(spark: SparkSession, docs: DataFrame, nMerges: Int = 12,
+                minPair: Long = 2L, cap: Int = 1 << 16): DataFrame = {
+    val merges = Bpe.train(bpeDict(docs, cap), nMerges, minPair)
+    val model = spark.sparkContext.broadcast(
+      new BpeModel(merges.map(_._1), merges.map(_._2)))
+    val enc = org.apache.spark.sql.GraftBridge.column(BpeEncodeExpr(
+      org.apache.spark.sql.GraftBridge.expression(col("text")), model))
+    docs.select(col("doc_id"), enc.as("e"))
+      .select(col("doc_id"), col("e.n_tokens").as("n_tokens"),
+        col("e.token_fp").as("token_fp"))
+  }
+
   /** Language ID: character-trigram profiles built from a labeled sample of
     * the corpus itself, then classification by profile overlap. Returns
     * (doc_id, lang, predicted, score). */

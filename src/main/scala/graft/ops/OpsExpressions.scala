@@ -816,6 +816,30 @@ case class LmScoreDocExpr(text: Expression,
     copy(text = c)
 }
 
+/** One-pass BPE encode against a broadcast merge table — see
+  * [[graft.ops.Bpe.encodeDoc]] for the parity contract with
+  * OracleDialect.bpeTrainCtes/bpeApplyExpr. Codegen'd scalar over the
+  * corpus scan: the encode stage crosses zero exchanges. */
+case class BpeEncodeExpr(text: Expression,
+                         model: org.apache.spark.broadcast.Broadcast[BpeModel])
+    extends UnaryExpression {
+  override def child: Expression = text
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("token_fp", LongType, nullable = false)))
+  override def prettyName: String = "bpe_encode_doc"
+  override protected def nullSafeEval(t: Any): Any =
+    Bpe.encodeDoc(t.asInstanceOf[UTF8String], model.value)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bpeModel", model,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, t =>
+      s"graft.ops.Bpe.encodeDoc($t, (graft.ops.BpeModel) $ref.value())")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(text = c)
+}
+
 /** Per-word-position Stupid-Backoff probe rows (j, t1, t1x, t2, t2x, t3)
   * from one [[TextKernel.lmProbeFps]] pass — the n-gram fingerprints an LM
   * scorer must look up for position j (-1 marks an out-of-range context).
