@@ -384,6 +384,28 @@ object Bench {
       Ops.bpeEncode(spark, linedBench(nDocs / 20), nMerges = 32)
         .agg(count(lit(1)), sum("n_tokens"), sum("token_fp")).collect()
     }
+    // Temporal family over a synthesized nDocs/4 event log (1M users,
+    // deterministic multiplicative-hash scatter over 30 days of
+    // minutes): sessionize = ONE 48M-row shuffle + two window passes +
+    // the co-partitioned per-session aggregation; asof_join = the
+    // union-tag running-last over the same log's view/click slices.
+    def synthEventsBench(n: Long): DataFrame =
+      spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+        .selectExpr(
+          "id AS event_id",
+          "timestamp_micros(1700000000000000 + (id * 1099087573) % 43200 * 60000000) AS ts",
+          "(id * 2654435761) % 1000003 AS user_id",
+          "element_at(array('view','click','purchase','signup','error'), CAST(id % 5 AS INT) + 1) AS event_type")
+    measure("sessionize", reps) {
+      graft.ops.Temporal.sessionize(spark, synthEventsBench(nDocs / 4))
+        .agg(count(lit(1)), sum("n_events"), sum(col("duration_us") / 1000000L))
+        .collect()
+    }
+    measure("asof_join", reps) {
+      graft.ops.Temporal.asofJoin(spark, synthEventsBench(nDocs / 4))
+        .agg(count(lit(1)), count("matched_id"), sum(col("lag_us") / 1000000L))
+        .collect()
+    }
     // BM25 over an nDocs/1000-doc index. The synth vocabulary is ~30
     // words, so EVERY term is a stopword with full-corpus postings and 8
     // queries x 6 terms touch nearly every posting — the honest skew

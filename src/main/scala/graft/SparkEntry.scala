@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.engine.{Knn, Pages, SpatialJoin, TileRollup}
 import graft.h3.Geo
-import graft.ops.{Ops, OpsFunctions}
+import graft.ops.{Ops, OpsFunctions, Temporal}
 import graft.spark.H3Functions
 
 /** Driver contract: one query per implemented operator (SURVEY.md §2), with
@@ -1317,7 +1317,23 @@ object SparkEntry {
         WHERE new_session = 1
         GROUP BY user_id
       """)
-    }))
+    }),
+
+    // As-of join over the event log: each click matched to the same
+    // user's latest at-or-before view (union-tag + ONE shuffle + a
+    // running last() — no range-join explosion; see Temporal.asofJoin).
+    "asof_join" -> ((s, dir) =>
+      Temporal.asofJoin(s, table(s, dir, "events"))),
+
+    // Full sessionization summaries (30-min gap, session_window-aligned
+    // semantics): one row per session with bounds/size/first event.
+    "sessionize" -> ((s, dir) =>
+      Temporal.sessionize(s, table(s, dir, "events"))),
+
+    // Strict-order greedy funnel view -> click -> purchase with a 1-hour
+    // conversion window from step 1; one row per user reaching step 1.
+    "funnel" -> ((s, dir) =>
+      Temporal.funnel(s, table(s, dir, "events"))))
 
   // -------------------------------------------------------------------
 
@@ -2582,6 +2598,110 @@ object SparkEntry {
           FROM events)
         WHERE new_session = 1
         GROUP BY user_id
+      """,
+
+      // Mirrors Temporal.asofJoin operation-for-operation: union-tag
+      // (right side 0 sorts before left side 1 at equal ts), a running
+      // IGNORE-NULLS last over rows-unbounded-preceding, left rows out.
+      "asof_join" -> """
+        WITH b AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        tagged AS (
+          SELECT user_id, ts_us, event_id, 0 AS side,
+                 event_id AS r_id, ts_us AS r_ts
+          FROM b WHERE event_type = 'view'
+          UNION ALL
+          SELECT user_id, ts_us, event_id, 1,
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM b WHERE event_type = 'click'),
+        runs AS (
+          SELECT user_id, ts_us, event_id, side,
+                 last_value(r_id IGNORE NULLS) OVER w AS matched_id,
+                 last_value(r_ts IGNORE NULLS) OVER w AS matched_ts
+          FROM tagged
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, side, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, ts_us, matched_id,
+               ts_us - matched_ts AS lag_us
+        FROM runs WHERE side = 1
+      """,
+
+      // Mirrors Temporal.sessionize: gap >= 30 min starts a session
+      // (session_window-aligned), lag + running sum, per-session summary.
+      "sessionize" -> """
+        WITH b AS (
+          SELECT event_id, user_id, epoch_us(ts) AS ts_us FROM events),
+        m AS (
+          SELECT user_id, ts_us, event_id,
+                 CASE WHEN lag(ts_us, 1) OVER w IS NULL
+                        OR ts_us - lag(ts_us, 1) OVER w >= 1800000000
+                      THEN 1 ELSE 0 END AS new_sess
+          FROM b
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        r AS (
+          SELECT user_id, ts_us, event_id,
+                 CAST(sum(new_sess) OVER (
+                   PARTITION BY user_id ORDER BY ts_us, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS session_idx
+          FROM m)
+        SELECT user_id, session_idx,
+               (min(struct_pack(ts_us := ts_us, event_id := event_id))).event_id
+                 AS first_event_id,
+               count(*) AS n_events,
+               min(ts_us) AS start_us, max(ts_us) AS end_us,
+               max(ts_us) - min(ts_us) AS duration_us
+        FROM r GROUP BY user_id, session_idx
+      """,
+
+      // Mirrors Temporal.funnel's greedy per-step frontier walk: step 1
+      // is the earliest view, each next step the earliest event of its
+      // type strictly (ts, event_id)-after the previous frontier.
+      "funnel" -> """
+        WITH b AS MATERIALIZED (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        f1 AS MATERIALIZED (
+          SELECT user_id, (m).ts_us AS t1_us, (m).ts_us AS tk_us,
+                 (m).event_id AS ek_id, 1 AS depth
+          FROM (
+            SELECT user_id,
+                   min(struct_pack(ts_us := ts_us, event_id := event_id)) AS m
+            FROM b WHERE event_type = 'view' GROUP BY user_id)),
+        n2 AS MATERIALIZED (
+          SELECT e.user_id,
+                 min(struct_pack(ts_us := e.ts_us, event_id := e.event_id)) AS m
+          FROM b e JOIN f1 f ON e.user_id = f.user_id
+          WHERE e.event_type = 'click'
+            AND (e.ts_us > f.tk_us
+                 OR (e.ts_us = f.tk_us AND e.event_id > f.ek_id))
+          GROUP BY e.user_id),
+        f2 AS MATERIALIZED (
+          SELECT f.user_id, f.t1_us,
+                 coalesce((n.m).ts_us, f.tk_us) AS tk_us,
+                 coalesce((n.m).event_id, f.ek_id) AS ek_id,
+                 f.depth + CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS depth
+          FROM f1 f LEFT JOIN n2 n ON n.user_id = f.user_id),
+        n3 AS MATERIALIZED (
+          SELECT e.user_id,
+                 min(struct_pack(ts_us := e.ts_us, event_id := e.event_id)) AS m
+          FROM b e JOIN f2 f ON e.user_id = f.user_id
+          WHERE e.event_type = 'purchase' AND f.depth = 2
+            AND (e.ts_us > f.tk_us
+                 OR (e.ts_us = f.tk_us AND e.event_id > f.ek_id))
+          GROUP BY e.user_id),
+        f3 AS MATERIALIZED (
+          SELECT f.user_id, f.t1_us,
+                 coalesce((n.m).ts_us, f.tk_us) AS tk_us,
+                 coalesce((n.m).event_id, f.ek_id) AS ek_id,
+                 f.depth + CASE WHEN n.user_id IS NOT NULL THEN 1 ELSE 0 END
+                   AS depth
+          FROM f2 f LEFT JOIN n3 n ON n.user_id = f.user_id)
+        SELECT user_id, depth, t1_us, tk_us AS t_last_us,
+               (depth = 3 AND tk_us - t1_us <= 3600000000) AS converted
+        FROM f3
       """)
   }
 }
