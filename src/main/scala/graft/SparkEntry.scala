@@ -399,6 +399,29 @@ object SparkEntry {
         .select("event_id", "cell")
     }),
 
+    // Bloom-pruned POINT lookups on an unsorted high-cardinality column:
+    // range stats cannot prune these (every bucket's [min,max] of
+    // event_id spans the domain); the per-bucket bloom opens only the
+    // buckets that might hold each id, plus an absent probe that prunes
+    // everything and contributes zero rows.
+    "icelite_bloom_prune" -> ((s, dir) => {
+      registerAll(s)
+      val root = s"/tmp/graft_icelite_bloom_${Integer.toHexString(dir.hashCode)}"
+      engine.Icelite.drop(root)
+      table(s, dir, "events").createOrReplaceTempView("events")
+      val cells = s.sql(
+        s"SELECT event_id, ${cellSqlSpark("event_id")} AS cell FROM events")
+        .withColumn("p1", expr("h3_cell_to_parent(cell, 1)"))
+      engine.Icelite.writeResumable(s, cells, root, "p1",
+        bloomCols = Seq("event_id"))
+      // ids 1/97/4242/9999 exist at every verified scale (>=10k events);
+      // 123456789 exists at none (the all-pruned empty-frame path).
+      Seq(1L, 97L, 4242L, 9999L, 123456789L)
+        .map(id => engine.Icelite.readWherePointLong(s, root, "event_id", id)
+          .filter(col("event_id") === id).select("event_id", "cell"))
+        .reduce(_ unionAll _)
+    }),
+
     // Tile pyramid over bit-level synthetic cells: DuckDB re-aggregates the
     // base level directly to res 5 with parent bit-math, so the stepwise
     // 9 -> 7 -> 5 re-aggregation is fully oracle-checked.
@@ -2145,6 +2168,12 @@ object SparkEntry {
         SELECT event_id, cell
         FROM (SELECT event_id, $cell AS cell FROM events)
         WHERE ${parentSqlDuck("cell", 0)} = ${parentSqlDuck(cellSqlDuck("0"), 0)}
+      """,
+
+      "icelite_bloom_prune" -> s"""
+        SELECT event_id, cell
+        FROM (SELECT event_id, $cell AS cell FROM events)
+        WHERE event_id IN (1, 97, 4242, 9999, 123456789)
       """,
 
       "tile_rollup" -> s"""

@@ -54,7 +54,8 @@ object Icelite {
                                   colStats: Map[String, (Long, Long)] = Map.empty,
                                   deleteFiles: Seq[String] = Nil,
                                   deleteKey: Seq[String] = Nil,
-                                  strStats: Map[String, (String, String)] = Map.empty)
+                                  strStats: Map[String, (String, String)] = Map.empty,
+                                  blooms: Map[String, String] = Map.empty)
 
   final case class Snapshot(id: Long, partitionCol: String,
                             entries: Seq[PartitionEntry])
@@ -158,7 +159,8 @@ object Icelite {
                      lineage: String = "",
                      statsFromStaged: Boolean = true,
                      sortCols: Seq[String] = Nil,
-                     parquetBlockBytes: Long = -1L): Int = {
+                     parquetBlockBytes: Long = -1L,
+                     bloomCols: Seq[String] = Nil): Int = {
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
     sweepStaleStaging(root)
@@ -173,7 +175,7 @@ object Icelite {
 
     val (staging, stats) = stageWithStats(spark, remaining, remaining0.schema,
       root, partitionCol, df.columns.filterNot(_ == partitionCol),
-      statsFromStaged, sortCols, parquetBlockBytes)
+      statsFromStaged, sortCols, parquetBlockBytes, bloomCols)
 
     // Promote loop: atomic rename per bucket + batched manifest commits
     // (driver-side only — no further Spark jobs). Each commit appends one
@@ -190,7 +192,7 @@ object Icelite {
       val st = statsMap(v)
       PartitionEntry(v, st.rows, st.checksum, files,
         durationMs = ms, lineage = lineage, colStats = st.colStats,
-        strStats = st.strStats)
+        strStats = st.strStats, blooms = st.blooms)
     }
     deleteRecursively(staging)
     computed
@@ -281,7 +283,8 @@ object Icelite {
   /** Per-bucket staging statistics (one stats-job row per bucket). */
   private final case class BucketStats(rows: Long, checksum: Long,
                                        colStats: Map[String, (Long, Long)],
-                                       strStats: Map[String, (String, String)])
+                                       strStats: Map[String, (String, String)],
+                                       blooms: Map[String, String] = Map.empty)
 
   /** String bounds are stored TRUNCATED to this many UTF-16 units (urls
     * can be kilobytes; the manifest must stay O(buckets) small). */
@@ -318,7 +321,8 @@ object Icelite {
                              dataCols: Seq[String],
                              statsFromStaged: Boolean,
                              sortCols: Seq[String] = Nil,
-                             parquetBlockBytes: Long = -1L)
+                             parquetBlockBytes: Long = -1L,
+                             bloomCols: Seq[String] = Nil)
       : (Path, Array[(String, BucketStats)]) = {
     val staging = Paths.get(root, s".staging-${System.nanoTime()}")
     // Optional in-file clustering: sortWithinPartitions on `sortCols`
@@ -371,7 +375,14 @@ object Icelite {
         // substring of the exact bound. One extra unit beyond StrStatLen
         // tells the driver truncation happened.
         substring(min(col(s"`$c`")), 1, StrStatLen + 1).as(s"__smin_$c"),
-        substring(max(col(s"`$c`")), 1, StrStatLen + 1).as(s"__smax_$c")))
+        substring(max(col(s"`$c`")), 1, StrStatLen + 1).as(s"__smax_$c"))) ++
+      // Opt-in per-bucket bloom filters for point-lookup pruning: the
+      // bloom aggregate rides in the SAME stats job (map-side partial
+      // bit arrays, OR-merge), so requesting blooms adds no extra scan.
+      bloomCols.map(c => org.apache.spark.sql.GraftBridge.column(
+        IceliteBloomAgg(org.apache.spark.sql.GraftBridge.expression(
+          col(s"`$c`")), IceliteBloom.DefaultBits).toAggregateExpression())
+        .as(s"__bloom_$c"))
     val stats = statsSrc
       .groupBy("__part")
       .agg(count(lit(1)).as("rows"),
@@ -395,8 +406,18 @@ object Icelite {
               c -> (mn.substring(0, math.min(mn.length, StrStatLen)), up))
           }
         }.toMap
+        val bl = bloomCols.zipWithIndex.flatMap { case (c, j) =>
+          val at = 3 + statCols.length * 2 + strCols.length * 2 + j
+          if (r.isNullAt(at)) None
+          else {
+            val bytes = r.getAs[Array[Byte]](at)
+            val bb = java.nio.ByteBuffer.wrap(bytes)
+            Some(c -> IceliteBloom.encode(
+              Array.fill(bytes.length / 8)(bb.getLong)))
+          }
+        }.toMap
         r.getString(0) -> BucketStats(r.getLong(1),
-          if (r.isNullAt(2)) 0L else r.getLong(2), cs, ss)
+          if (r.isNullAt(2)) 0L else r.getLong(2), cs, ss, bl)
       }
       .sortBy(_._1)
     (staging, stats)
@@ -420,7 +441,8 @@ object Icelite {
     * schema order. */
   def appendResumable(spark: SparkSession, df: DataFrame, root: String,
                       partitionCol: String, runId: String,
-                      failAfter: Int = Int.MaxValue): Int = {
+                      failAfter: Int = Int.MaxValue,
+                      bloomCols: Seq[String] = Nil): Int = {
     require(runId.nonEmpty,
       "appendResumable needs a unique runId (resume identity)")
     Files.createDirectories(manifestDir(root))
@@ -436,7 +458,7 @@ object Icelite {
       else withPart0.filter(!col("__part").isInCollection(done))
     val (staging, stats) = stageWithStats(spark, withPart, withPart0.schema,
       root, partitionCol, df.columns.filterNot(_ == partitionCol),
-      statsFromStaged = true)
+      statsFromStaged = true, bloomCols = bloomCols)
 
     val statsMap = stats.toMap
     val computed = promoteStaged(root, partitionCol, staging,
@@ -466,6 +488,17 @@ object Icelite {
           }
         }
       }
+      // Blooms OR-compose under append, and ONLY when both sides carry
+      // one of the same size — a bucket whose new rows were not
+      // bloom-aggregated must DROP the column's filter (keeping the old
+      // one would falsely prune the new rows).
+      val mergedBlooms = old match {
+        case None => st.blooms
+        case Some(o) => st.blooms.flatMap { case (c, b) =>
+          o.blooms.get(c).flatMap(ob => IceliteBloom.merge(ob, b))
+            .map(c -> _)
+        }
+      }
       PartitionEntry(v,
         old.map(_.rows).getOrElse(0L) + st.rows,
         old.map(_.checksum).getOrElse(0L) ^ st.checksum,
@@ -474,7 +507,7 @@ object Icelite {
         // An append leaves the bucket's standing deletes in force.
         deleteFiles = old.map(_.deleteFiles).getOrElse(Nil),
         deleteKey = old.map(_.deleteKey).getOrElse(Nil),
-        strStats = mergedStr)
+        strStats = mergedStr, blooms = mergedBlooms)
     }
     deleteRecursively(staging)
     computed
@@ -621,10 +654,12 @@ object Icelite {
             case _ =>
               // Post-compaction metrics describe the LIVE content; the
               // old col/str stats remain valid bounds (deletion only
-              // narrows the value ranges).
+              // narrows the value ranges), and the bloom stays a valid
+              // SUPERSET for the same reason (extra bits only cost
+              // false positives, never false pruning).
               PartitionEntry(e.value, expRows, expSum, moved,
                 durationMs = ms, lineage = "compact", colStats = e.colStats,
-                strStats = e.strStats)
+                strStats = e.strStats, blooms = e.blooms)
           }
       }
     } finally deleteRecursively(staging)
@@ -803,6 +838,71 @@ object Icelite {
                       value: String): DataFrame =
     readWhereStringRange(spark, root, column, value, value)
 
+  /** The bucket values a POINT lookup must open: every bucket except
+    * those whose bloom (written via `bloomCols`) says definitely-absent
+    * or whose integral [min,max] excludes the value. Buckets without a
+    * bloom/stats for the column are kept — pruning is IO-only and never
+    * affects the answer. Exposed so scan-planning (and the pruning
+    * specs) can count buckets without reading them. */
+  def bucketsForPointLong(root: String, column: String,
+                          value: Long): Seq[String] = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    snap.entries.filter(pointPredLong(column, value)).map(_.value)
+  }
+
+  private def pointPredLong(column: String, value: Long)
+      : PartitionEntry => Boolean = e =>
+    e.colStats.get(column).forall { case (mn, mx) =>
+      value >= mn && value <= mx
+    } && e.blooms.get(column).forall(
+      IceliteBloom.mightContainLong(_, value))
+
+  private def pointPredString(column: String, value: String)
+      : PartitionEntry => Boolean = e =>
+    (!asciiOnly(value) || e.strStats.get(column).forall { case (mn, mx) =>
+      value >= mn && value <= mx
+    }) && e.blooms.get(column).forall(
+      IceliteBloom.mightContainString(_, value))
+
+  /** Bloom-pruned point lookup on an integral column: opens only the
+    * [[bucketsForPointLong]] buckets. Unlike range stats — useless for
+    * point predicates on unsorted high-cardinality columns, where every
+    * bucket's [min,max] spans the domain — the bloom prunes to the few
+    * buckets that might hold the value (false-positive rate set by
+    * [[IceliteBloom.DefaultBits]]). Rows still need the exact equality
+    * filter applied; an all-pruned lookup returns an EMPTY frame (the
+    * correct point-lookup answer), not an error. */
+  def readWherePointLong(spark: SparkSession, root: String, column: String,
+                         value: Long): DataFrame =
+    readWherePointEntry(spark, root, pointPredLong(column, value))
+
+  /** [[readWherePointLong]] for string columns (url/doc-key lookups):
+    * bloom test plus the truncated string bounds when the probe is
+    * ASCII (ordering equivalence holds there). */
+  def readWherePointString(spark: SparkSession, root: String, column: String,
+                           value: String): DataFrame =
+    readWherePointEntry(spark, root, pointPredString(column, value))
+
+  private def readWherePointEntry(spark: SparkSession, root: String,
+      predicate: PartitionEntry => Boolean): DataFrame = {
+    val snap = currentSnapshot(root).getOrElse(
+      throw new IllegalStateException(s"no snapshot at $root"))
+    readEntriesDf(spark, root, snap.partitionCol,
+      snap.entries.filter(predicate),
+      e => entryPaths(root, snap.partitionCol, e))
+      .orElse(
+        // Nothing might contain the value: an empty frame with the
+        // table's schema (planned from one bucket; the `false` filter
+        // folds to an empty relation before any IO happens).
+        readEntriesDf(spark, root, snap.partitionCol,
+          snap.entries.take(1),
+          e => entryPaths(root, snap.partitionCol, e))
+          .map(_.filter(lit(false))))
+      .getOrElse(throw new IllegalStateException(
+        s"icelite: table at $root has no data files"))
+  }
+
   private def readWhereEntry(spark: SparkSession, root: String,
                              predicate: PartitionEntry => Boolean): DataFrame = {
     val snap = currentSnapshot(root).getOrElse(
@@ -944,7 +1044,12 @@ object Icelite {
         else s""","strStats":{${e.strStats.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
           "\"" + esc(c) + "\":[\"" + esc(lo) + "\",\"" + esc(hi) + "\"]"
         }.mkString(",")}}"""
-      s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"durationMs":${e.durationMs},"lineage":"${esc(e.lineage)}","colStats":{$cs},"files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]$del$ss}"""
+      val bl =
+        if (e.blooms.isEmpty) ""
+        else s""","blooms":{${e.blooms.toSeq.sortBy(_._1).map { case (c, b) =>
+          "\"" + esc(c) + "\":\"" + esc(b) + "\""
+        }.mkString(",")}}"""
+      s"""{"value":"${esc(e.value)}","rows":${e.rows},"checksum":${e.checksum},"durationMs":${e.durationMs},"lineage":"${esc(e.lineage)}","colStats":{$cs},"files":[${e.files.map(f => "\"" + esc(f) + "\"").mkString(",")}]$del$ss$bl}"""
     }.mkString(",")
 
   private def parseEntries(json: String): Seq[PartitionEntry] = {
@@ -975,6 +1080,9 @@ object Icelite {
           case (c, v) =>
             val ss = v.asInstanceOf[List[Any]].map(_.toString)
             c -> (ss(0), ss(1))
+        }).getOrElse(Map.empty),
+        m.get("blooms").map(_.asInstanceOf[Map[String, Any]].map {
+          case (c, v) => c -> v.toString
         }).getOrElse(Map.empty))
     }
   }
