@@ -200,4 +200,37 @@ object StreamingTiles {
         Iterator(TileUpdate(tile, total, hllEstimate(regs)))
     }
   }
+
+  /** Streaming sessionization over an unbounded event log: Spark's
+    * native `session_window` aggregation keyed by user, watermark-bounded
+    * state (a user's open session closes — and emits exactly once in
+    * append mode — when the watermark passes its end + gap). The gap
+    * semantics are identical to the batch [[graft.ops.Temporal.sessionize]]
+    * (>= gap starts a new session), so finalized streaming sessions are
+    * bit-comparable to the batch summaries (parity spec); only the
+    * per-user ordinal `session_idx` is batch-only (an unbounded stream
+    * has no total per-user order to rank against).
+    *
+    * Scale design: state is one open session per active user (merged
+    * in-place by the session-window state store), not buffered events;
+    * late data beyond `watermark` is dropped rather than reopening
+    * closed sessions. */
+  def streamingSessionize(spark: SparkSession, events: DataFrame,
+                          gapMinutes: Int = 30,
+                          watermark: String = "30 minutes"): DataFrame =
+    events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"),
+        session_window(col("ts"), s"$gapMinutes minutes"))
+      .agg(
+        min(struct(unix_micros(col("ts")).as("ts_us"),
+          col("event_id").as("event_id")))
+          .getField("event_id").as("first_event_id"),
+        count(lit(1)).as("n_events"),
+        min(unix_micros(col("ts"))).as("start_us"),
+        max(unix_micros(col("ts"))).as("end_us"))
+      .select(col("user_id"), col("first_event_id"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"))
 }

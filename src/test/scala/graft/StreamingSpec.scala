@@ -331,4 +331,47 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"got=$got want=$want") // dup, low-quality and spammy rows are gone
     q.stop()
   }
+
+  test("streaming sessionize finalizes sessions bit-equal to batch sessionize") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // Deterministic bursty log: 12 users, bursts separated by >30min gaps
+    val rnd = new scala.util.Random(41)
+    val base = 1700000000000L
+    val rows = (0 until 400).map { i =>
+      val user = rnd.nextInt(12).toLong
+      val burst = rnd.nextInt(6)                   // 6 well-separated bursts
+      val off = burst * 3L * 3600000L + rnd.nextInt(20) * 60000L
+      (i.toLong, new Timestamp(base + off), user, "view")
+    }
+
+    val input = MemoryStream[(Long, Timestamp, Long, String)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type")
+    val out = StreamingTiles.streamingSessionize(spark, events)
+    val q = out.writeStream.format("memory").queryName("sessions")
+      .outputMode("append").start()
+
+    input.addData(rows: _*)
+    q.processAllAvailable()
+    // sentinel far in the future advances the watermark past every
+    // session's end + gap, finalizing them all
+    input.addData((9999L, new Timestamp(base + 365L * 86400000L), 999L, "view"))
+    q.processAllAvailable()
+
+    val streamed = spark.sql(
+        """SELECT user_id, first_event_id, n_events, start_us, end_us,
+                  duration_us FROM sessions WHERE user_id <> 999""")
+      .collect().map(_.toString).toSet
+
+    val batch = graft.ops.Temporal.sessionize(spark,
+        rows.toDF("event_id", "ts", "user_id", "event_type"))
+      .select("user_id", "first_event_id", "n_events", "start_us",
+        "end_us", "duration_us")
+      .collect().map(_.toString).toSet
+    assert(streamed == batch, s"${streamed.size} vs ${batch.size}")
+    assert(streamed.size > 12) // several sessions per user actually formed
+    q.stop()
+  }
 }
