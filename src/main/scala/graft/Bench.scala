@@ -53,6 +53,18 @@ object Bench {
       .join(base, "__k").select("doc_id", "text")
   }
 
+  /** Synthesized event log (1M-ish users, deterministic
+    * multiplicative-hash scatter over 30 days of minutes) — the shared
+    * workload behind the temporal bench phases and the "temporal"
+    * scaling mode. */
+  def synthEvents(spark: SparkSession, n: Long): DataFrame =
+    spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
+      .selectExpr(
+        "id AS event_id",
+        "timestamp_micros(1700000000000000 + (id * 1099087573) % 43200 * 60000000) AS ts",
+        "(id * 2654435761) % 1000003 AS user_id",
+        "element_at(array('view','click','purchase','signup','error'), CAST(id % 5 AS INT) + 1) AS event_type")
+
   def time[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val a = f
@@ -384,25 +396,27 @@ object Bench {
       Ops.bpeEncode(spark, linedBench(nDocs / 20), nMerges = 32)
         .agg(count(lit(1)), sum("n_tokens"), sum("token_fp")).collect()
     }
+    // KMV distinct sketch over nDocs/20 docs in 32 groups: the shuffle
+    // carries at most k=64 longs per group per partition — cardinality
+    // estimation without the exact-distinct (group, value) exchange.
+    measure("approx_distinct", reps) {
+      Ops.approxDistinct(spark,
+          linedBench(nDocs / 20).withColumn("grp", col("doc_id") % 32),
+          "grp", "text")
+        .agg(count(lit(1)), sum("est_distinct")).collect()
+    }
     // Temporal family over a synthesized nDocs/4 event log (1M users,
     // deterministic multiplicative-hash scatter over 30 days of
     // minutes): sessionize = ONE 48M-row shuffle + two window passes +
     // the co-partitioned per-session aggregation; asof_join = the
     // union-tag running-last over the same log's view/click slices.
-    def synthEventsBench(n: Long): DataFrame =
-      spark.range(0, n, 1, spark.sparkContext.defaultParallelism * 4)
-        .selectExpr(
-          "id AS event_id",
-          "timestamp_micros(1700000000000000 + (id * 1099087573) % 43200 * 60000000) AS ts",
-          "(id * 2654435761) % 1000003 AS user_id",
-          "element_at(array('view','click','purchase','signup','error'), CAST(id % 5 AS INT) + 1) AS event_type")
     measure("sessionize", reps) {
-      graft.ops.Temporal.sessionize(spark, synthEventsBench(nDocs / 4))
+      graft.ops.Temporal.sessionize(spark, synthEvents(spark, nDocs / 4))
         .agg(count(lit(1)), sum("n_events"), sum(col("duration_us") / 1000000L))
         .collect()
     }
     measure("asof_join", reps) {
-      graft.ops.Temporal.asofJoin(spark, synthEventsBench(nDocs / 4))
+      graft.ops.Temporal.asofJoin(spark, synthEvents(spark, nDocs / 4))
         .agg(count(lit(1)), count("matched_id"), sum(col("lag_us") / 1000000L))
         .collect()
     }

@@ -24,6 +24,15 @@ object OracleDialect {
       s"list_transform(range(1, length($x)+1), ci -> CAST(unicode($x[ci:ci]) AS BIGINT))), " +
       s"(h,c) -> (31*h + c) % $P)"
 
+  /** Second, independent rolling hash (seed 0, multiplier 131) — mirrors
+    * TextKernel.stringFp2; paired with [[fp]] for the KMV composite
+    * hash fp(v) * P + fp2(v). The extra list_prepend(0) seed keeps the
+    * empty string well-defined (list_reduce errors on empty lists). */
+  def fp2(x: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($x)+1), ci -> CAST(unicode($x[ci:ci]) AS BIGINT))), " +
+      s"(h,c) -> (131*h + c) % $P)"
+
   /** Whitespace word list of a text expression — equals
     * TextKernel.wordBounds: empty/whitespace-only text yields ZERO words
     * (DuckDB's string_split_regex would return [''], len 1, so the empty

@@ -54,6 +54,7 @@ object Scaling {
     val workDocs =
       if (mode == "curation") nDocs / 20
       else if (mode == "lm") nDocs / 100
+      else if (mode == "temporal") nDocs / 4
       else nDocs
     lazy val nTable = spark.read.parquet(s"$sfDir/documents.parquet").count()
 
@@ -71,6 +72,14 @@ object Scaling {
             Bench.synthLinedDocs(spark, sfDir, workDocs),
             minDocs = math.max(2, (workDocs * 15 / nTable).toInt))
           .agg(count(lit(1)), sum("n_kept")).collect()
+      } else if (mode == "temporal") {
+        // Temporal path: sessionization = one user_id sort-shuffle of
+        // the whole log + two window passes + the co-partitioned
+        // per-session aggregation.
+        graft.ops.Temporal.sessionize(spark,
+            Bench.synthEvents(spark, workDocs))
+          .agg(count(lit(1)), sum("n_events"),
+            sum(col("duration_us") / 1000000L)).collect()
       } else if (mode == "lm") {
         // Corpus-model path: Stupid-Backoff scoring (count aggregation +
         // broadcast-dictionary kernel scan) over multi-line docs.

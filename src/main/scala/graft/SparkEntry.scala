@@ -1356,7 +1356,20 @@ object SparkEntry {
     // Strict-order greedy funnel view -> click -> purchase with a 1-hour
     // conversion window from step 1; one row per user reaching step 1.
     "funnel" -> ((s, dir) =>
-      Temporal.funnel(s, table(s, dir, "events"))))
+      Temporal.funnel(s, table(s, dir, "events"))),
+
+    // KMV approximate distinct texts per lang: bounded map-side sketch,
+    // shuffle carries <= k longs per group per partition; the oracle
+    // re-derives the kth order statistic AND the one deterministic IEEE
+    // division bit-for-bit.
+    "approx_distinct" -> ((s, dir) =>
+      Ops.approxDistinct(s, table(s, dir, "documents"), "lang", "text")),
+
+    // Exact lower quantiles of the document-length distribution: one
+    // histogram aggregation + a value-cardinality-sized driver walk (the
+    // CCNet-tercile shape, generalized).
+    "quantiles" -> ((s, dir) =>
+      Ops.exactQuantiles(s, table(s, dir, "documents"), "n_chars")))
 
   // -------------------------------------------------------------------
 
@@ -2731,6 +2744,57 @@ object SparkEntry {
         SELECT user_id, depth, t1_us, tk_us AS t_last_us,
                (depth = 3 AND tk_us - t1_us <= 3600000000) AS converted
         FROM f3
+      """,
+
+      // Mirrors Ops.approxDistinct: distinct composite hashes, kth order
+      // statistic per group, exact count below k, the SAME double
+      // expression above it.
+      "approx_distinct" -> {
+        import OracleDialect._
+        s"""
+        WITH f AS (
+          SELECT DISTINCT lang, ${fp("text")} AS a, ${fp2("text")} AS b
+          FROM documents),
+        h AS (
+          SELECT DISTINCT lang,
+                 (((a*48271 + b) % 2147483647) * 48271 + a) % 2147483647
+                   * 2147483647 +
+                 (((b*16807 + a) % 2147483647) * 16807 + b) % 2147483647
+                   + 1 AS h
+          FROM f),
+        r AS (
+          SELECT lang, h,
+                 row_number() OVER (PARTITION BY lang ORDER BY h) AS rn,
+                 count(*) OVER (PARTITION BY lang) AS nd
+          FROM h),
+        sel AS (
+          SELECT lang, max(nd) AS nd,
+                 max(CASE WHEN rn = 256 THEN h END) AS hk
+          FROM r GROUP BY lang)
+        SELECT lang,
+               CASE WHEN nd < 256 THEN nd
+                    ELSE CAST(floor(CAST(255 AS DOUBLE) *
+                           (CAST(2147483647 AS DOUBLE) * CAST(2147483647 AS DOUBLE)) /
+                           CAST(hk AS DOUBLE)) AS BIGINT) END AS est_distinct
+        FROM sel
+      """
+      },
+
+      // Mirrors Ops.exactQuantiles: histogram + cumulative counts, the
+      // smallest value reaching ceil(q * n / 1000) per per-mille point.
+      "quantiles" -> """
+        WITH h AS (
+          SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
+          FROM documents GROUP BY 1),
+        t AS (
+          SELECT v, sum(c) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM h),
+        n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM h)
+        SELECT q AS q_permille,
+               (SELECT min(v) FROM t
+                WHERE cum >= (q * (SELECT n FROM n) + 999) // 1000) AS value
+        FROM (SELECT unnest([250, 500, 750, 900, 990]) AS q)
       """)
   }
 }

@@ -830,6 +830,79 @@ object Ops {
     docs.selectExpr("doc_id", "doc_fingerprint(text) AS fingerprint")
   }
 
+  /** Approximate distinct count per group via the KMV sketch
+    * ([[KmvSketchAgg]]): below k distinct hashes the count is exact;
+    * otherwise est = floor((k-1) * P^2 / h_k) from the kth smallest
+    * composite hash — the one IEEE division is computed from identical
+    * integer inputs by both engines, so the DuckDB oracle re-derives the
+    * estimate bit-for-bit.
+    *
+    * Scale design: the sketch is a bounded sorted array maintained
+    * map-side (partial aggregation), so the shuffle carries at most k
+    * longs per group per partition — a 10^12-row distinct count per
+    * group moves KBs instead of the exact-distinct (group, value)
+    * exchange. Mergeable: union of sketches = sketch of the union
+    * (repartition-determinism spec). */
+  def approxDistinct(spark: SparkSession, df: DataFrame, groupCol: String,
+                     valueCol: String, k: Int = 256): DataFrame = {
+    val agg = org.apache.spark.sql.GraftBridge.column(KmvSketchAgg(
+      org.apache.spark.sql.GraftBridge.expression(col(valueCol)), k)
+      .toAggregateExpression())
+    df.groupBy(col(groupCol))
+      .agg(agg.as("sk"))
+      .select(col(groupCol),
+        when(size(col("sk")) < k, size(col("sk")).cast("long"))
+          .otherwise(expr(
+            s"CAST(floor(CAST(${k - 1} AS DOUBLE) * " +
+              "(CAST(2147483647 AS DOUBLE) * CAST(2147483647 AS DOUBLE)) / " +
+              s"CAST(element_at(sk, $k) AS DOUBLE)) AS BIGINT)"))
+          .as("est_distinct"))
+  }
+
+  /** Exact distributed quantiles of a bounded-cardinality integral
+    * column (quantized metrics: lengths, fixed-point scores): lower
+    * quantiles (DuckDB's quantile_disc) — the smallest value whose
+    * cumulative count reaches ceil(q * n / 1000). Output one row per
+    * requested per-mille point: (q_permille, value).
+    *
+    * Scale design: ONE histogram aggregation (map-side partial first),
+    * then the cumulative walk runs driver-side over the DISTINCT values
+    * — the same bounded-cardinality histogram shape as the CCNet
+    * tercile cuts: no global row sort, no single-partition window, and
+    * the collect is value-cardinality-sized, never row-sized (guarded
+    * by `maxDistinct`). */
+  def exactQuantiles(spark: SparkSession, df: DataFrame, column: String,
+                     qsPermille: Seq[Int] = Seq(250, 500, 750, 900, 990),
+                     maxDistinct: Int = 4 << 20): DataFrame = {
+    import spark.implicits._
+    require(qsPermille.nonEmpty && qsPermille.forall(q => q > 0 && q <= 1000))
+    val hist = df.groupBy(col(column).cast("long").as("v"))
+      .agg(count(lit(1)).as("c")).persist()
+    try {
+      val nDistinct = hist.count()
+      require(nDistinct <= maxDistinct,
+        s"exactQuantiles: $nDistinct distinct values exceed maxDistinct=" +
+          s"$maxDistinct — quantize the column first")
+      val sorted = hist.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      val n = sorted.iterator.map(_._2).sum
+      val cuts = qsPermille.map { q =>
+        val need = (q.toLong * n + 999L) / 1000L
+        var cum = 0L
+        var i = 0
+        var v = sorted.last._1
+        var found = false
+        while (i < sorted.length && !found) {
+          cum += sorted(i)._2
+          if (cum >= need) { v = sorted(i)._1; found = true }
+          i += 1
+        }
+        (q, v)
+      }
+      cuts.toDF("q_permille", "value")
+    } finally hist.unpersist()
+  }
+
   /** Corpus vocabulary with occurrence and document frequencies, above a
     * min occurrence count — the tokenizer-vocab building step. One
     * explode + hash aggregation; the exchange carries (word, doc_id)

@@ -40,6 +40,19 @@ object TextKernel {
   /** Rolling hash mod P of the full string (DuckDB: fold over unicode()). */
   def stringFp(s: String): Long = rollFp(s, 0, s.length, 5381L)
 
+  /** Second, independent rolling hash (seed 0, multiplier 131) — paired
+    * with [[stringFp]] for ~P^2-space composite hashes (the KMV sketch).
+    * Mirrored by OracleDialect.fp2. */
+  def stringFp2(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      h = (131 * h + s.charAt(i)) % P
+      i += 1
+    }
+    h
+  }
+
   /** Whitespace word boundaries: returns offsets of word starts/ends. */
   private def wordBounds(s: String): (Array[Int], Array[Int]) = {
     val starts = new scala.collection.mutable.ArrayBuilder.ofInt
