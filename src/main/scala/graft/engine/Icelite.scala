@@ -366,6 +366,20 @@ object Icelite {
       .filter(f => dataCols.contains(f.name) &&
         f.dataType == org.apache.spark.sql.types.StringType)
       .map(_.name).toSeq
+    // Opt-in per-bucket bloom filters for point-lookup pruning: the
+    // bloom aggregate rides in the SAME stats job (map-side partial
+    // bit arrays, OR-merge), so requesting blooms adds no extra scan.
+    // Long/Int/String columns only — anything else fails fast here
+    // instead of crashing a worker mid-aggregation.
+    bloomCols.foreach { c =>
+      val f = statsSrc.schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"icelite: bloomCols column '$c' not in the data schema"))
+      require(f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.StringType,
+        s"icelite: bloomCols column '$c' has unsupported type ${f.dataType}")
+    }
     val statAggs = statCols.flatMap(c => Seq(
       min(col(s"`$c`")).cast("long").as(s"__min_$c"),
       max(col(s"`$c`")).cast("long").as(s"__max_$c"))) ++
@@ -376,9 +390,6 @@ object Icelite {
         // tells the driver truncation happened.
         substring(min(col(s"`$c`")), 1, StrStatLen + 1).as(s"__smin_$c"),
         substring(max(col(s"`$c`")), 1, StrStatLen + 1).as(s"__smax_$c"))) ++
-      // Opt-in per-bucket bloom filters for point-lookup pruning: the
-      // bloom aggregate rides in the SAME stats job (map-side partial
-      // bit arrays, OR-merge), so requesting blooms adds no extra scan.
       bloomCols.map(c => org.apache.spark.sql.GraftBridge.column(
         IceliteBloomAgg(org.apache.spark.sql.GraftBridge.expression(
           col(s"`$c`")), IceliteBloom.DefaultBits).toAggregateExpression())

@@ -876,7 +876,10 @@ object Ops {
                      maxDistinct: Int = 4 << 20): DataFrame = {
     import spark.implicits._
     require(qsPermille.nonEmpty && qsPermille.forall(q => q > 0 && q <= 1000))
-    val hist = df.groupBy(col(column).cast("long").as("v"))
+    // Nulls carry no rank: dropped here (and a NULL-only input has no
+    // quantiles — surfaced as the empty-histogram require below).
+    val hist = df.filter(col(column).isNotNull)
+      .groupBy(col(column).cast("long").as("v"))
       .agg(count(lit(1)).as("c")).persist()
     try {
       val nDistinct = hist.count()
@@ -885,6 +888,8 @@ object Ops {
           s"$maxDistinct — quantize the column first")
       val sorted = hist.collect()
         .map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+      require(sorted.nonEmpty,
+        s"exactQuantiles: no non-null values in '$column'")
       val n = sorted.iterator.map(_._2).sum
       val cuts = qsPermille.map { q =>
         val need = (q.toLong * n + 999L) / 1000L

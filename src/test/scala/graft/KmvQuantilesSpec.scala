@@ -101,6 +101,17 @@ class KmvQuantilesSpec extends AnyFunSuite {
     assert(got(1000) == sorted.last)
   }
 
+  test("exactQuantiles drops nulls and rejects all-null input") {
+    val df = Seq[java.lang.Long](1L, null, 2L, null, 3L, 4L).toDF("x")
+    val got = Ops.exactQuantiles(spark, df, "x", Seq(500, 1000))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(got == Map(500 -> 2L, 1000 -> 4L))
+    intercept[IllegalArgumentException] {
+      Ops.exactQuantiles(spark,
+        Seq[java.lang.Long](null, null).toDF("x"), "x", Seq(500))
+    }
+  }
+
   test("exactQuantiles refuses unbounded cardinality") {
     val df = spark.range(0, 1000).selectExpr("id AS x")
     intercept[IllegalArgumentException] {
