@@ -160,7 +160,8 @@ object Icelite {
                      statsFromStaged: Boolean = true,
                      sortCols: Seq[String] = Nil,
                      parquetBlockBytes: Long = -1L,
-                     bloomCols: Seq[String] = Nil): Int = {
+                     bloomCols: Seq[String] = Nil,
+                     bloomBits: Int = IceliteBloom.DefaultBits): Int = {
     Files.createDirectories(manifestDir(root))
     Files.createDirectories(dataDir(root))
     sweepStaleStaging(root)
@@ -175,7 +176,7 @@ object Icelite {
 
     val (staging, stats) = stageWithStats(spark, remaining, remaining0.schema,
       root, partitionCol, df.columns.filterNot(_ == partitionCol),
-      statsFromStaged, sortCols, parquetBlockBytes, bloomCols)
+      statsFromStaged, sortCols, parquetBlockBytes, bloomCols, bloomBits)
 
     // Promote loop: atomic rename per bucket + batched manifest commits
     // (driver-side only — no further Spark jobs). Each commit appends one
@@ -322,7 +323,8 @@ object Icelite {
                              statsFromStaged: Boolean,
                              sortCols: Seq[String] = Nil,
                              parquetBlockBytes: Long = -1L,
-                             bloomCols: Seq[String] = Nil)
+                             bloomCols: Seq[String] = Nil,
+                             bloomBits: Int = IceliteBloom.DefaultBits)
       : (Path, Array[(String, BucketStats)]) = {
     val staging = Paths.get(root, s".staging-${System.nanoTime()}")
     // Optional in-file clustering: sortWithinPartitions on `sortCols`
@@ -392,7 +394,7 @@ object Icelite {
         substring(max(col(s"`$c`")), 1, StrStatLen + 1).as(s"__smax_$c"))) ++
       bloomCols.map(c => org.apache.spark.sql.GraftBridge.column(
         IceliteBloomAgg(org.apache.spark.sql.GraftBridge.expression(
-          col(s"`$c`")), IceliteBloom.DefaultBits).toAggregateExpression())
+          col(s"`$c`")), bloomBits).toAggregateExpression())
         .as(s"__bloom_$c"))
     val stats = statsSrc
       .groupBy("__part")
@@ -453,7 +455,8 @@ object Icelite {
   def appendResumable(spark: SparkSession, df: DataFrame, root: String,
                       partitionCol: String, runId: String,
                       failAfter: Int = Int.MaxValue,
-                      bloomCols: Seq[String] = Nil): Int = {
+                      bloomCols: Seq[String] = Nil,
+                      bloomBits: Int = IceliteBloom.DefaultBits): Int = {
     require(runId.nonEmpty,
       "appendResumable needs a unique runId (resume identity)")
     Files.createDirectories(manifestDir(root))
@@ -469,7 +472,7 @@ object Icelite {
       else withPart0.filter(!col("__part").isInCollection(done))
     val (staging, stats) = stageWithStats(spark, withPart, withPart0.schema,
       root, partitionCol, df.columns.filterNot(_ == partitionCol),
-      statsFromStaged = true, bloomCols = bloomCols)
+      statsFromStaged = true, bloomCols = bloomCols, bloomBits = bloomBits)
 
     val statsMap = stats.toMap
     val computed = promoteStaged(root, partitionCol, staging,

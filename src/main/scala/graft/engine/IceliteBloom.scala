@@ -22,9 +22,13 @@ import org.apache.spark.unsafe.types.UTF8String
 object IceliteBloom {
 
   /** Default filter size: 8192 bits = 1 KB per column per bucket (~1.4 KB
-    * base64 in the manifest). At the sf1 endurance layout (41k buckets,
-    * ~2.3k rows/bucket) that is < 0.5% FP — a point lookup opens ~1
-    * bucket instead of 41k. */
+    * base64 in the manifest). Size to the BUCKET row count, not the
+    * table: FP = (1 - e^(-k*n/m))^k with k=4 probes, so the default is
+    * right for n up to ~1k rows/bucket (n=250 -> 0.02% FP, n=1k ->
+    * 2.4%), while a 4.7k-row bucket saturates it to ~65% — at dense
+    * layouts pass `bloomBits ~ 10 * rowsPerBucket` (n=4.7k at 2^16 bits
+    * -> 0.4% FP, 8 KB/bucket). Pruning stays CORRECT at any size —
+    * saturation only costs prune ratio, never answers. */
   val DefaultBits: Int = 1 << 13
 
   /** Probes per element; with DefaultBits and a few thousand rows per

@@ -169,6 +169,32 @@ class IceliteBloomSpec extends AnyFunSuite {
     Icelite.drop(root)
   }
 
+  test("bloomBits sizing: saturated filter stays correct, sized one prunes") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("icelite-bloom-sz").toString
+    // 500 rows/bucket vs a deliberately tiny 128-bit filter: saturated.
+    val df = (0 until 4000).map(i => (i % 8, (i.toLong * 7919L) % 99991L))
+      .toDF("bucket", "doc_id")
+    Icelite.writeResumable(spark, df, root, "bucket",
+      bloomCols = Seq("doc_id"), bloomBits = 128)
+    // in-range absent value: saturation means little pruning, but every
+    // present value is still found and answers stay exact
+    val v = 1234L * 7919L % 99991L
+    assert(Icelite.readWherePointLong(spark, root, "doc_id", v)
+      .filter(col("doc_id") === v).count() ==
+      Icelite.read(spark, root).filter(col("doc_id") === v).count())
+    Icelite.drop(root)
+
+    // same data with a ~10-bits/row filter: absent in-range values prune
+    val root2 = java.nio.file.Files.createTempDirectory("icelite-bloom-sz2").toString
+    Icelite.writeResumable(spark, df, root2, "bucket",
+      bloomCols = Seq("doc_id"), bloomBits = 8192)
+    // 50000 not in the residue set but inside [min,max]
+    val opened = Icelite.bucketsForPointLong(root2, "doc_id", 50000L)
+    assert(opened.size <= 2, s"expected <=2 of 8 buckets, got ${opened.size}")
+    Icelite.drop(root2)
+  }
+
   test("manifest round-trips blooms byte-exactly") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("icelite-bloom-rt").toString
