@@ -397,7 +397,7 @@ object Bench {
         .agg(count(lit(1)), sum("n_tokens"), sum("token_fp")).collect()
     }
     // KMV distinct sketch over nDocs/20 docs in 32 groups: the shuffle
-    // carries at most k=64 longs per group per partition — cardinality
+    // carries at most k=256 longs per group per partition — cardinality
     // estimation without the exact-distinct (group, value) exchange.
     measure("approx_distinct", reps) {
       Ops.approxDistinct(spark,

@@ -2754,7 +2754,7 @@ object SparkEntry {
         s"""
         WITH f AS (
           SELECT DISTINCT lang, ${fp("text")} AS a, ${fp2("text")} AS b
-          FROM documents),
+          FROM documents WHERE text IS NOT NULL),
         h AS (
           SELECT DISTINCT lang,
                  (((a*48271 + b) % 2147483647) * 48271 + a) % 2147483647
@@ -2785,7 +2785,7 @@ object SparkEntry {
       "quantiles" -> """
         WITH h AS (
           SELECT CAST(n_chars AS BIGINT) AS v, count(*) AS c
-          FROM documents GROUP BY 1),
+          FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
         t AS (
           SELECT v, sum(c) OVER (ORDER BY v
             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum

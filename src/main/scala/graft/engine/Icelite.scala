@@ -326,6 +326,21 @@ object Icelite {
                              bloomCols: Seq[String] = Nil,
                              bloomBits: Int = IceliteBloom.DefaultBits)
       : (Path, Array[(String, BucketStats)]) = {
+    // Fail fast — BEFORE the expensive staging write: bloom parameters
+    // are validated against the input schema here, not after the
+    // multi-GB partitionBy job has already run.
+    require(bloomBits >= 64 && (bloomBits & 63) == 0,
+      s"icelite: bloomBits must be a positive multiple of 64, got $bloomBits")
+    bloomCols.foreach { c =>
+      val f = schema.fields.find(_.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"icelite: bloomCols column '$c' not in the data schema"))
+      require(f.dataType == org.apache.spark.sql.types.LongType ||
+          f.dataType == org.apache.spark.sql.types.IntegerType ||
+          f.dataType == org.apache.spark.sql.types.ShortType ||
+          f.dataType == org.apache.spark.sql.types.StringType,
+        s"icelite: bloomCols column '$c' has unsupported type ${f.dataType}")
+    }
     val staging = Paths.get(root, s".staging-${System.nanoTime()}")
     // Optional in-file clustering: sortWithinPartitions on `sortCols`
     // tightens parquet row-group min/max stats on those columns, so
@@ -370,18 +385,8 @@ object Icelite {
       .map(_.name).toSeq
     // Opt-in per-bucket bloom filters for point-lookup pruning: the
     // bloom aggregate rides in the SAME stats job (map-side partial
-    // bit arrays, OR-merge), so requesting blooms adds no extra scan.
-    // Long/Int/String columns only — anything else fails fast here
-    // instead of crashing a worker mid-aggregation.
-    bloomCols.foreach { c =>
-      val f = statsSrc.schema.fields.find(_.name == c).getOrElse(
-        throw new IllegalArgumentException(
-          s"icelite: bloomCols column '$c' not in the data schema"))
-      require(f.dataType == org.apache.spark.sql.types.LongType ||
-          f.dataType == org.apache.spark.sql.types.IntegerType ||
-          f.dataType == org.apache.spark.sql.types.StringType,
-        s"icelite: bloomCols column '$c' has unsupported type ${f.dataType}")
-    }
+    // bit arrays, OR-merge), so requesting blooms adds no extra scan
+    // (parameters validated above, before the staging write).
     val statAggs = statCols.flatMap(c => Seq(
       min(col(s"`$c`")).cast("long").as(s"__min_$c"),
       max(col(s"`$c`")).cast("long").as(s"__max_$c"))) ++

@@ -845,6 +845,12 @@ object Ops {
     * (repartition-determinism spec). */
   def approxDistinct(spark: SparkSession, df: DataFrame, groupCol: String,
                      valueCol: String, k: Int = 256): DataFrame = {
+    // Fail at plan time, not inside an executor task: the sketch hashes
+    // string values (cast a numeric column explicitly if needed).
+    val vt = df.schema.fields.find(_.name == valueCol).map(_.dataType)
+    require(vt.contains(org.apache.spark.sql.types.StringType),
+      s"approxDistinct: value column '$valueCol' must be StringType, " +
+        s"got ${vt.getOrElse("missing column")}")
     val agg = org.apache.spark.sql.GraftBridge.column(KmvSketchAgg(
       org.apache.spark.sql.GraftBridge.expression(col(valueCol)), k)
       .toAggregateExpression())

@@ -27,11 +27,12 @@ object TextKernel {
   }
 
   /** Polynomial rolling hash mod P of s[from, until), seeded at `h0`. */
-  @inline private def rollFp(s: String, from: Int, until: Int, h0: Long): Long = {
+  @inline private def rollFp(s: String, from: Int, until: Int, h0: Long,
+                             mult: Long = 31L): Long = {
     var h = h0
     var i = from
     while (i < until) {
-      h = (31 * h + s.charAt(i)) % P
+      h = (mult * h + s.charAt(i)) % P
       i += 1
     }
     h
@@ -43,15 +44,7 @@ object TextKernel {
   /** Second, independent rolling hash (seed 0, multiplier 131) — paired
     * with [[stringFp]] for ~P^2-space composite hashes (the KMV sketch).
     * Mirrored by OracleDialect.fp2. */
-  def stringFp2(s: String): Long = {
-    var h = 0L
-    var i = 0
-    while (i < s.length) {
-      h = (131 * h + s.charAt(i)) % P
-      i += 1
-    }
-    h
-  }
+  def stringFp2(s: String): Long = rollFp(s, 0, s.length, 0L, 131L)
 
   /** Whitespace word boundaries: returns offsets of word starts/ends. */
   private def wordBounds(s: String): (Array[Int], Array[Int]) = {

@@ -177,12 +177,15 @@ class IceliteBloomSpec extends AnyFunSuite {
       .toDF("bucket", "doc_id")
     Icelite.writeResumable(spark, df, root, "bucket",
       bloomCols = Seq("doc_id"), bloomBits = 128)
-    // in-range absent value: saturation means little pruning, but every
-    // present value is still found and answers stay exact
+    // Under saturation both paths stay exact: a PRESENT value (row
+    // i=1234's doc_id) is found, and an in-range ABSENT value (50000:
+    // its unique preimage mod 99991 is 70173 >= 4000) returns empty.
     val v = 1234L * 7919L % 99991L
     assert(Icelite.readWherePointLong(spark, root, "doc_id", v)
       .filter(col("doc_id") === v).count() ==
       Icelite.read(spark, root).filter(col("doc_id") === v).count())
+    assert(Icelite.readWherePointLong(spark, root, "doc_id", 50000L)
+      .filter(col("doc_id") === 50000L).isEmpty)
     Icelite.drop(root)
 
     // same data with a ~10-bits/row filter: absent in-range values prune
