@@ -201,6 +201,53 @@ object StreamingTiles {
     }
   }
 
+  /** Streaming KMV distinct-count: per-group cardinality estimates over
+    * an unbounded stream (distinct URLs per domain, distinct documents
+    * per source) with BOUNDED state — one k-minimum-values sketch (at
+    * most k longs) per group, updated in place by mapGroupsWithState
+    * and re-emitted each trigger in update mode. The estimate is the
+    * same arithmetic as the batch [[graft.ops.Ops.approxDistinct]]
+    * (exact below k distinct, (k-1) * P^2 / h_k above it, identical
+    * IEEE op order), so a drained stream's final emission is bit-equal
+    * to the batch operator on the same rows (parity spec). */
+  def streamingApproxDistinct(spark: SparkSession, rows: DataFrame,
+                              k: Int = 256)
+      : org.apache.spark.sql.Dataset[(String, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val keyed = rows
+      .select(col("grp").cast("string").as[String],
+        col("v").cast("string").as[String])
+      .groupByKey(_._1)
+    keyed.mapGroupsWithState(
+      GroupStateTimeout.NoTimeout()) {
+      (grp: String, it: Iterator[(String, String)],
+       state: GroupState[Array[Long]]) =>
+        val buf = new graft.ops.KmvBuf(k)
+        state.getOption.foreach { hs =>
+          var i = 0
+          while (i < hs.length) { buf.hs(i) = hs(i); i += 1 }
+          buf.size = hs.length
+        }
+        val P = graft.ops.TextKernel.P
+        it.foreach { case (_, v) =>
+          if (v != null) {
+            val a = graft.ops.TextKernel.stringFp(v)
+            val c = graft.ops.TextKernel.stringFp2(v)
+            val m1 = (((a * 48271 + c) % P) * 48271 + a) % P
+            val m2 = (((c * 16807 + a) % P) * 16807 + c) % P
+            buf.add(m1 * P + m2 + 1)
+          }
+        }
+        state.update(buf.hs.take(buf.size))
+        val est =
+          if (buf.size < k) buf.size.toLong
+          else math.floor((k - 1).toDouble *
+            (2147483647.0 * 2147483647.0) / buf.hs(k - 1).toDouble).toLong
+        (grp, est)
+    }.toDF("grp", "est_distinct").as[(String, Long)]
+  }
+
   /** Streaming sessionization over an unbounded event log: Spark's
     * native `session_window` aggregation keyed by user, watermark-bounded
     * state (a user's open session closes — and emits exactly once in

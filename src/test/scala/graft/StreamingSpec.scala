@@ -374,4 +374,49 @@ class StreamingDedupSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(streamed.size > 12) // several sessions per user actually formed
     q.stop()
   }
+
+  test("streaming KMV distinct estimate converges bit-equal to batch") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    // two groups: one below k (exact), one far above it (estimated);
+    // data arrives across TWO triggers to exercise state carry-over
+    val rows = (0 until 12000).map { i =>
+      if (i % 4 == 0) ("small", s"value-${(i / 4) % 120}")
+      else ("big", s"text-${(i * 31) % 4000}")
+    }
+    val trueSmall = rows.collect { case ("small", v) => v }.distinct.size
+    val trueBig = rows.collect { case ("big", v) => v }.distinct.size
+    val (first, second) = rows.splitAt(7000)
+
+    val input = MemoryStream[(String, String)]
+    val out = graft.engine.StreamingTiles.streamingApproxDistinct(
+      spark, input.toDF().toDF("grp", "v"))
+    val q = out.toDF().writeStream.format("memory").queryName("kmv_stream")
+      .outputMode("update").start()
+    input.addData(first: _*)
+    q.processAllAvailable()
+    input.addData(second: _*)
+    q.processAllAvailable()
+    // update mode re-emits per trigger: the LAST emission per group is
+    // the drained-stream state
+    val streamed = spark.sql(
+        """SELECT grp, est_distinct FROM (
+             SELECT grp, est_distinct,
+                    row_number() OVER (PARTITION BY grp ORDER BY mono DESC) AS rn
+             FROM (SELECT grp, est_distinct,
+                          monotonically_increasing_id() AS mono FROM kmv_stream))
+           WHERE rn = 1""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
+    val batch = graft.ops.Ops.approxDistinct(spark,
+        rows.toDF("grp", "v"), "grp", "v")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"$streamed vs $batch")
+    assert(trueSmall < 256 && batch("small") == trueSmall.toLong) // exact
+    assert(trueBig > 256 &&
+      math.abs(batch("big") - trueBig.toDouble) / trueBig < 0.1) // estimated
+    q.stop()
+  }
 }
