@@ -212,15 +212,47 @@ object OracleDialect {
         s"coalesce((SELECT ';' || lhs || rhs FROM m$k), chr(1)))"
     }
 
+  /** The BPE corpus-encode CTE chain over `src` (doc_id, text) —
+    * requires [[bpeTrainCtes]]' m1..mN to be in scope: aw (distinct
+    * corpus words), tk (word -> rank-order merge replay), wp (word
+    * positions), dr (per-doc concatenated rep). Shared by the
+    * bpe_encode and bpe_pack oracles. */
+  def bpeEncodeCtes(src: String, nMerges: Int): String =
+    s"""aw AS MATERIALIZED (
+          SELECT DISTINCT word
+          FROM (SELECT unnest(${words("text")}) AS word FROM $src)
+          WHERE word <> ''),
+        tk AS MATERIALIZED (
+          SELECT word, ${bpeApplyExpr(bpeInitRep("word"), nMerges)} AS rep FROM aw),
+        wp AS MATERIALIZED (
+          SELECT doc_id, unnest(ws) AS word,
+                 unnest(range(1, len(ws)+1)) AS pos
+          FROM (SELECT doc_id, ${words("text")} AS ws FROM $src)),
+        dr AS MATERIALIZED (
+          SELECT d.doc_id,
+                 coalesce(string_agg(t.rep, '' ORDER BY w.pos), '') AS rep
+          FROM $src d
+          LEFT JOIN wp w ON w.doc_id = d.doc_id
+          LEFT JOIN tk t ON t.word = w.word
+          GROUP BY d.doc_id)"""
+
   /** keyed/cums/spans CTE chain of the sequence-packing oracle over
     * `src` (doc_id, text) — the reusable body behind
     * [[packCtesAndSelect]] (and the ccnet_pipeline oracle, which adds
     * its own final SELECT joining the bucket back). */
   def packCtes(src: String, seqLen: Int, nShards: Int): String =
-    s"""keyed AS (
-          SELECT doc_id,
+    packCtesFromCounts(
+      s"""(SELECT doc_id,
             CAST(CASE WHEN text IS NULL OR trim(text) = '' THEN 0
-                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
+                 ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+          FROM $src)""", seqLen, nShards)
+
+  /** [[packCtes]] over a relation that ALREADY carries (doc_id,
+    * n_tokens) — mirrors Ops.packSequencesByCount; the bpe_pack oracle
+    * feeds it the re-derived BPE token counts. */
+  def packCtesFromCounts(src: String, seqLen: Int, nShards: Int): String =
+    s"""keyed AS (
+          SELECT doc_id, n_tokens,
             ${docFingerprint("concat('pack#', CAST(doc_id AS VARCHAR))")} % $nShards AS shard,
             ${docFingerprint("concat('ord#', CAST(doc_id AS VARCHAR))")} AS ord
           FROM $src),

@@ -873,6 +873,14 @@ object SparkEntry {
     "bpe_encode" -> ((s, dir) =>
       Ops.bpeEncode(s, table(s, dir, "documents"))),
 
+    // Composed tokenize -> pack: real BPE token counts drive sequence
+    // packing (256-token sequences) instead of the whitespace estimate.
+    "bpe_pack" -> ((s, dir) => {
+      val enc = Ops.bpeEncode(s, table(s, dir, "documents"))
+      Ops.packSequencesByCount(s, enc.select("doc_id", "n_tokens"),
+        seqLen = 256, nShards = 8)
+    }),
+
     // Learned selection classifier, distillation shape (FineWeb-Edu
     // trains a cheap classifier on an expensive judge's labels; here the
     // judge is the hand-written quality heuristic): 20 full-batch
@@ -2015,27 +2023,34 @@ object SparkEntry {
         val n = 12
         s"""
         WITH ${bpeTrainCtes("documents", n, 2L, 65536)},
-        aw AS MATERIALIZED (
-          SELECT DISTINCT word
-          FROM (SELECT unnest(${words("text")}) AS word FROM documents)
-          WHERE word <> ''),
-        tk AS MATERIALIZED (
-          SELECT word, ${bpeApplyExpr(bpeInitRep("word"), n)} AS rep FROM aw),
-        wp AS MATERIALIZED (
-          SELECT doc_id, unnest(ws) AS word,
-                 unnest(range(1, len(ws)+1)) AS pos
-          FROM (SELECT doc_id, ${words("text")} AS ws FROM documents)),
-        dr AS MATERIALIZED (
-          SELECT d.doc_id,
-                 coalesce(string_agg(t.rep, '' ORDER BY w.pos), '') AS rep
-          FROM documents d
-          LEFT JOIN wp w ON w.doc_id = d.doc_id
-          LEFT JOIN tk t ON t.word = w.word
-          GROUP BY d.doc_id)
+        ${bpeEncodeCtes("documents", n)}
         SELECT doc_id,
                CAST(length(rep) - length(replace(rep, ';', '')) AS BIGINT) AS n_tokens,
                ${fp("rep")} AS token_fp
         FROM dr
+      """
+      },
+
+      // The composed tokenize -> pack DAG: the SAME training chain and
+      // merge replay feed real BPE token counts into the packing CTEs —
+      // documents pack by their actual token budget, not the whitespace
+      // estimate.
+      "bpe_pack" -> {
+        import OracleDialect._
+        val n = 12
+        s"""
+        WITH ${bpeTrainCtes("documents", n, 2L, 65536)},
+        ${bpeEncodeCtes("documents", n)},
+        cnt AS MATERIALIZED (
+          SELECT doc_id,
+                 CAST(length(rep) - length(replace(rep, ';', '')) AS BIGINT)
+                   AS n_tokens
+          FROM dr),
+        ${packCtesFromCounts("cnt", 256, 8)}
+        SELECT doc_id, shard, n_tokens, start_off, seq_first, seq_last,
+          CAST(CASE WHEN n_tokens = 0 THEN 0
+               ELSE seq_last - seq_first + 1 END AS BIGINT) AS n_seqs
+        FROM spans
       """
       },
 

@@ -1198,15 +1198,27 @@ object Ops {
     * stream) instead of windowing over a global order, which would
     * serialize the corpus through a single partition. */
   def packSequences(spark: SparkSession, docs: DataFrame,
-                    seqLen: Int = 2048, nShards: Int = 8): DataFrame = {
-    OpsFunctions.register(spark)
-    require(seqLen > 0 && nShards > 0, s"seqLen=$seqLen nShards=$nShards")
-    val keyed = docs.select(
+                    seqLen: Int = 2048, nShards: Int = 8): DataFrame =
+    packSequencesByCount(spark, docs.select(
       col("doc_id"),
       // NULL text packs as 0 tokens like the empty string (without the
       // guard the ELSE branch would turn every span column NULL).
       expr("CASE WHEN text IS NULL OR trim(text) = '' THEN CAST(0 AS BIGINT) " +
-        "ELSE CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) END").as("n_tokens"),
+        "ELSE CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) END")
+        .as("n_tokens")), seqLen, nShards)
+
+  /** [[packSequences]] over PRE-COMPUTED token counts (doc_id, n_tokens)
+    * — the composition point for real tokenizers: feed
+    * [[bpeEncode]]'s counts and documents pack by their actual BPE
+    * token budget instead of the whitespace estimate. Same deterministic
+    * shard/order keys, same span arithmetic, same one-exchange plan. */
+  def packSequencesByCount(spark: SparkSession, counted: DataFrame,
+                           seqLen: Int = 2048, nShards: Int = 8): DataFrame = {
+    OpsFunctions.register(spark)
+    require(seqLen > 0 && nShards > 0, s"seqLen=$seqLen nShards=$nShards")
+    val keyed = counted.select(
+      col("doc_id"),
+      col("n_tokens").cast("long").as("n_tokens"),
       // fingerprints are already non-negative (mod 2^31-1), so plain %
       // shards them without a sign fix-up.
       expr(s"doc_fingerprint(concat('pack#', CAST(doc_id AS STRING))) % $nShards").as("shard"),
