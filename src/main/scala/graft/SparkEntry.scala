@@ -1356,6 +1356,13 @@ object SparkEntry {
     "asof_join" -> ((s, dir) =>
       Temporal.asofJoin(s, table(s, dir, "events"))),
 
+    // Forward as-of with a 30-minute tolerance: each click matched to
+    // the same user's EARLIEST at-or-after view, nulled when farther
+    // than the window (merge_asof semantics).
+    "asof_join_fwd" -> ((s, dir) =>
+      Temporal.asofJoin(s, table(s, dir, "events"),
+        direction = "forward", toleranceUs = 1800000000L)),
+
     // Full sessionization summaries (30-min gap, session_window-aligned
     // semantics): one row per session with bounds/size/first event.
     "sessionize" -> ((s, dir) =>
@@ -2681,6 +2688,37 @@ object SparkEntry {
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         SELECT event_id, user_id, ts_us, matched_id,
                ts_us - matched_ts AS lag_us
+        FROM runs WHERE side = 1
+      """,
+
+      // Forward direction: the SAME union-tag scan run time-DESCENDING
+      // (equal-ts rights keep side-first order, event_id DESC so the
+      // smallest id wins), with the merge_asof tolerance null-out.
+      "asof_join_fwd" -> """
+        WITH b AS (
+          SELECT event_id, user_id, event_type, epoch_us(ts) AS ts_us
+          FROM events),
+        tagged AS (
+          SELECT user_id, ts_us, event_id, 0 AS side,
+                 event_id AS r_id, ts_us AS r_ts
+          FROM b WHERE event_type = 'view'
+          UNION ALL
+          SELECT user_id, ts_us, event_id, 1,
+                 CAST(NULL AS BIGINT), CAST(NULL AS BIGINT)
+          FROM b WHERE event_type = 'click'),
+        runs AS (
+          SELECT user_id, ts_us, event_id, side,
+                 last_value(r_id IGNORE NULLS) OVER w AS matched_id,
+                 last_value(r_ts IGNORE NULLS) OVER w AS matched_ts
+          FROM tagged
+          WINDOW w AS (PARTITION BY user_id
+                       ORDER BY ts_us DESC, side, event_id DESC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT event_id, user_id, ts_us,
+               CASE WHEN matched_ts - ts_us <= 1800000000
+                    THEN matched_id END AS matched_id,
+               CASE WHEN matched_ts - ts_us <= 1800000000
+                    THEN matched_ts - ts_us END AS lag_us
         FROM runs WHERE side = 1
       """,
 

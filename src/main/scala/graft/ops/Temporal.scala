@@ -36,6 +36,10 @@ object Temporal {
     *
     * Output: (event_id, user_id, ts_us, matched_id, lag_us) —
     * matched_id/lag_us null when no prior right event exists.
+    * `direction = "forward"` matches the earliest at-or-after right
+    * event instead (ties to the smaller event_id); `toleranceUs` is the
+    * merge_asof-style match window — a farther match is null, not
+    * clamped.
     *
     * Scale design: the classic union-tag formulation — tag right rows
     * 0 and left rows 1, ONE shuffle on user_id, one in-partition sort
@@ -50,7 +54,13 @@ object Temporal {
     */
   def asofJoin(spark: SparkSession, events: DataFrame,
                leftType: String = "click",
-               rightType: String = "view"): DataFrame = {
+               rightType: String = "view",
+               direction: String = "backward",
+               toleranceUs: Long = Long.MaxValue): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(toleranceUs >= 0, s"toleranceUs must be >= 0, got $toleranceUs")
+    val backward = direction == "backward"
     val b = base(events)
     val right = b.filter(col("event_type") === rightType)
       .select(col("user_id"), col("ts_us"), col("event_id"),
@@ -61,20 +71,34 @@ object Temporal {
         lit(1).as("side"),
         lit(null).cast(LongType).as("r_id"),
         lit(null).cast(LongType).as("r_ts"))
-    // Right rows sort BEFORE left rows at equal ts (side 0 < 1), so
-    // "at or before" includes the simultaneous right event; among
-    // equal-ts right events the largest event_id is scanned last and
-    // wins the running `last`.
-    val w = Window.partitionBy("user_id")
-      .orderBy(col("ts_us"), col("side"), col("event_id"))
+    // Backward scans time ascending: right rows sort BEFORE left rows at
+    // equal ts (side 0 < 1), so "at or before" includes the simultaneous
+    // right event, and among equal-ts rights the LARGEST event_id is
+    // scanned last and wins the running `last`. Forward scans time
+    // DESCENDING (same one-pass frame), so the running last holds the
+    // earliest at-or-after right; equal-ts rights scan event_id
+    // descending, so the SMALLEST event_id wins — both are total orders.
+    val w = (if (backward)
+        Window.partitionBy("user_id")
+          .orderBy(col("ts_us"), col("side"), col("event_id"))
+      else
+        Window.partitionBy("user_id")
+          .orderBy(col("ts_us").desc, col("side"), col("event_id").desc))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    right.unionAll(left)
+    val lag =
+      if (backward) col("ts_us") - col("matched_ts")
+      else col("matched_ts") - col("ts_us")
+    val withMatch = right.unionAll(left)
       .withColumn("matched_id", last(col("r_id"), ignoreNulls = true).over(w))
       .withColumn("matched_ts", last(col("r_ts"), ignoreNulls = true).over(w))
       .filter(col("side") === 1)
-      .select(col("event_id"), col("user_id"), col("ts_us"),
-        col("matched_id"),
-        (col("ts_us") - col("matched_ts")).as("lag_us"))
+      .withColumn("lag_us", lag)
+    // merge_asof-style tolerance: a match farther than `toleranceUs`
+    // is no match at all (both columns null), not a clamped one.
+    val keep = col("lag_us") <= toleranceUs
+    withMatch.select(col("event_id"), col("user_id"), col("ts_us"),
+      when(keep, col("matched_id")).as("matched_id"),
+      when(keep, col("lag_us")).as("lag_us"))
   }
 
   /** Sessionization: split each user's event stream at inactivity gaps

@@ -67,6 +67,36 @@ class TemporalSpec extends AnyFunSuite {
     assert(got.exists(_._4.isEmpty) && got.exists(_._4.nonEmpty))
   }
 
+  test("forward asofJoin with tolerance matches the brute reference") {
+    val df = synthEvents(4000, 40, seed = 29)
+    val tol = 1800L * 1000000L
+    val evs = collectEvents(df)
+    val views = evs.filter(_.tpe == "view")
+    val expected = evs.filter(_.tpe == "click").map { c =>
+      val after = views.filter(v => v.user == c.user &&
+        (v.tsUs > c.tsUs || v.tsUs == c.tsUs))
+      val m = (if (after.isEmpty) None
+        else Some(after.minBy(v => (v.tsUs, v.id))))
+        .filter(v => v.tsUs - c.tsUs <= tol)
+      (c.id, c.user, c.tsUs, m.map(_.id), m.map(v => v.tsUs - c.tsUs))
+    }.toSet
+    val got = Temporal.asofJoin(spark, df,
+        direction = "forward", toleranceUs = tol)
+      .collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))
+    }.toSet
+    assert(got == expected)
+    // matched, tolerance-nulled and no-later-view cases all occur
+    assert(got.exists(_._4.nonEmpty) && got.exists(_._4.isEmpty))
+    val unmatchedWithLater = evs.filter(_.tpe == "click").exists { c =>
+      val after = views.filter(v => v.user == c.user && v.tsUs >= c.tsUs)
+      after.nonEmpty && after.minBy(v => (v.tsUs, v.id)).tsUs - c.tsUs > tol
+    }
+    assert(unmatchedWithLater) // the tolerance null-out path is exercised
+  }
+
   test("asofJoin tie semantics: simultaneous view matches, max id wins") {
     val t0 = new Timestamp(1700000000000L)
     val df = Seq(
