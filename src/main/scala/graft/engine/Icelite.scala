@@ -348,7 +348,18 @@ object Icelite {
     // rewrite, kNN disk reads) prune row groups inside a bucket too;
     // `parquetBlockBytes` shrinks the row-group size when the table is
     // built FOR such range scans (smaller groups = finer pruning).
-    val clustered = withPart.repartition(col("__part"))
+    //
+    // REBALANCE (not plain repartition) by the partition value: under
+    // AQE a hot bucket (a Paris-cluster H3 prefix holding ~half the
+    // rows) is SPLIT across several write tasks sized by
+    // advisoryPartitionSizeInBytes, and tiny buckets coalesce — the
+    // previous hash repartition serialized every hot bucket's sort +
+    // parquet encode through ONE task (measured: the single-task tail
+    // dominated the staging job). Multiple files per bucket are fine at
+    // every layer here (manifest lists files per bucket; checksums are
+    // order-independent; per-file sorted row groups keep range pruning).
+    // Without AQE the hint degrades to the old hash partitioning.
+    val clustered = withPart.hint("rebalance", col("__part"))
     val staged =
       if (sortCols.isEmpty) clustered
       else clustered.sortWithinPartitions(

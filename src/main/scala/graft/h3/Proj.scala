@@ -62,6 +62,26 @@ object Proj {
     }
   }
 
+  // cos/sin of the class-II (FaceAxesAzRadsCII) and class-III (that minus
+  // Ap7RotRads) axis azimuths, precomputed per face: latLngToCell needs
+  // cos(theta)/sin(theta) for theta = A - az(face->p), which expands by the
+  // angle-difference identities to dot products against these constants and
+  // the point's own tangent components — no atan2/cos/sin on the hot path.
+  private val FaceAxCos2 = new Array[Double](20)
+  private val FaceAxSin2 = new Array[Double](20)
+  private val FaceAxCos3 = new Array[Double](20)
+  private val FaceAxSin3 = new Array[Double](20)
+  locally {
+    var f = 0
+    while (f < 20) {
+      val a2 = FaceAxesAzRadsCII(f)
+      val a3 = a2 - Ap7RotRads
+      FaceAxCos2(f) = Math.cos(a2); FaceAxSin2(f) = Math.sin(a2)
+      FaceAxCos3(f) = Math.cos(a3); FaceAxSin3(f) = Math.sin(a3)
+      f += 1
+    }
+  }
+
   /** Azimuth from the face center to (bx,by,bz); scale-invariant atan2 of
     * tangent-plane projections against the precomputed basis. */
   @inline private def faceAzimuth(face: Int, bx: Double, by: Double, bz: Double): Double = {
@@ -195,10 +215,25 @@ object Proj {
       val half = sqd * 0.5
       val tanR = Math.sqrt(half * (2.0 - half)) / (1.0 - half)
       val rScaled = tanR * InvRes0UGnomonic * Sqrt7Powers(res)
-      var theta = FaceAxesAzRadsCII(face) - faceAzimuth(face, x, y, z)
-      if (isClass3(res)) theta -= Ap7RotRads
-      vx = rScaled * Math.cos(theta)
-      vy = rScaled * Math.sin(theta)
+      // theta = A(face,class) - az(face->p); instead of atan2 + cos + sin
+      // (three libm calls per row on the engine's hottest path), expand
+      // cos/sin(theta) by the angle-difference identities over the
+      // point's own tangent components s = p.east, c = p.north (the
+      // projection onto the tangent plane drops out of both dot products
+      // because the basis is orthogonal to the face normal):
+      //   cos(theta) = (cosA * c + sinA * s) / h,  h = hypot(c, s)
+      //   sin(theta) = (sinA * c - cosA * s) / h
+      // h > 0 whenever sqd is over the epsilon gate (the tangent
+      // component vanishes only at the face center itself).
+      val s = Math.fma(x, FaceEastX(face), Math.fma(y, FaceEastY(face), z * FaceEastZ(face)))
+      val c = Math.fma(x, FaceNorthX(face), Math.fma(y, FaceNorthY(face), z * FaceNorthZ(face)))
+      val invH = 1.0 / Math.sqrt(Math.fma(s, s, c * c))
+      val class3 = isClass3(res)
+      val cosA = if (class3) FaceAxCos3(face) else FaceAxCos2(face)
+      val sinA = if (class3) FaceAxSin3(face) else FaceAxSin2(face)
+      val rh = rScaled * invH
+      vx = rh * Math.fma(cosA, c, sinA * s)
+      vy = rh * Math.fma(sinA, c, -(cosA * s))
     }
 
     // Quantize 2D -> IJK (DGGRID rounding).
@@ -303,10 +338,14 @@ object Proj {
       val di = i - k
       val dj = j - k
       var ci = 0; var cj = 0; var ck = 0
+      // round(a / 7.0) over integers == floorDiv(2a + 7, 14) exactly
+      // (a/7 can never land on a .5 boundary, and the double division's
+      // error is far below the 1/14 distance to one) — keeps the hottest
+      // loop in pure integer arithmetic.
       if (isClass3(r)) {
         // upAp7 ccw.
-        i = Math.round((3 * di - dj) / 7.0).toInt
-        j = Math.round((di + 2 * dj) / 7.0).toInt
+        i = Math.floorDiv(2 * (3 * di - dj) + 7, 14)
+        j = Math.floorDiv(2 * (di + 2 * dj) + 7, 14)
         k = 0
         var m = Math.min(i, Math.min(j, k))
         i -= m; j -= m; k -= m
@@ -318,8 +357,8 @@ object Proj {
         ci -= m; cj -= m; ck -= m
       } else {
         // upAp7 cw.
-        i = Math.round((2 * di + dj) / 7.0).toInt
-        j = Math.round((3 * dj - di) / 7.0).toInt
+        i = Math.floorDiv(2 * (2 * di + dj) + 7, 14)
+        j = Math.floorDiv(2 * (3 * dj - di) + 7, 14)
         k = 0
         var m = Math.min(i, Math.min(j, k))
         i -= m; j -= m; k -= m

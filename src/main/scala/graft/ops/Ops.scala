@@ -486,10 +486,22 @@ object Ops {
     // The cap probe collects PRIMITIVE longs (a capped Dataset[Long]
     // collect), not 4M boxed Rows — the driver's transient peak is the
     // 32 MB long[] itself, matching the budget the cap advertises.
+    // persist + count + collect, NOT limit(cap+1).collect(): CollectLimit
+    // executes the plan over incrementally larger partition batches and
+    // re-runs the (expensive, corpus-wide) df aggregation up to
+    // log4(partitions) times — the same pathology lmDict documents.
     import spark.implicits._
-    val fps0 = boiler.limit(broadcastMaxFps + 1)
-      .select(col("line_fp")).as[Long].collect()
-    if (fps0.length <= broadcastMaxFps) {
+    val fps0: Array[Long] =
+      if (broadcastMaxFps < 0) Array.fill(1)(0L) // sentinel: force shuffle path
+      else {
+        val p = boiler
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (p.count() > broadcastMaxFps) null
+          else p.select(col("line_fp")).as[Long].collect()
+        } finally p.unpersist(blocking = false)
+      }
+    if (fps0 != null && fps0.length <= broadcastMaxFps) {
       val fps = fps0
       java.util.Arrays.sort(fps)
       val bc = spark.sparkContext.broadcast(fps)
@@ -561,9 +573,18 @@ object Ops {
       .select("line_key")
 
     import spark.implicits._
-    val fps0 = boiler.limit(broadcastMaxFps + 1)
-      .select(col("line_key")).as[Long].collect()
-    if (fps0.length <= broadcastMaxFps) {
+    // persist + count + collect (not CollectLimit) — see lineDedup.
+    val fps0: Array[Long] =
+      if (broadcastMaxFps < 0) Array.fill(1)(0L) // sentinel: force shuffle path
+      else {
+        val p = boiler
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (p.count() > broadcastMaxFps) null
+          else p.select(col("line_key")).as[Long].collect()
+        } finally p.unpersist(blocking = false)
+      }
+    if (fps0 != null && fps0.length <= broadcastMaxFps) {
       val fps = fps0
       java.util.Arrays.sort(fps)
       val bc = spark.sparkContext.broadcast(fps)
@@ -773,8 +794,7 @@ object Ops {
       expr(s"concat($scheme, '://', $hostNoPort, $trimmed)"))
   }
 
-  private val Stopwords = Seq("the", "a", "an", "and", "or", "of", "to", "in",
-    "is", "it", "for", "on", "with", "as", "at", "by", "from", "this", "that")
+  private val Stopwords = OpsKernel.QualityStopwords
 
   /** The blended [0,1] quality score as ONE SQL expression over a `text`
     * column — value-identical to [[qualityScore]]'s `quality` output
@@ -782,11 +802,19 @@ object Ops {
     * their own columns (e.g. the streaming curation pipeline, where a
     * join-back is not an option). */
   def qualitySql: String = {
-    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ",", ")")
-    val nWords = "size(split(trim(text), '\\\\s+'))"
-    val punct = "((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / greatest(length(text), 1))"
-    val digit = "((length(text) - length(regexp_replace(text, '[0-9]', ''))) / greatest(length(text), 1))"
-    val stop = s"(size(filter(split(lower(trim(text)), '\\\\s+'), w -> array_contains($stopArr, w))) / greatest($nWords, 1))"
+    // All counts come from the one-pass text_quality_stats kernel
+    // (exact split/regexp/length parity, spec-pinned); the double
+    // arithmetic below is operation-for-operation the r5 formulation
+    // (int/int and long/long division produce the same IEEE double), so
+    // the value is bit-identical while the 2 regexp_replace passes, the
+    // interpreted stopword HOF and 3 regex splits are gone. Repeated
+    // field accesses collapse to one kernel call per row via codegen
+    // subexpression elimination.
+    val qs = "text_quality_stats(text)"
+    val nWords = s"$qs.n_words"
+    val punct = s"(($qs.n_punct) / greatest($qs.n_chars, 1))"
+    val digit = s"(($qs.n_digit) / greatest($qs.n_chars, 1))"
+    val stop = s"(($qs.n_stop) / greatest($nWords, 1))"
     s"""greatest(0.0d, least(1.0d,
         0.5d + $stop * 1.5d - $digit * 2.0d
              - greatest($punct - 0.1d, 0.0d) * 3.0d
@@ -797,15 +825,23 @@ object Ops {
   /** Quality scoring: word stats, punctuation/digit/space ratios, stopword
     * ratio, and a blended [0,1] quality score. */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ",", ")")
+    OpsFunctions.register(docs.sparkSession)
+    // One text_quality_stats kernel call per row replaces 2
+    // regexp_replace passes, 3 regex splits and the interpreted stopword
+    // HOF; the output columns keep the r5 types (INT counts) and the
+    // identical division arithmetic, so values and schema are unchanged
+    // (spec- and oracle-pinned).
     docs.selectExpr(
       "doc_id",
-      "length(text) AS n_chars",
-      "size(split(trim(text), '\\\\s+')) AS n_words",
-      "(length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / greatest(length(text), 1) AS punct_ratio",
-      "(length(text) - length(regexp_replace(text, '[0-9]', ''))) / greatest(length(text), 1) AS digit_ratio",
-      s"""size(filter(split(lower(trim(text)), '\\\\s+'), w -> array_contains($stopArr, w)))
-         / greatest(size(split(trim(text), '\\\\s+')), 1) AS stopword_ratio""")
+      "text",
+      "text_quality_stats(text) AS __qs")
+      .selectExpr(
+        "doc_id",
+        "CAST(__qs.n_chars AS INT) AS n_chars",
+        "CAST(__qs.n_words AS INT) AS n_words",
+        "(__qs.n_punct / greatest(__qs.n_chars, 1)) AS punct_ratio",
+        "(__qs.n_digit / greatest(__qs.n_chars, 1)) AS digit_ratio",
+        "(__qs.n_stop / greatest(__qs.n_words, 1)) AS stopword_ratio")
       .withColumn("quality",
         greatest(lit(0.0), least(lit(1.0),
           lit(0.5)
@@ -933,9 +969,13 @@ object Ops {
     * boundary is deterministic. One explode + hash aggregation +
     * TakeOrdered; the aggregation output is corpus-VOCABULARY sized. */
   private def bpeDict(docs: DataFrame, cap: Int): Array[(String, Long)] =
-    docs.select(explode(split(trim(col("text")), "\\s+")).as("word"))
-      .filter(col("word") =!= "")
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    // word_count_pairs pre-aggregates counts PER DOCUMENT in one kernel
+    // pass (no regex split, no per-occurrence token row); summing the
+    // per-doc counts is exactly the explode + filter('' ) + groupBy
+    // count of r5 (spec-pinned), with hash-aggregate input shrunk from
+    // word occurrences to distinct-words-per-doc.
+    docs.select(expr("word_count_pairs(text)"))
+      .groupBy("word").agg(sum("cnt").as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(cap)
       .collect()
@@ -957,6 +997,7 @@ object Ops {
   def bpeMerges(spark: SparkSession, docs: DataFrame, nMerges: Int = 12,
                 minPair: Long = 2L, cap: Int = 1 << 16): DataFrame = {
     import spark.implicits._
+    OpsFunctions.register(spark)
     val merges = Bpe.train(bpeDict(docs, cap), nMerges, minPair)
     merges.zipWithIndex.map { case ((l, r, c), i) => (i + 1, l, r, c) }.toSeq
       .toDF("merge_rank", "lhs", "rhs", "pair_cnt")
@@ -974,6 +1015,7 @@ object Ops {
     * once per executor, not once per occurrence. */
   def bpeEncode(spark: SparkSession, docs: DataFrame, nMerges: Int = 12,
                 minPair: Long = 2L, cap: Int = 1 << 16): DataFrame = {
+    OpsFunctions.register(spark)
     val merges = Bpe.train(bpeDict(docs, cap), nMerges, minPair)
     val model = spark.sparkContext.broadcast(
       new BpeModel(merges.map(_._1), merges.map(_._2)))
@@ -1146,21 +1188,29 @@ object Ops {
     * n_windows); masking/removal against `text` is a per-row follow-on.
     *
     * Scale design: text explodes to (doc_id, pos, fp) map-side and never
-    * crosses an exchange — and is scanned ONCE: global occurrence counts
-    * come from `count(*) OVER (PARTITION BY fp)` on the exploded frame
-    * (an aggregate-then-join-back would shuffle the same occurrence rows
-    * on fp TWICE — the sort-merge join sorts on fp exactly like the
-    * window does — and re-read every document's text for the probe
-    * side). The duplicated-window set is corpus-sized, deliberately
-    * never broadcast or collected. A second shuffle on doc_id merges
-    * overlapping windows into maximal spans (gaps-and-islands over the
-    * running max end). Two id-only exchanges total, no quadratic step,
-    * nothing corpus-sized in one place. */
+    * crosses an exchange. Global occurrence counts are a TWO-LEVEL exact
+    * aggregation: groupBy(fp) partial-aggregates map-side, so a mega-hot
+    * boilerplate fingerprint (10^8-10^9 occurrences on web corpora)
+    * collapses to one partial row per map task before the tiny count
+    * shuffle — the r5 formulation (`count(*) OVER (PARTITION BY fp)`)
+    * instead serialized every occurrence of a hot fp through ONE
+    * spilling window task (no map-side partials, AQE skew splitting
+    * does not apply to windows). The duplicated-fp set then re-attaches
+    * to a recomputed occurrence frame: broadcast as a sorted primitive
+    * array probed by a codegen filter when it fits under
+    * `broadcastMaxFps` (the common case — duplicated WINDOW fps are far
+    * rarer than duplicated lines), else an fp semi-join that AQE skew
+    * splitting DOES cover. A second shuffle on doc_id merges overlapping
+    * windows into maximal spans (gaps-and-islands over the running max
+    * end). Worst case two id-only exchanges, no quadratic step, no
+    * unsplittable hot-key task, nothing corpus-sized in one place
+    * (equality with the window formulation is spec-pinned). */
   def dedupSpans(spark: SparkSession, docs: DataFrame,
-                 window: Int = 50, minCount: Long = 2): DataFrame = {
+                 window: Int = 50, minCount: Long = 2,
+                 broadcastMaxFps: Int = 4 << 20): DataFrame = {
     OpsFunctions.register(spark)
     require(window > 0 && minCount >= 2, s"window=$window minCount=$minCount")
-    val occ = docs.select(
+    def occ = docs.select(
         col("doc_id"),
         expr("word_count(text)").as("n_words"),
         posexplode(expr(s"shingle_fps_pos(text, $window)")).as(Seq("pos", "fp")))
@@ -1168,10 +1218,43 @@ object Ops {
         least(col("pos") + lit(window - 1), col("n_words") - 1)
           .cast("long").as("w_end"),
         col("fp"))
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    occ
-      .withColumn("n_occ", count(lit(1)).over(Window.partitionBy("fp")))
+    // Exact per-fp totals via hash aggregation (map-side partials bound
+    // the hot-key shuffle); only fps at or over the threshold survive.
+    val dupFps = occ.groupBy("fp").agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minCount)
+      .select("fp")
+    // Attach the duplicated-fp set back to the occurrence frame. The
+    // persist+count probe (not limit().collect(): CollectLimit re-runs
+    // the aggregation over growing partition batches) bounds the driver
+    // cost; under the cap the probe is a broadcast sorted-array binary
+    // search inside the same codegen stage as the explode — the corpus
+    // text is scanned twice (counts, probe) but never crosses an fp
+    // exchange at all.
+    import spark.implicits._
+    val dupRows: Option[Array[Long]] =
+      if (broadcastMaxFps < 0) None
+      else {
+        val p = dupFps
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          if (p.count() <= broadcastMaxFps)
+            Some(p.select(col("fp")).as[Long].collect())
+          else None
+        } finally p.unpersist(blocking = false)
+      }
+    val dupOcc = dupRows match {
+      case Some(fps) =>
+        java.util.Arrays.sort(fps)
+        val bc = spark.sparkContext.broadcast(fps)
+        occ.filter(org.apache.spark.sql.GraftBridge.column(FpInSortedSetExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("fp")), bc)))
+      case None =>
+        // Past the cap: plain fp semi-join — a JOIN, so AQE's skew-join
+        // splitting applies to hot fps (unlike the window formulation).
+        occ.join(dupFps, Seq("fp"), "left_semi")
+    }
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    dupOcc
       .select("doc_id", "pos", "w_end")
       .withColumn("pmax",
         max("w_end").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
@@ -1198,14 +1281,19 @@ object Ops {
     * stream) instead of windowing over a global order, which would
     * serialize the corpus through a single partition. */
   def packSequences(spark: SparkSession, docs: DataFrame,
-                    seqLen: Int = 2048, nShards: Int = 8): DataFrame =
+                    seqLen: Int = 2048, nShards: Int = 8): DataFrame = {
+    OpsFunctions.register(spark)
     packSequencesByCount(spark, docs.select(
       col("doc_id"),
       // NULL text packs as 0 tokens like the empty string (without the
       // guard the ELSE branch would turn every span column NULL).
+      // split_word_count is the exact size(split(trim(text),'\s+'))
+      // kernel (spec-pinned parity) — the regex split + per-row token
+      // array existed only to be counted.
       expr("CASE WHEN text IS NULL OR trim(text) = '' THEN CAST(0 AS BIGINT) " +
-        "ELSE CAST(size(split(trim(text), '\\\\s+')) AS BIGINT) END")
+        "ELSE split_word_count(text) END")
         .as("n_tokens")), seqLen, nShards)
+  }
 
   /** [[packSequences]] over PRE-COMPUTED token counts (doc_id, n_tokens)
     * — the composition point for real tokenizers: feed
@@ -1270,17 +1358,15 @@ object Ops {
     * falls back to hashing ALL words joined when a doc has fewer than k
     * words, and that fallback fp would alias a genuine lower-order
     * n-gram. */
-  private def lmCounts(train: DataFrame): DataFrame = {
-    def grams(k: Int): DataFrame = {
-      val fps =
-        if (k == 1) expr("shingle_fps_pos(text, 1)")
-        else expr(s"CASE WHEN word_count(text) >= $k THEN shingle_fps_pos(text, $k) " +
-          "ELSE CAST(array() AS ARRAY<BIGINT>) END")
-      train.select(explode(fps).as("fp")).withColumn("kind", lit(k))
-    }
-    grams(1).unionByName(grams(2)).unionByName(grams(3))
+  private def lmCounts(train: DataFrame): DataFrame =
+    // ONE kernel pass emits every 1/2/3-gram fp packed as (kind<<32)|fp
+    // (bit-identical multiset to the former three-scan union of
+    // shingle_fps_pos(text, k) for k = 1..3, spec-pinned) — the training
+    // corpus is scanned once instead of three times.
+    train.select(explode(expr("lm_gram_fps(text)")).as("p"))
+      .select(shiftright(col("p"), 32).cast("int").as("kind"),
+        col("p").bitwiseAND(lit(4294967295L)).as("fp"))
       .groupBy("kind", "fp").agg(count(lit(1)).as("cnt"))
-  }
 
   /** Collect the LM count dictionary (three sorted fp/count array pairs)
     * plus the total training token count when it fits under `cap`; None
@@ -1477,18 +1563,23 @@ object Ops {
     * integers — bit-identical across engines with no quantization
     * needed. */
   private def lrFeatures: Seq[(String, String)] = {
-    val stopArr = Stopwords.map(s => s"'$s'").mkString("array(", ",", ")")
-    val nWords = "size(split(trim(text), '\\\\s+'))"
+    // Counts from the one-pass text_quality_stats kernel (exact parity
+    // with the former split/regexp formulations, spec-pinned); the
+    // double arithmetic is unchanged operation-for-operation so the
+    // feature values — and hence the whole GD weight trajectory the
+    // oracle re-derives — are bit-identical.
+    val qs = "text_quality_stats(text)"
+    val nWords = s"$qs.n_words"
     // The three ratio features are rescaled x10 (an exact binary-safe
     // constant) so their dynamic range matches the bias term — without
     // it, full-batch GD is too ill-conditioned to move off the prior in
     // a fixed iteration budget.
     Seq(
-      "x1" -> s"(CAST((size(filter(split(lower(trim(text)), '\\\\s+'), w -> array_contains($stopArr, w))) / greatest($nWords, 1)) AS DOUBLE) * 10.0)",
-      "x2" -> "(CAST(((length(text) - length(regexp_replace(text, '[0-9]', ''))) / greatest(length(text), 1)) AS DOUBLE) * 10.0)",
-      "x3" -> "(CAST(((length(text) - length(regexp_replace(text, '[.,;:!?]', ''))) / greatest(length(text), 1)) AS DOUBLE) * 10.0)",
+      "x1" -> s"(CAST((($qs.n_stop) / greatest($nWords, 1)) AS DOUBLE) * 10.0)",
+      "x2" -> s"(CAST((($qs.n_digit) / greatest($qs.n_chars, 1)) AS DOUBLE) * 10.0)",
+      "x3" -> s"(CAST((($qs.n_punct) / greatest($qs.n_chars, 1)) AS DOUBLE) * 10.0)",
       "x4" -> s"(least(CAST($nWords AS DOUBLE), 1000.0) / 1000.0)",
-      "x5" -> s"((CAST(length(text) AS DOUBLE) / greatest(CAST($nWords AS DOUBLE), 1.0)) / 20.0)")
+      "x5" -> s"((CAST($qs.n_chars AS DOUBLE) / greatest(CAST($nWords AS DOUBLE), 1.0)) / 20.0)")
   }
 
   /** Learned selection classifier (the FineWeb/CCNet quality-filter
@@ -1511,6 +1602,7 @@ object Ops {
     * the scoring pass is shuffle-free. 10^12 docs = `iters` + 1 scans. */
   def lrFilter(spark: SparkSession, docs: DataFrame, labelExpr: Column,
                iters: Int = 20, eta: Double = 4.0): DataFrame = {
+    OpsFunctions.register(spark)
     def feats = docs.select(
       col("doc_id") +: labelExpr.cast("double").as("y") +:
         lrFeatures.map { case (n, sql) => expr(sql).as(n) }: _*)

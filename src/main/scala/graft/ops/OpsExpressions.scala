@@ -206,6 +206,56 @@ object OpsKernel {
 
   def wordCount(text: UTF8String): Long = TextKernel.wordCount(text.toString)
 
+  def lmGramFps(text: UTF8String): ArrayData =
+    new GenericArrayData(TextKernel.lmGramFps(text.toString))
+
+  def splitWordCount(text: UTF8String): Long =
+    TextKernel.splitWordCount(text.toString)
+
+  /** Non-empty regex-\s tokens of the space-trimmed text, counted per
+    * document (insertion order; order is irrelevant to the downstream
+    * aggregation). */
+  def wordCountPairs(textU: UTF8String): java.util.LinkedHashMap[String, java.lang.Long] = {
+    val s = textU.toString
+    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    var i = b
+    while (i < e) {
+      while (i < e && TextKernel.isSplitSpace(s.charAt(i))) i += 1
+      if (i < e) {
+        val ws = i
+        while (i < e && !TextKernel.isSplitSpace(s.charAt(i))) i += 1
+        val w = s.substring(ws, i)
+        val prev = m.get(w)
+        m.put(w, if (prev == null) 1L else prev + 1L)
+      }
+    }
+    m
+  }
+
+  /** The 19-entry stopword list shared with Ops.Stopwords (single source
+    * of truth — the SQL array literal formulations derive from this). */
+  val QualityStopwords: Seq[String] = Seq("the", "a", "an", "and", "or",
+    "of", "to", "in", "is", "it", "for", "on", "with", "as", "at", "by",
+    "from", "this", "that")
+  private val qualityStopSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    QualityStopwords.foreach(s.add)
+    s
+  }
+
+  /** One-pass quality counts; `lower` parity with Spark's Lower
+    * (UTF8String.toLowerCase), trim/split parity per
+    * TextKernel.qualityCounts. */
+  def qualityStats(text: UTF8String): InternalRow = {
+    val a = TextKernel.qualityCounts(text.toString,
+      text.toLowerCase.toString, qualityStopSet)
+    InternalRow(a(0), a(1), a(2), a(3), a(4))
+  }
+
   /** Distinct word-shingle overlap counts as a (n_inter, n_union) row. */
   def overlapRow(a: UTF8String, b: UTF8String, k: Int): InternalRow = {
     val (inter, union) = TextKernel.overlapCounts(a.toString, b.toString, k)
@@ -228,55 +278,187 @@ object OpsKernel {
     * }}}
     * BMP-only length parity (UTF-16 units vs codepoints), like the rest of
     * the text-kernel family. */
+  /** Open-addressing (offset, len)-keyed substring counter — counts
+    * duplicate lines/words without materializing a String or a boxed
+    * map entry per token (the former HashMap[String, Int] formulation
+    * spent most of the text_signals phase in regex split + per-token
+    * allocation). Equality is exact char comparison on hash collision,
+    * so counts match the String-keyed formulation exactly. */
+  private final class SubstrCountMap(text: String, expected: Int) {
+    private val cap = {
+      var c = 4
+      while (c < (expected + 1) * 2) c <<= 1
+      c
+    }
+    private val offs = new Array[Int](cap)
+    private val lens = new Array[Int](cap)
+    private val cnts = new Array[Int](cap)
+    java.util.Arrays.fill(lens, -1)
+    var distinct = 0
+
+    private def eqAt(slot: Int, off: Int, len: Int): Boolean = {
+      var a = offs(slot)
+      var b = off
+      val e = off + len
+      while (b < e) {
+        if (text.charAt(a) != text.charAt(b)) return false
+        a += 1; b += 1
+      }
+      true
+    }
+
+    /** Counts one occurrence; returns the (stable) slot id of the key. */
+    def add(off: Int, len: Int): Int = {
+      var h = 1
+      var i = off
+      val e = off + len
+      while (i < e) { h = 31 * h + text.charAt(i); i += 1 }
+      h = h ^ (h >>> 16)
+      var slot = h & (cap - 1)
+      while (true) {
+        if (lens(slot) == -1) {
+          offs(slot) = off; lens(slot) = len; cnts(slot) = 1
+          distinct += 1
+          return slot
+        } else if (lens(slot) == len && eqAt(slot, off, len)) {
+          cnts(slot) += 1
+          return slot
+        } else slot = (slot + 1) & (cap - 1)
+      }
+      0
+    }
+
+    def maxCount: Int = {
+      var m = 0
+      var i = 0
+      while (i < cap) { if (lens(i) >= 0 && cnts(i) > m) m = cnts(i); i += 1 }
+      m
+    }
+
+    /** Sum of cnt * len over keys with cnt > 1 (duplicate-line chars). */
+    def dupChars: Long = {
+      var s = 0L
+      var i = 0
+      while (i < cap) {
+        if (lens(i) >= 0 && cnts(i) > 1) s += cnts(i).toLong * lens(i)
+        i += 1
+      }
+      s
+    }
+  }
+
+  /** Open-addressing long-key counter for bigram (slotA, slotB) pairs. */
+  private final class LongCountMap(expected: Int) {
+    private val cap = {
+      var c = 4
+      while (c < (expected + 1) * 2) c <<= 1
+      c
+    }
+    private val keys = new Array[Long](cap)
+    private val cnts = new Array[Int](cap)
+
+    def add(key: Long): Unit = {
+      var h = (key ^ (key >>> 32)).toInt
+      h = h ^ (h >>> 16)
+      var slot = h & (cap - 1)
+      while (true) {
+        if (cnts(slot) == 0) { keys(slot) = key; cnts(slot) = 1; return }
+        else if (keys(slot) == key) { cnts(slot) += 1; return }
+        else slot = (slot + 1) & (cap - 1)
+      }
+    }
+
+    def maxCount: Int = {
+      var m = 0
+      var i = 0
+      while (i < cap) { if (cnts(i) > m) m = cnts(i); i += 1 }
+      m
+    }
+  }
+
   def repetitionStats(textU: UTF8String): InternalRow = {
     val text = textU.toString
-    val lines = text.split("\n", -1)
-    // Spark's trim() strips the space character only.
+    val n = text.length
+
+    // ---- lines: split on '\n' with limit -1 semantics (all segments,
+    // trailing empties kept; "" -> one empty line), counted in place.
+    var nLines = 0
+    var i = 0
+    while (i <= n) { // one segment per '\n' + the final segment
+      var j = i
+      while (j < n && text.charAt(j) != '\n') j += 1
+      nLines += 1
+      i = j + 1
+    }
+    val lineMap = new SubstrCountMap(text, nLines)
+    var nonNl = 0
+    i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && text.charAt(j) != '\n') j += 1
+      lineMap.add(i, j - i)
+      nonNl += j - i
+      i = j + 1
+    }
+
+    // ---- words: split(trim(text), "\\s+") with limit -1 semantics —
+    // Spark's trim strips spaces only; the regex-\s token walk keeps a
+    // leading/trailing EMPTY token when a non-space separator survives
+    // the trim (exact parity with the former String.split formulation,
+    // spec-pinned against the HOF reference).
     var b = 0
-    var e = text.length
+    var e = n
     while (b < e && text.charAt(b) == ' ') b += 1
     while (e > b && text.charAt(e - 1) == ' ') e -= 1
-    val words = text.substring(b, e).split("\\s+", -1)
-
-    val lineCnt = new java.util.HashMap[String, Int]()
-    var i = 0
-    var nonNl = 0
-    while (i < lines.length) {
-      lineCnt.merge(lines(i), 1, (x, y) => x + y)
-      nonNl += lines(i).length
-      i += 1
+    // Count tokens first (sizes the maps; empty trimmed text -> [""]).
+    var nWords = 0
+    if (b == e) nWords = 1
+    else {
+      def isS(c: Char): Boolean =
+        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      if (isS(text.charAt(b))) nWords += 1
+      if (isS(text.charAt(e - 1))) nWords += 1
+      i = b
+      while (i < e) {
+        while (i < e && isS(text.charAt(i))) i += 1
+        if (i < e) {
+          nWords += 1
+          while (i < e && !isS(text.charAt(i))) i += 1
+        }
+      }
     }
-    var dupChars = 0L
-    var it = lineCnt.entrySet().iterator()
-    while (it.hasNext) {
-      val en = it.next()
-      if (en.getValue > 1) dupChars += en.getValue.toLong * en.getKey.length
+    val wordMap = new SubstrCountMap(text, nWords)
+    val bgMap = new LongCountMap(Math.max(nWords - 1, 0))
+    var prevSlot = -1
+    if (b == e) { wordMap.add(0, 0); prevSlot = 0 }
+    else {
+      def isS(c: Char): Boolean =
+        c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+      def emit(off: Int, len: Int): Unit = {
+        val slot = wordMap.add(off, len)
+        if (prevSlot >= 0) bgMap.add((prevSlot.toLong << 32) | slot)
+        prevSlot = slot
+      }
+      if (isS(text.charAt(b))) emit(b, 0) // leading "" token
+      i = b
+      while (i < e) {
+        while (i < e && isS(text.charAt(i))) i += 1
+        if (i < e) {
+          val ws = i
+          while (i < e && !isS(text.charAt(i))) i += 1
+          emit(ws, i - ws)
+        }
+      }
+      if (isS(text.charAt(e - 1))) emit(e, 0) // trailing "" token (limit -1)
     }
-
-    val wordCnt = new java.util.HashMap[String, Int]()
-    i = 0
-    while (i < words.length) { wordCnt.merge(words(i), 1, (x, y) => x + y); i += 1 }
-    var topWord = 0
-    it = wordCnt.entrySet().iterator()
-    while (it.hasNext) topWord = Math.max(topWord, it.next().getValue)
-
-    val bgCnt = new java.util.HashMap[String, Int]()
-    i = 0
-    while (i + 1 < words.length) {
-      bgCnt.merge(words(i) + " " + words(i + 1), 1, (x, y) => x + y)
-      i += 1
-    }
-    var topBg = 0
-    it = bgCnt.entrySet().iterator()
-    while (it.hasNext) topBg = Math.max(topBg, it.next().getValue)
-    val nBg = Math.max(words.length - 1, 0)
+    val nBg = Math.max(nWords - 1, 0)
 
     InternalRow(
-      lines.length, words.length,
-      1.0 - lineCnt.size.toDouble / lines.length,
-      dupChars.toDouble / Math.max(nonNl, 1),
-      topWord.toDouble / Math.max(words.length, 1),
-      topBg.toDouble / Math.max(nBg, 1))
+      nLines, nWords,
+      1.0 - lineMap.distinct.toDouble / nLines,
+      lineMap.dupChars.toDouble / Math.max(nonNl, 1),
+      wordMap.maxCount.toDouble / Math.max(nWords, 1),
+      bgMap.maxCount.toDouble / Math.max(nBg, 1))
   }
 }
 
@@ -432,6 +614,28 @@ case class ShingleHitsExpr(text: Expression, shingle: Int,
     copy(text = c)
 }
 
+/** Membership probe of a long fingerprint against a broadcast SORTED
+  * array (binary search) — the de-skewed [[Ops.dedupSpans]] attach: the
+  * duplicated-fp set filters the occurrence frame inside the same
+  * codegen stage as the explode, so hot fps never cross an exchange. */
+case class FpInSortedSetExpr(fp: Expression,
+                             fps: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def child: Expression = fp
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "fp_in_sorted_set"
+  override protected def nullSafeEval(v: Any): Any =
+    java.util.Arrays.binarySearch(fps.value, v.asInstanceOf[Long]) >= 0
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dupFps", fps,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, v =>
+      s"java.util.Arrays.binarySearch((long[]) $ref.value(), $v) >= 0")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(fp = c)
+}
+
 /** Positional (ordered, non-distinct) variant of [[ShingleFpsExpr]]. */
 case class ShingleFpsPosExpr(text: Expression, shingle: Expression)
     extends BinaryExpression {
@@ -457,6 +661,55 @@ case class WordCountExpr(child: Expression) extends UnaryExpression {
     OpsKernel.wordCount(t.asInstanceOf[UTF8String])
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, t => s"graft.ops.OpsKernel.wordCount($t)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Packed (kind << 32 | fp) 1/2/3-gram fingerprints in one kernel pass —
+  * the single-scan LM count-table source (see TextKernel.lmGramFps). */
+case class LmGramFpsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "lm_gram_fps"
+  override protected def nullSafeEval(t: Any): Any =
+    OpsKernel.lmGramFps(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ops.OpsKernel.lmGramFps($t)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** EXACT `size(split(trim(text), '\\s+'))` parity word count (regex-\\s,
+  * limit -1 — NOT the Character.isWhitespace semantics of word_count):
+  * replaces the regex split + array materialization that several
+  * operators paid per row just to count tokens. */
+case class SplitWordCountExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "split_word_count"
+  override protected def nullSafeEval(t: Any): Any =
+    OpsKernel.splitWordCount(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ops.OpsKernel.splitWordCount($t)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** One-pass surface-quality counts — struct(n_chars, n_words, n_stop,
+  * n_digit, n_punct) with exact split/regexp_replace/length parity (see
+  * TextKernel.qualityCounts). Replaces the 2 regexp_replace passes + the
+  * interpreted higher-order stopword filter + 3 regex splits that the
+  * qualityScore/lrFilter feature extraction previously paid per row. */
+case class QualityStatsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_stop", LongType, nullable = false),
+    StructField("n_digit", LongType, nullable = false),
+    StructField("n_punct", LongType, nullable = false)))
+  override def prettyName: String = "text_quality_stats"
+  override protected def nullSafeEval(t: Any): Any =
+    OpsKernel.qualityStats(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ops.OpsKernel.qualityStats($t)")
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
 }
@@ -869,6 +1122,42 @@ case class LmProbesGen(text: Expression)
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(text = cs(0))
   override def prettyName: String = "lm_probes"
+}
+
+/** Per-document (word, cnt) pairs — word = non-empty token of
+  * split(trim(text), '\\s+') — pre-aggregated per row, so the global
+  * word-count aggregation (bpeDict) feeds distinct-words-per-doc rows
+  * into the hash aggregate instead of one row per word OCCURRENCE, and
+  * the per-row regex split + token array never materializes. The summed
+  * counts equal the explode + filter(word != '') + groupBy formulation
+  * exactly (spec-pinned). */
+case class WordCountPairsGen(text: Expression)
+    extends Generator with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def children: Seq[Expression] = Seq(text)
+  override def elementSchema: StructType = StructType(Seq(
+    StructField("word", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false)))
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val t = text.eval(input)
+    if (t == null) Iterator.empty
+    else {
+      val m = OpsKernel.wordCountPairs(t.asInstanceOf[UTF8String])
+      if (m.isEmpty) Iterator.empty
+      else {
+        val it = m.entrySet().iterator()
+        new Iterator[InternalRow] {
+          override def hasNext: Boolean = it.hasNext
+          override def next(): InternalRow = {
+            val e = it.next()
+            InternalRow(UTF8String.fromString(e.getKey), e.getValue.longValue())
+          }
+        }
+      }
+    }
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(text = cs(0))
+  override def prettyName: String = "word_count_pairs"
 }
 
 case class CharNgramsGen(text: Expression, n: Expression, max: Expression)

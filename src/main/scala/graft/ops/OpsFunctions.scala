@@ -30,7 +30,11 @@ object OpsFunctions {
     "cosine_similarity" -> (es => CosineSimExpr(es(0), es(1))),
     "hyperplane_lsh" -> (es => HyperplaneSigExpr(es(0), int(es(1)), lng(es(2)))),
     "char_ngrams" -> (es => CharNgramsGen(str(es(0)), int(es(1)), int(es(2)))),
-    "lm_probes" -> (es => LmProbesGen(str(es(0)))))
+    "lm_probes" -> (es => LmProbesGen(str(es(0)))),
+    "lm_gram_fps" -> (es => LmGramFpsExpr(str(es(0)))),
+    "split_word_count" -> (es => SplitWordCountExpr(str(es(0)))),
+    "word_count_pairs" -> (es => WordCountPairsGen(str(es(0)))),
+    "text_quality_stats" -> (es => QualityStatsExpr(str(es(0)))))
 
   private val RegisteredKey = "graft.ops.functions.registered"
 

@@ -192,6 +192,14 @@ object Temporal {
           coalesce(col("n_id"), col("ek_id")).as("ek_id"),
           (col("depth") + when(col("n_ts").isNotNull, 1).otherwise(0))
             .as("depth"))
+        // Truncate lineage per step: frontier_k references frontier_{k-1}
+        // TWICE (directly and through nxt), so without the cut the
+        // logical plan doubles per step — 2^(k-1) embedded copies of the
+        // step-1 aggregation by step k (analysis/planning cost, and
+        // ReusedExchange was the only thing containing the runtime).
+        // localCheckpoint materializes the one-row-per-user frontier and
+        // makes the plan linear in steps (plan-pinned in TemporalSpec).
+        .localCheckpoint(eager = false)
       prevDepth += 1
     }
     frontier.select(col("user_id"), col("depth"),

@@ -132,6 +132,114 @@ object TextKernel {
     out
   }
 
+  /** All 1/2/3-gram fingerprints of the text in ONE wordBounds pass,
+    * packed as (kind << 32) | fp (fp < 2^31 so the pack is lossless).
+    * The multiset of (kind, fp) pairs is exactly what three separate
+    * `shingleFps(text, k)` passes over k = 1..3 emit for docs with
+    * `wordCount >= k` (the lmCounts guard): every unigram, every bigram,
+    * every trigram, each once — so the LM count table built from this is
+    * bit-identical to the three-scan union while scanning the text once. */
+  def lmGramFps(text: String): Array[Long] = {
+    val (starts, ends) = wordBounds(text)
+    val n = starts.length
+    if (n == 0) return Array.emptyLongArray
+    val nBi = math.max(n - 1, 0)
+    val nTri = math.max(n - 2, 0)
+    val out = new Array[Long](n + nBi + nTri)
+    var o = 0
+    var j = 0
+    while (j < n) {
+      out(o) = (1L << 32) | joinedFp(text, starts, ends, j, j + 1)
+      o += 1
+      if (j >= 1) {
+        out(o) = (2L << 32) | joinedFp(text, starts, ends, j - 1, j + 1)
+        o += 1
+      }
+      if (j >= 2) {
+        out(o) = (3L << 32) | joinedFp(text, starts, ends, j - 2, j + 1)
+        o += 1
+      }
+      j += 1
+    }
+    out
+  }
+
+  /** Java-regex whitespace class of `split(_, "\\s+")` (ASCII only — NOT
+    * Character.isWhitespace; the distinction matters for exotic Unicode
+    * spaces and is why these split-parity kernels exist separately from
+    * [[wordBounds]]). */
+  @inline private[ops] def isSplitSpace(c: Char): Boolean =
+    c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+
+  /** EXACT `size(split(trim(text), "\\s+"))` semantics (Spark SQL): trim
+    * strips the space character only; Spark's split uses Java split with
+    * limit -1, so "" yields [""] (size 1), a leading separator char
+    * surviving trim (e.g. '\t') yields a leading empty token AND a
+    * trailing separator yields a trailing empty token. */
+  def splitWordCount(s: String): Long = {
+    var b = 0
+    var e = s.length
+    while (b < e && s.charAt(b) == ' ') b += 1
+    while (e > b && s.charAt(e - 1) == ' ') e -= 1
+    if (b == e) return 1L // split("") -> [""]
+    var n = 0L
+    if (isSplitSpace(s.charAt(b))) n += 1 // leading separator -> "" token
+    if (isSplitSpace(s.charAt(e - 1))) n += 1 // limit -1: trailing "" kept
+    var i = b
+    while (i < e) {
+      while (i < e && isSplitSpace(s.charAt(i))) i += 1
+      if (i < e) {
+        n += 1
+        while (i < e && !isSplitSpace(s.charAt(i))) i += 1
+      }
+    }
+    n
+  }
+
+  /** Surface quality counts in one pass, split-parity semantics —
+    * the integer inputs behind qualityScore/qualitySql/lrFilter:
+    * (n_chars = codepoint length, n_words = [[splitWordCount]],
+    * n_stop = tokens of the LOWERCASED trimmed text in `stop`,
+    * n_digit = chars in [0-9], n_punct = chars in [.,;:!?]).
+    * `lowered` must be the lower(trim(text)) the SQL formulation splits
+    * (lowercasing can change lengths for exotic case mappings, so the
+    * stop count runs over the lowered string, exactly like the SQL). */
+  def qualityCounts(s: String, lowered: String,
+                    stop: java.util.HashSet[String]): Array[Long] = {
+    var nChars = 0L
+    var nDigit = 0L
+    var nPunct = 0L
+    var i = 0
+    val len = s.length
+    while (i < len) {
+      val c = s.charAt(i)
+      // Code-point length parity with Spark's length(): count a
+      // surrogate pair once.
+      if (!Character.isLowSurrogate(c)) nChars += 1
+      if (c >= '0' && c <= '9') nDigit += 1
+      else if (c == '.' || c == ',' || c == ';' || c == ':' || c == '!' || c == '?')
+        nPunct += 1
+      i += 1
+    }
+    // Stopword tokens of the lowered trimmed text (empty tokens are never
+    // stopwords, so the leading-empty-token artifact cannot contribute).
+    var nStop = 0L
+    var b = 0
+    var e = lowered.length
+    while (b < e && lowered.charAt(b) == ' ') b += 1
+    while (e > b && lowered.charAt(e - 1) == ' ') e -= 1
+    i = b
+    while (i < e) {
+      while (i < e && isSplitSpace(lowered.charAt(i))) i += 1
+      if (i < e) {
+        val ws = i
+        while (i < e && !isSplitSpace(lowered.charAt(i))) i += 1
+        if (stop.contains(lowered.substring(ws, i))) nStop += 1
+      }
+    }
+    Array(nChars, splitWordCount(s), nStop, nDigit, nPunct)
+  }
+
   /** MinHash signature over word `k`-shingles: `numHashes` minima of the
     * affine hash family applied to shingle fingerprints. */
   def minHash(text: String, k: Int, numHashes: Int): Array[Long] = {
