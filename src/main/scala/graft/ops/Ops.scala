@@ -974,7 +974,7 @@ object Ops {
     // per-doc counts is exactly the explode + filter('' ) + groupBy
     // count of r5 (spec-pinned), with hash-aggregate input shrunk from
     // word occurrences to distinct-words-per-doc.
-    docs.select(expr("word_count_pairs(text)"))
+    docs.selectExpr("inline(word_count_pairs(text))")
       .groupBy("word").agg(sum("cnt").as("cnt"))
       .orderBy(col("cnt").desc, col("word"))
       .limit(cap)

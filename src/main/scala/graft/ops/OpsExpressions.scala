@@ -213,11 +213,11 @@ object OpsKernel {
     TextKernel.splitWordCount(text.toString)
 
   /** Non-empty regex-\s tokens of the space-trimmed text, counted per
-    * document (insertion order; order is irrelevant to the downstream
-    * aggregation). */
-  def wordCountPairs(textU: UTF8String): java.util.LinkedHashMap[String, java.lang.Long] = {
+    * document, as an array of (word, cnt) rows (order: first occurrence;
+    * irrelevant to the downstream aggregation). */
+  def wordCountPairsArr(textU: UTF8String): ArrayData = {
     val s = textU.toString
-    val m = new java.util.LinkedHashMap[String, java.lang.Long]()
+    val m = new java.util.LinkedHashMap[String, Array[Long]]()
     var b = 0
     var e = s.length
     while (b < e && s.charAt(b) == ' ') b += 1
@@ -230,10 +230,18 @@ object OpsKernel {
         while (i < e && !TextKernel.isSplitSpace(s.charAt(i))) i += 1
         val w = s.substring(ws, i)
         val prev = m.get(w)
-        m.put(w, if (prev == null) 1L else prev + 1L)
+        if (prev == null) m.put(w, Array(1L)) else prev(0) += 1L
       }
     }
-    m
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val en = it.next()
+      out(i) = InternalRow(UTF8String.fromString(en.getKey), en.getValue.apply(0))
+      i += 1
+    }
+    new GenericArrayData(out)
   }
 
   /** The 19-entry stopword list shared with Ops.Stopwords (single source
@@ -1124,40 +1132,24 @@ case class LmProbesGen(text: Expression)
   override def prettyName: String = "lm_probes"
 }
 
-/** Per-document (word, cnt) pairs — word = non-empty token of
+/** Per-document array of (word, cnt) structs — word = non-empty token of
   * split(trim(text), '\\s+') — pre-aggregated per row, so the global
   * word-count aggregation (bpeDict) feeds distinct-words-per-doc rows
-  * into the hash aggregate instead of one row per word OCCURRENCE, and
-  * the per-row regex split + token array never materializes. The summed
-  * counts equal the explode + filter(word != '') + groupBy formulation
-  * exactly (spec-pinned). */
-case class WordCountPairsGen(text: Expression)
-    extends Generator with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
-  override def children: Seq[Expression] = Seq(text)
-  override def elementSchema: StructType = StructType(Seq(
+  * (via `inline`, which GenerateExec codegens) instead of one row per
+  * word OCCURRENCE, and the per-row regex split + token array never
+  * materializes. The summed counts equal the explode + filter('' ) +
+  * groupBy formulation exactly (spec-pinned). */
+case class WordCountPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("word", StringType, nullable = false),
-    StructField("cnt", LongType, nullable = false)))
-  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
-    val t = text.eval(input)
-    if (t == null) Iterator.empty
-    else {
-      val m = OpsKernel.wordCountPairs(t.asInstanceOf[UTF8String])
-      if (m.isEmpty) Iterator.empty
-      else {
-        val it = m.entrySet().iterator()
-        new Iterator[InternalRow] {
-          override def hasNext: Boolean = it.hasNext
-          override def next(): InternalRow = {
-            val e = it.next()
-            InternalRow(UTF8String.fromString(e.getKey), e.getValue.longValue())
-          }
-        }
-      }
-    }
-  }
-  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
-    copy(text = cs(0))
+    StructField("cnt", LongType, nullable = false))), containsNull = false)
   override def prettyName: String = "word_count_pairs"
+  override protected def nullSafeEval(t: Any): Any =
+    OpsKernel.wordCountPairsArr(t.asInstanceOf[UTF8String])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t => s"graft.ops.OpsKernel.wordCountPairsArr($t)")
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 case class CharNgramsGen(text: Expression, n: Expression, max: Expression)

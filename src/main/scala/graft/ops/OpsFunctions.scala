@@ -33,7 +33,7 @@ object OpsFunctions {
     "lm_probes" -> (es => LmProbesGen(str(es(0)))),
     "lm_gram_fps" -> (es => LmGramFpsExpr(str(es(0)))),
     "split_word_count" -> (es => SplitWordCountExpr(str(es(0)))),
-    "word_count_pairs" -> (es => WordCountPairsGen(str(es(0)))),
+    "word_count_pairs" -> (es => WordCountPairsExpr(str(es(0)))),
     "text_quality_stats" -> (es => QualityStatsExpr(str(es(0)))))
 
   private val RegisteredKey = "graft.ops.functions.registered"

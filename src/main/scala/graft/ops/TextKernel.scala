@@ -80,20 +80,79 @@ object TextKernel {
     h
   }
 
+  /** Prefix hashes of the canonical word stream (words joined by single
+    * spaces): any word-range fingerprint in O(1) via
+    *   H(a..b) = ((5381 - pre[s]) * 31^L + pre[e]) mod P,
+    * bit-identical to [[joinedFp]]'s left-fold (H = 5381*31^L + U with
+    * U(s..e) = pre[e] - pre[s]*31^L, all exact mod-P arithmetic) —
+    * turns the O(n*k) per-document k-shingle sweep into O(n). */
+  private final class JoinedStream(text: String,
+                                   starts: Array[Int], ends: Array[Int]) {
+    val nWords: Int = starts.length
+    // Stream offsets: word w occupies [wOff(w), wOff(w) + len(w)).
+    private val wOff = new Array[Int](nWords + 1)
+    locally {
+      var off = 0
+      var w = 0
+      while (w < nWords) {
+        wOff(w) = off
+        off += ends(w) - starts(w) + 1 // + the joining space (last unused)
+        w += 1
+      }
+      wOff(nWords) = off
+    }
+    private val streamLen = if (nWords == 0) 0 else wOff(nWords) - 1
+    private val pre = new Array[Long](streamLen + 1)
+    private val pw = new Array[Long](streamLen + 1)
+    locally {
+      pw(0) = 1L
+      var t = 1
+      while (t <= streamLen) { pw(t) = (31L * pw(t - 1)) % P; t += 1 }
+      var h = 0L
+      var pos = 0 // chars consumed so far; pre(pos) = hash of stream[0,pos)
+      pre(0) = 0L
+      var w = 0
+      while (w < nWords) {
+        if (w > 0) { h = (31L * h + ' ') % P; pos += 1; pre(pos) = h }
+        var i = starts(w)
+        val e = ends(w)
+        while (i < e) {
+          h = (31L * h + text.charAt(i)) % P
+          pos += 1
+          pre(pos) = h
+          i += 1
+        }
+        w += 1
+      }
+    }
+
+    /** Seeded fingerprint of words [from, until), until > from. */
+    def fp(from: Int, until: Int): Long = {
+      val s = wOff(from)
+      val e = wOff(until) - 1 // drop the trailing join-space slot
+      val len = e - s
+      val head = (5381L - pre(s) + P) % P
+      (head * pw(len) + pre(e)) % P
+    }
+  }
+
   /** Fingerprints (mod P) of all word `k`-shingles of the text; a shingle's
     * fingerprint is the rolling hash of its words joined by one space.
     * Fewer than k words: one fingerprint of all words joined. */
   def shingleFps(text: String, k: Int): Array[Long] = {
     val (starts, ends) = wordBounds(text)
     val words = starts.length
-    if (words < k) {
-      if (words == 0) return Array.emptyLongArray
-      return Array(joinedFp(text, starts, ends, 0, words))
-    }
+    if (words == 0) return Array.emptyLongArray
+    if (words < k) return Array(joinedFp(text, starts, ends, 0, words))
+    if (k == 1 && words == 1)
+      return Array(joinedFp(text, starts, ends, 0, 1))
+    // O(n) rolling form (prefix hashes over the canonical word stream);
+    // each entry equals the joinedFp left-fold bit-for-bit.
+    val js = new JoinedStream(text, starts, ends)
     val out = new Array[Long](words - k + 1)
     var i = 0
     while (i + k <= words) {
-      out(i) = joinedFp(text, starts, ends, i, i + k)
+      out(i) = js.fp(i, i + k)
       i += 1
     }
     out
@@ -118,15 +177,17 @@ object TextKernel {
   def lmProbeFps(text: String): Array[Long] = {
     val (starts, ends) = wordBounds(text)
     val n = starts.length
+    if (n == 0) return Array.emptyLongArray
+    val js = new JoinedStream(text, starts, ends)
     val out = new Array[Long](5 * n)
     var j = 0
     while (j < n) {
       val o = 5 * j
-      out(o) = joinedFp(text, starts, ends, j, j + 1)
+      out(o) = js.fp(j, j + 1)
       out(o + 1) = if (j >= 1) out(o - 5) else -1L
-      out(o + 2) = if (j >= 1) joinedFp(text, starts, ends, j - 1, j + 1) else -1L
+      out(o + 2) = if (j >= 1) js.fp(j - 1, j + 1) else -1L
       out(o + 3) = if (j >= 2) out(o - 5 + 2) else -1L
-      out(o + 4) = if (j >= 2) joinedFp(text, starts, ends, j - 2, j + 1) else -1L
+      out(o + 4) = if (j >= 2) js.fp(j - 2, j + 1) else -1L
       j += 1
     }
     out
@@ -143,20 +204,21 @@ object TextKernel {
     val (starts, ends) = wordBounds(text)
     val n = starts.length
     if (n == 0) return Array.emptyLongArray
+    val js = new JoinedStream(text, starts, ends)
     val nBi = math.max(n - 1, 0)
     val nTri = math.max(n - 2, 0)
     val out = new Array[Long](n + nBi + nTri)
     var o = 0
     var j = 0
     while (j < n) {
-      out(o) = (1L << 32) | joinedFp(text, starts, ends, j, j + 1)
+      out(o) = (1L << 32) | js.fp(j, j + 1)
       o += 1
       if (j >= 1) {
-        out(o) = (2L << 32) | joinedFp(text, starts, ends, j - 1, j + 1)
+        out(o) = (2L << 32) | js.fp(j - 1, j + 1)
         o += 1
       }
       if (j >= 2) {
-        out(o) = (3L << 32) | joinedFp(text, starts, ends, j - 2, j + 1)
+        out(o) = (3L << 32) | js.fp(j - 2, j + 1)
         o += 1
       }
       j += 1

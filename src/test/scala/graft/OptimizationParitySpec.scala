@@ -154,10 +154,33 @@ class OptimizationParitySpec extends AnyFunSuite {
       .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .collect().map(_.toString).sorted
-    val neu = docs.select(expr("word_count_pairs(text)"))
+    val neu = docs.selectExpr("inline(word_count_pairs(text))")
       .groupBy("word").agg(sum("cnt").as("cnt"))
       .collect().map(_.toString).sorted
     assert(old.nonEmpty && neu.sameElements(old))
+  }
+
+  test("rolling shingle fingerprints equal the left-fold definition") {
+    // Direct re-derivation: fp of words [i, i+k) = stringFp of the words
+    // joined by one space — the rolling prefix-hash form must match it
+    // bit-for-bit on adversarial word-length mixes.
+    val rnd = new scala.util.Random(42)
+    val texts = (1 to 200).map { _ =>
+      val n = rnd.nextInt(30)
+      (0 until n).map(_ => rnd.alphanumeric.take(1 + rnd.nextInt(7)).mkString)
+        .mkString(sep = if (rnd.nextBoolean()) " " else "\t")
+    } :+ "" :+ "a" :+ "  x  " :+ "ab\ncd ef\tgh"
+    for (t <- texts; k <- Seq(1, 2, 3, 5, 20)) {
+      val got = graft.ops.TextKernel.shingleFps(t, k).toSeq
+      val words = t.split("\\s+").filter(_.nonEmpty).toSeq
+      val exp =
+        if (words.isEmpty) Seq.empty
+        else if (words.length < k)
+          Seq(graft.ops.TextKernel.stringFp(words.mkString(" ")))
+        else words.sliding(k).map(w =>
+          graft.ops.TextKernel.stringFp(w.mkString(" "))).toSeq
+      assert(got == exp, s"k=$k text='$t'")
+    }
   }
 
   test("qualityScore values and schema are unchanged by the kernel") {
