@@ -82,6 +82,18 @@ object Knn {
       levels.map(l => col(s"__pcell$l"))): _*)
   }
 
+  /** Re-derives the escalation-level parent columns from the stored
+    * finest cell (3 bit ops per row at read) — the bucketed table only
+    * persists the finest cell, which cuts the one-time prepare write
+    * (and its stats job) by two long columns. */
+  private def withParents(df: DataFrame, levels: List[Int]): DataFrame = {
+    var out = df
+    for (l <- levels.tail)
+      out = out.withColumn(s"__pcell$l",
+        expr(s"h3_cell_to_parent(__pcell${levels.head}, $l)"))
+    out
+  }
+
   /** The bucketed storage behind a [[PreparedCorpus]]: an Icelite table
     * partitioned by the res-`bucketRes` bit-parent of the corpus cell,
     * with per-bucket row counts from the manifest. Query batches prune
@@ -149,10 +161,18 @@ object Knn {
     val tableRoot =
       if (owns) java.nio.file.Files.createTempDirectory("graft-knn-corpus").toString
       else root
-    val frame = corpusFrame(points, levels)
+    // Only the finest cell column is persisted (escalation parents are
+    // re-derived by bit ops at read via withParents) — two fewer long
+    // columns through the staging shuffle, the parquet encode and the
+    // stats job of the one-time build.
+    val frame = points
+      .withColumn(s"__pcell${levels.head}",
+        expr(s"h3_latlng_to_cell(lat, lng, ${levels.head})"))
       // Null cells (invalid coordinates) can never match a disk and would
       // poison the partition key; at the table boundary they are dropped.
       .filter(col(s"__pcell${levels.head}").isNotNull)
+      .select(col("id"), col("lat").as("plat"), col("lng").as("plng"),
+        col(s"__pcell${levels.head}"))
       .withColumn("__bucket",
         expr(s"h3_cell_to_parent(__pcell${levels.head}, $bRes)"))
     Icelite.writeResumable(spark, frame, tableRoot, "__bucket",
@@ -164,7 +184,7 @@ object Knn {
         val files = snap.entries.map(e => e.value -> e.files.length).toMap
         // Lazy cache: materialized only if a batch actually needs the
         // full scan (dispersed batch or escalation round).
-        val ptsC = Icelite.read(spark, tableRoot).cache()
+        val ptsC = withParents(Icelite.read(spark, tableRoot), levels).cache()
         PreparedCorpus(ptsC, levels, res,
           Some(CorpusStore(tableRoot, bRes, owns, rows, files,
             rows.valuesIterator.sum, pruneMaxRowFraction)))
@@ -172,7 +192,8 @@ object Knn {
         // Empty corpus: nothing was staged, so no snapshot exists — fall
         // back to an (empty) in-memory frame with no store.
         if (owns) Icelite.drop(tableRoot)
-        PreparedCorpus(frame.drop("__bucket").cache(), levels, res, None)
+        PreparedCorpus(withParents(frame.drop("__bucket"), levels).cache(),
+          levels, res, None)
     }
   }
 
@@ -302,8 +323,20 @@ object Knn {
                 // share one resolution, so raw-long order is total and
                 // the BETWEEN is a semantic no-op over the equi-join.
                 val (lo, hi) = (bRows.head.getLong(1), bRows.head.getLong(2))
-                val pruned = Icelite.readWhereOpt(spark, st.root, bSet.contains)
-                  .map(_.filter(col(s"__pcell$level").between(lo, hi)))
+                // Stored schema carries only the finest cell; re-derive
+                // the ladder parents (bit ops) AFTER the range filter so
+                // the finest-cell BETWEEN still pushes into the parquet
+                // scan. For level == levels.head the filter column IS the
+                // stored one (the common round-0 case); for escalation
+                // levels the equivalent stored-column range is the same
+                // [lo, hi] mapped through bit parentage — conservatively
+                // filter on the derived column post-read there.
+                val raw = Icelite.readWhereOpt(spark, st.root, bSet.contains)
+                val pruned = raw
+                  .map { df =>
+                    val dressed = withParents(df, levels)
+                    dressed.filter(col(s"__pcell$level").between(lo, hi))
+                  }
                   .getOrElse(ptsC.limit(0))
                 lastPreparedScan = Some(("pruned",
                   bSet.iterator.map(st.filesByBucket.getOrElse(_, 0)).sum))
