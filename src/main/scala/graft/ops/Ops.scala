@@ -1242,30 +1242,42 @@ object Ops {
           else None
         } finally p.unpersist(blocking = false)
       }
-    val dupOcc = dupRows match {
+    dupRows match {
       case Some(fps) =>
+        // Broadcast path: the span merge itself runs INSIDE the probe
+        // scan (window fps stream in position order, so gaps-and-islands
+        // is a local pass per document) — the probe side carries NO
+        // exchange at all: no occurrence re-shuffle on doc_id, no window
+        // sort. Rows equal the relational merge below (spec-pinned).
         java.util.Arrays.sort(fps)
         val bc = spark.sparkContext.broadcast(fps)
-        occ.filter(org.apache.spark.sql.GraftBridge.column(FpInSortedSetExpr(
-          org.apache.spark.sql.GraftBridge.expression(col("fp")), bc)))
+        val spansCol = org.apache.spark.sql.GraftBridge.column(SpanMergeExpr(
+          org.apache.spark.sql.GraftBridge.expression(col("text")),
+          window.toInt, bc))
+        docs.select(col("doc_id"), explode(spansCol).as("s"))
+          .select(col("doc_id"), col("s.span_id").as("span_id"),
+            col("s.start_tok").as("start_tok"),
+            col("s.end_tok").as("end_tok"),
+            col("s.n_windows").as("n_windows"))
       case None =>
         // Past the cap: plain fp semi-join — a JOIN, so AQE's skew-join
-        // splitting applies to hot fps (unlike the window formulation).
-        occ.join(dupFps, Seq("fp"), "left_semi")
+        // splitting applies to hot fps (unlike the window formulation) —
+        // then the relational gaps-and-islands merge on doc_id.
+        val dupOcc = occ.join(dupFps, Seq("fp"), "left_semi")
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        dupOcc
+          .select("doc_id", "pos", "w_end")
+          .withColumn("pmax",
+            max("w_end").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
+          .withColumn("brk",
+            when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L).otherwise(0L))
+          .withColumn("span_id",
+            sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .groupBy("doc_id", "span_id")
+          .agg(min("pos").as("start_tok"), max("w_end").as("end_tok"),
+            count(lit(1)).as("n_windows"))
+          .select("doc_id", "span_id", "start_tok", "end_tok", "n_windows")
     }
-    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    dupOcc
-      .select("doc_id", "pos", "w_end")
-      .withColumn("pmax",
-        max("w_end").over(byDoc.rowsBetween(Window.unboundedPreceding, -1)))
-      .withColumn("brk",
-        when(col("pmax").isNull || col("pos") > col("pmax") + 1, 1L).otherwise(0L))
-      .withColumn("span_id",
-        sum("brk").over(byDoc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "span_id")
-      .agg(min("pos").as("start_tok"), max("w_end").as("end_tok"),
-        count(lit(1)).as("n_windows"))
-      .select("doc_id", "span_id", "start_tok", "end_tok", "n_windows")
   }
 
   /** Sequence packing (concat-and-chunk): assign every document a token

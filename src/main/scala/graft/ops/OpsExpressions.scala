@@ -244,6 +244,45 @@ object OpsKernel {
     new GenericArrayData(out)
   }
 
+  /** Per-document maximal duplicated spans in ONE kernel pass against the
+    * broadcast duplicated-fp set: window fingerprints stream in position
+    * order, so the gaps-and-islands merge (break when pos > prevEnd + 1,
+    * running max end, count) is a local scan — no doc_id shuffle, no
+    * window sort. Rows equal [[Ops.dedupSpans]]'s relational span merge
+    * exactly (spec-pinned): span_id 1-based per doc, start = first pos,
+    * end = max w_end, n_windows = count. */
+  def dedupSpansLocal(textU: UTF8String, window: Int,
+                      fps: Array[Long]): ArrayData = {
+    val text = textU.toString
+    val wfps = TextKernel.shingleFps(text, window)
+    if (wfps.isEmpty) return new GenericArrayData(Array.empty[Any])
+    val nWords = TextKernel.wordCount(text)
+    val out = new scala.collection.mutable.ArrayBuffer[Any](4)
+    var spanId = 0L
+    var start = -1L
+    var end = -1L
+    var cnt = 0L
+    def flush(): Unit =
+      if (spanId > 0) out += InternalRow(spanId, start, end, cnt)
+    var i = 0
+    while (i < wfps.length) {
+      if (java.util.Arrays.binarySearch(fps, wfps(i)) >= 0) {
+        val pos = i.toLong
+        val wEnd = Math.min(pos + window - 1, nWords - 1)
+        if (spanId == 0L || pos > end + 1) {
+          flush()
+          spanId += 1; start = pos; end = wEnd; cnt = 1
+        } else {
+          if (wEnd > end) end = wEnd
+          cnt += 1
+        }
+      }
+      i += 1
+    }
+    flush()
+    new GenericArrayData(out.toArray)
+  }
+
   /** The 19-entry stopword list shared with Ops.Stopwords (single source
     * of truth — the SQL array literal formulations derive from this). */
   val QualityStopwords: Seq[String] = Seq("the", "a", "an", "and", "or",
@@ -642,6 +681,32 @@ case class FpInSortedSetExpr(fp: Expression,
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(fp = c)
+}
+
+/** Per-document maximal duplicated spans against a broadcast SORTED
+  * duplicated-fp array — see [[OpsKernel.dedupSpansLocal]]; the span
+  * merge runs inside the scan stage, so the de-skewed dedupSpans
+  * broadcast path carries NO exchange at all on the probe side. */
+case class SpanMergeExpr(text: Expression, window: Int,
+                         fps: org.apache.spark.broadcast.Broadcast[Array[Long]])
+    extends UnaryExpression {
+  override def child: Expression = text
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("span_id", LongType, nullable = false),
+    StructField("start_tok", LongType, nullable = false),
+    StructField("end_tok", LongType, nullable = false),
+    StructField("n_windows", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "span_merge"
+  override protected def nullSafeEval(t: Any): Any =
+    OpsKernel.dedupSpansLocal(t.asInstanceOf[UTF8String], window, fps.value)
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("dupFps", fps,
+      classOf[org.apache.spark.broadcast.Broadcast[_]].getName)
+    defineCodeGen(ctx, ev, t =>
+      s"graft.ops.OpsKernel.dedupSpansLocal($t, $window, (long[]) $ref.value())")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(text = c)
 }
 
 /** Positional (ordered, non-distinct) variant of [[ShingleFpsExpr]]. */

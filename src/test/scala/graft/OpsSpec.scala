@@ -641,14 +641,21 @@ class PayloadFreeShuffleSpec extends org.scalatest.funsuite.AnyFunSuite {
   test("dedupSpans shuffles carry (doc_id, pos, fp) only — never text") {
     val spark = SparkTestBase.spark
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    // Broadcast path (the common case): the span merge runs inside the
+    // probe scan, so the returned plan carries ZERO exchanges (the
+    // two-level fp count ran eagerly at build time, map-side partials
+    // bounding any hot fp).
     val out = Ops.dedupSpans(spark, docs, window = 4)
     assert(out.count() > 0, "sf0.001 tiny-vocab corpus must have dup spans")
-    val shuffles = shuffleOutputs(out)
+    assert(shuffleOutputs(out).isEmpty, shuffleOutputs(out).toString)
+    // Shuffle fallback (dup-fp set over the broadcast cap): exchanges
+    // carry ids/fingerprints only — never document text — and stay at
+    // two (fp semi-join + doc_id island merge).
+    val fb = Ops.dedupSpans(spark, docs, window = 4, broadcastMaxFps = -1)
+    assert(fb.count() > 0)
+    val shuffles = shuffleOutputs(fb)
     assert(shuffles.nonEmpty)
     assert(shuffles.forall(!_.exists(_ == "text")), shuffles.toString)
-    // Single-scan shape: one exchange on fp (global occurrence counts via
-    // window), one on doc_id (island merge) — an agg+join-back would add
-    // a third and scan every document's text twice.
     assert(shuffles.size <= 2, shuffles.toString)
   }
 
