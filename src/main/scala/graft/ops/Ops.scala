@@ -455,9 +455,6 @@ object Ops {
                 approxDfRsd: Double = 0.0): DataFrame = {
     OpsFunctions.register(spark)
     require(minDocs >= 2, s"minDocs=$minDocs (a line always appears in its own doc)")
-    val lines = docs.select(col("doc_id"),
-        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .withColumn("line_fp", expr("doc_fingerprint(line)"))
     // Exact df (the oracle-checked default) aggregates every distinct
     // (line_fp, doc_id) pair — work and exchange grow with CORPUS size.
     // approxDfRsd > 0 switches the doc frequency to an HLL++ sketch:
@@ -467,10 +464,15 @@ object Ops {
     // at 2M docs. A boilerplate threshold is a coarse knob — a few
     // percent df error moves only lines sitting exactly at it (spec pins
     // equality on corpora whose dfs are well separated from it).
+    // The df scan explodes the line_fps kernel array (one pass, fps
+    // only) — the line STRINGS never leave the scan stage; the fps equal
+    // explode+doc_fingerprint exactly (spec-pinned).
     val dfAgg =
       if (approxDfRsd > 0) approx_count_distinct(col("doc_id"), approxDfRsd)
       else countDistinct(col("doc_id"))
-    val boiler = lines.groupBy("line_fp")
+    val boiler = docs
+      .select(col("doc_id"), explode(expr("line_fps(text, -1)")).as("line_fp"))
+      .groupBy("line_fp")
       .agg(dfAgg.as("df"))
       .filter(col("df") >= minDocs)
       .select("line_fp")
@@ -515,6 +517,9 @@ object Ops {
           coalesce(col("__r.n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("__r.clean_text"), lit("")).as("clean_text"))
     } else {
+      val lines = docs.select(col("doc_id"),
+          posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .withColumn("line_fp", expr("doc_fingerprint(line)"))
       val kept = lines.join(boiler, Seq("line_fp"), "left_anti")
       val agg = kept.groupBy("doc_id").agg(
         count(lit(1)).as("n_kept"),
@@ -560,14 +565,18 @@ object Ops {
     require(minDocs >= 2, s"minDocs=$minDocs (a line always appears in its own doc)")
     val P = 2147483647L
     val docsN = docs.withColumn("domain", coalesce(col("domain"), lit("")))
-    val lines = docsN.select(col("doc_id"), col("domain"),
-        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
-      .withColumn("line_key",
-        expr(s"(doc_fingerprint(domain) * 48271 + doc_fingerprint(line)) % $P"))
     val dfAgg =
       if (approxDfRsd > 0) approx_count_distinct(col("doc_id"), approxDfRsd)
       else countDistinct(col("doc_id"))
-    val boiler = lines.groupBy("line_key")
+    // Salted line_fps kernel: one pass per document emits the
+    // domain-scoped keys directly (salt = doc_fingerprint(domain) — the
+    // (salt*48271 + fp) mod P arithmetic is inside the kernel and equals
+    // the per-line SQL formulation exactly, spec-pinned); line strings
+    // never leave the scan stage of the df aggregation.
+    val boiler = docsN
+      .select(col("doc_id"),
+        explode(expr("line_fps(text, doc_fingerprint(domain))")).as("line_key"))
+      .groupBy("line_key")
       .agg(dfAgg.as("df"))
       .filter(col("df") >= minDocs)
       .select("line_key")
@@ -598,6 +607,10 @@ object Ops {
           coalesce(col("__r.n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("__r.clean_text"), lit("")).as("clean_text"))
     } else {
+      val lines = docsN.select(col("doc_id"), col("domain"),
+          posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+        .withColumn("line_key",
+          expr(s"(doc_fingerprint(domain) * 48271 + doc_fingerprint(line)) % $P"))
       val kept = lines.join(boiler, Seq("line_key"), "left_anti")
       val agg = kept.groupBy("doc_id").agg(
         count(lit(1)).as("n_kept"),

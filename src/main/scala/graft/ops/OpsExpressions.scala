@@ -244,6 +244,32 @@ object OpsKernel {
     new GenericArrayData(out)
   }
 
+  /** Per-line fingerprints of a '\n'-lined document in one pass —
+    * fp = TextKernel.fingerprint(line) per split(text,'\n') segment
+    * (limit -1: trailing empty segments kept, exactly like
+    * explode(split(...))); `salt >= 0` maps each to the domain-scoped
+    * key (salt * 48271 + fp) mod P. Feeds the boilerplate df
+    * aggregation without exploding line STRINGS through a projection. */
+  def lineFps(textU: UTF8String, salt: Long): ArrayData = {
+    val text = textU.toString
+    val n = text.length
+    var count = 1
+    var i = 0
+    while (i < n) { if (text.charAt(i) == '\n') count += 1; i += 1 }
+    val out = new Array[Long](count)
+    var o = 0
+    i = 0
+    while (i <= n) {
+      var j = i
+      while (j < n && text.charAt(j) != '\n') j += 1
+      val fp = TextKernel.fingerprint(text.substring(i, j))
+      out(o) = if (salt >= 0) (salt * 48271L + fp) % TextKernel.P else fp
+      o += 1
+      i = j + 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Per-document maximal duplicated spans in ONE kernel pass against the
     * broadcast duplicated-fp set: window fingerprints stream in position
     * order, so the gaps-and-islands merge (break when pos > prevEnd + 1,
@@ -681,6 +707,22 @@ case class FpInSortedSetExpr(fp: Expression,
   }
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(fp = c)
+}
+
+/** Per-line fingerprints (optionally domain-salted) of a '\n'-lined
+  * document — see [[OpsKernel.lineFps]]. salt = -1 for plain line fps. */
+case class LineFpsExpr(text: Expression, salt: Expression)
+    extends BinaryExpression {
+  override def left: Expression = text
+  override def right: Expression = salt
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "line_fps"
+  override protected def nullSafeEval(t: Any, s: Any): Any =
+    OpsKernel.lineFps(t.asInstanceOf[UTF8String], s.asInstanceOf[Long])
+  override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (t, s) => s"graft.ops.OpsKernel.lineFps($t, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(text = l, salt = r)
 }
 
 /** Per-document maximal duplicated spans against a broadcast SORTED

@@ -34,7 +34,8 @@ object OpsFunctions {
     "lm_gram_fps" -> (es => LmGramFpsExpr(str(es(0)))),
     "split_word_count" -> (es => SplitWordCountExpr(str(es(0)))),
     "word_count_pairs" -> (es => WordCountPairsExpr(str(es(0)))),
-    "text_quality_stats" -> (es => QualityStatsExpr(str(es(0)))))
+    "text_quality_stats" -> (es => QualityStatsExpr(str(es(0)))),
+    "line_fps" -> (es => LineFpsExpr(str(es(0)), lng(es(1)))))
 
   private val RegisteredKey = "graft.ops.functions.registered"
 

@@ -160,6 +160,31 @@ class OptimizationParitySpec extends AnyFunSuite {
     assert(old.nonEmpty && neu.sameElements(old))
   }
 
+  test("line_fps equals explode(split)+doc_fingerprint, plain and salted") {
+    OpsFunctions.register(spark)
+    val docs = trickyDocs.withColumn("domain",
+      concat(lit("site"), (col("doc_id") % 3).cast("string")))
+    val oldPlain = docs.select(col("doc_id"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .selectExpr("doc_id", "pos", "doc_fingerprint(line) AS fp")
+      .collect().map(_.toString).sorted
+    val newPlain = docs.select(col("doc_id"),
+        posexplode(expr("line_fps(text, -1)")).as(Seq("pos", "fp")))
+      .selectExpr("doc_id", "pos", "fp")
+      .collect().map(_.toString).sorted
+    assert(oldPlain.nonEmpty && newPlain.sameElements(oldPlain))
+    val oldSalted = docs.select(col("doc_id"), col("domain"),
+        posexplode(split(col("text"), "\n")).as(Seq("pos", "line")))
+      .selectExpr("doc_id",
+        "(doc_fingerprint(domain) * 48271 + doc_fingerprint(line)) % 2147483647 AS k")
+      .collect().map(_.toString).sorted
+    val newSalted = docs
+      .select(col("doc_id"),
+        explode(expr("line_fps(text, doc_fingerprint(domain))")).as("k"))
+      .collect().map(_.toString).sorted
+    assert(newSalted.sameElements(oldSalted))
+  }
+
   test("rolling shingle fingerprints equal the left-fold definition") {
     // Direct re-derivation: fp of words [i, i+k) = stringFp of the words
     // joined by one space — the rolling prefix-hash form must match it
