@@ -1641,8 +1641,15 @@ object Ops {
     // ownership escapes this call. At extreme corpus scale one trains on
     // a deterministic SAMPLE and scores everything (the FineWeb shape) —
     // pass a pre-sampled `docs` for that.
-    val trainFeats = feats.persist(
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Coalesced to one partition per core before caching: every GD
+    // iteration is a full-frame aggregation job over this cache, and at
+    // the synth default of 4 partitions/core the 21 iteration jobs spend
+    // more wall in task scheduling than in the 7-double arithmetic.
+    // coalesce (not repartition): no shuffle, and the quantized gradient
+    // sums are order-independent integers so the trajectory is unchanged.
+    val trainFeats = feats
+      .coalesce(spark.sparkContext.defaultParallelism)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       for (_ <- 1 to iters) {
         val wt = w.toSeq.map(tok)
