@@ -145,6 +145,39 @@ object BenchExtra {
       graft.engine.Icelite.writeResumable(spark, icePts, r.toString, "cell_p")
       deleteDir(r)
     }
+    // Staging decomposition: synthesis alone, plain parquet write (no
+    // partitioning machinery), rebalance+partitionBy write (the staging
+    // job's real shape), and the stats aggregation over a staged read.
+    measure("ice_synth_noop") { noop(icePts) }
+    measure("ice_plain_write") {
+      val d = java.nio.file.Files.createTempDirectory("graft-extra-plain")
+      icePts.write.mode("overwrite").parquet(d.toString)
+      deleteDir(d)
+    }
+    measure("ice_rebalance_write") {
+      val d = java.nio.file.Files.createTempDirectory("graft-extra-rebal")
+      icePts.withColumn("__part", col("cell_p").cast("string"))
+        .hint("rebalance", col("__part"))
+        .write.mode("overwrite").partitionBy("__part")
+        .parquet(d.toString)
+      deleteDir(d)
+    }
+    locally {
+      val d = java.nio.file.Files.createTempDirectory("graft-extra-stats")
+      icePts.withColumn("__part", col("cell_p").cast("string"))
+        .hint("rebalance", col("__part"))
+        .write.mode("overwrite").partitionBy("__part")
+        .parquet(d.toString)
+      measure("ice_stats_job") {
+        spark.read.parquet(d.toString)
+          .groupBy("__part")
+          .agg(count(lit(1)).as("rows"),
+            expr("bit_xor(xxhash64(struct(page_id,lat,lng,cell9,cell_p)))"),
+            min("cell9"), max("cell9"), min("cell_p"), max("cell_p"))
+          .collect()
+      }
+      deleteDir(d)
+    }
 
     // --- temporal ---
     measure("events_noop") { noop(Bench.synthEvents(spark, nDocs / 4)) }
@@ -177,12 +210,37 @@ object BenchExtra {
       noop(lined(nDocs / 20).selectExpr("doc_id", "text_repetition(text) AS r"))
     }
 
+    // --- sessionize decomposition: shuffle+windows+agg vs synthesis ---
+    measure("sess_full") {
+      graft.ops.Temporal.sessionize(spark, Bench.synthEvents(spark, nDocs / 4))
+        .agg(count(lit(1)), sum("n_events")).collect()
+    }
+
+    // --- lm counts: NEW single-pass kernel (one scan, packed (kind<<32)|fp) ---
+    measure("lm_counts_kernel") {
+      val train = lined(nDocs / 200).where(col("doc_id") % 3 =!= 0)
+      train.select(explode(expr("lm_gram_fps(text)")).as("p"))
+        .select(shiftright(col("p"), 32).cast("int").as("kind"),
+          col("p").bitwiseAND(lit(4294967295L)).as("fp"))
+        .groupBy("kind", "fp").agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1))).collect()
+    }
+
     // --- bpe decomposition: dict scan vs encode scan ---
     measure("bpe_dict_scan") {
       lined(nDocs / 20)
         .select(explode(split(trim(col("text")), "\\s+")).as("word"))
         .filter(col("word") =!= "")
         .groupBy("word").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("word")).limit(1 << 16)
+        .collect()
+    }
+    // NEW dict path: per-doc pre-aggregated (word, cnt) pairs through the
+    // hash aggregate instead of one row per word occurrence.
+    measure("bpe_dict_kernel") {
+      lined(nDocs / 20)
+        .selectExpr("inline(word_count_pairs(text))")
+        .groupBy("word").agg(sum("cnt").as("cnt"))
         .orderBy(col("cnt").desc, col("word")).limit(1 << 16)
         .collect()
     }
