@@ -132,8 +132,17 @@ object Temporal {
       .withColumn("session_idx", sum(col("new_sess")).over(run))
       .groupBy(col("user_id"), col("session_idx"))
       .agg(
-        min(struct(col("ts_us"), col("event_id")))
-          .getField("event_id").as("first_event_id"),
+        // The session's first event by (ts_us, event_id) is EXACTLY the
+        // row whose new_sess flag is 1: session_idx increments on that
+        // row and on no other, so each group holds precisely one such
+        // row — max(when(...)) over the group is that row's event_id,
+        // value-identical to min(struct(ts_us, event_id)).event_id
+        // (parity-pinned incl. equal-ts ties). Unlike the struct min,
+        // a plain long max is HashAggregate-able, so the aggregation
+        // needs NO re-sort of the 48M-row frame on (user_id,
+        // session_idx) and no SortAggregate pair (plan-pinned).
+        max(when(col("new_sess") === 1L, col("event_id")))
+          .as("first_event_id"),
         count(lit(1)).as("n_events"),
         min(col("ts_us")).as("start_us"),
         max(col("ts_us")).as("end_us"))

@@ -165,6 +165,56 @@ class TemporalSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(plan).size == 1, plan)
   }
 
+  test("sessionize plan: hash aggregation, no post-window re-sort") {
+    // first_event_id via max(when(new_sess=1, event_id)) keeps every
+    // aggregate a mutable-buffer long, so the groupBy plans as a
+    // HashAggregate directly over the window output — no SortAggregate
+    // and no second full sort of the event frame on (user_id,
+    // session_idx). Exactly one Sort node: the window's own.
+    val df = spark.range(0, 1000, 1, 8).selectExpr(
+      "id AS event_id",
+      "timestamp_micros(1700000000000000 + (id % 97) * 1800000000) AS ts",
+      "id % 13 AS user_id", "'view' AS event_type")
+    val plan = Temporal.sessionize(spark, df)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SortAggregate"), plan)
+    assert(plan.contains("HashAggregate"), plan)
+    assert("Sort \\[".r.findAllIn(plan).size == 1, plan)
+  }
+
+  test("sessionize first_event_id equals the min(struct) formulation") {
+    // The r5 formulation took min(struct(ts_us, event_id)).event_id per
+    // (user_id, session_idx); the hash-aggregable rewrite takes the
+    // event_id of the unique new_sess=1 row. Equality on a randomized
+    // log whose same-instant repeats exercise the tie case: the session
+    // opener IS the lexicographic (ts_us, event_id) minimum.
+    val df = synthEvents(6000, 25, seed = 41)
+    val gapUs = 30L * 60L * 1000000L
+    val evs = collectEvents(df)
+    val expected = evs.groupBy(_.user).flatMap { case (user, us) =>
+      val sorted = us.sortBy(e => (e.tsUs, e.id))
+      val sessions = scala.collection.mutable.ArrayBuffer(
+        scala.collection.mutable.ArrayBuffer(sorted.head))
+      sorted.tail.foreach { e =>
+        if (e.tsUs - sessions.last.last.tsUs >= gapUs)
+          sessions += scala.collection.mutable.ArrayBuffer(e)
+        else sessions.last += e
+      }
+      sessions.zipWithIndex.map { case (s, i) =>
+        (user, (i + 1).toLong, s.minBy(e => (e.tsUs, e.id)).id,
+          s.length.toLong)
+      }
+    }.toSet
+    val got = Temporal.sessionize(spark, df)
+      .select("user_id", "session_idx", "first_event_id", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == expected)
+    // ties actually occur in the fixture (same user, same instant)
+    assert(evs.groupBy(e => (e.user, e.tsUs)).exists(_._2.size > 1))
+  }
+
   // --------------------------------------------------------------- funnel
 
   /** Brute-force greedy funnel reference. */
